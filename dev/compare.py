@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's DuckDB-oracle correctness check.
+
+Usage: python3 dev/compare.py <sfDir> <verifyOutDir>
+
+Reads oracle_sql.json from the verify output dir, registers each parquet
+table in DuckDB as a view named after the table, runs each oracle SQL, loads
+the corresponding Spark parquet result, sorts columns by name, and compares
+values (exact where possible; reports max abs diff for floats).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = norm(con.execute(
+                f"SELECT * FROM read_parquet({files!r})").df())
+            want = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols got={list(got.columns)} want={list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows got={len(got)} want={len(want)}")
+            n_fail += 1; continue
+        ok = True
+        for c in got.columns:
+            g, w = got[c], want[c]
+            if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+                g = g.astype(float); w = w.astype(float)
+                both_nan = g.isna() & w.isna()
+                eq = (g.values == w.values) | both_nan.values
+                if not eq.all():
+                    d = np.nanmax(np.abs(g.values - w.values))
+                    print(f"FAIL {name}: col {c} maxdiff={d} ({int((~eq).sum())} rows)")
+                    ok = False
+            else:
+                gs, ws = g.astype(str), w.astype(str)
+                if not (gs.values == ws.values).all():
+                    bad = (gs.values != ws.values)
+                    i = int(np.argmax(bad))
+                    print(f"FAIL {name}: col {c} {int(bad.sum())} rows differ; "
+                          f"first at {i}: got={gs.values[i]!r} want={ws.values[i]!r}")
+                    ok = False
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
