@@ -1,0 +1,208 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.schema.Envelope
+
+/** Envelope deserialization (S3): JSON text → typed envelope rows.
+  * Mirror of `parse_raw_message` (/root/reference/src/transform/etl_pipeline.py:54-58),
+  * but as a single `from_json` projection over a Dataset of strings — the
+  * same transform works verbatim on a Kafka `value` column in streaming.
+  */
+object Ingest {
+  def parseRaw(raw: Dataset[String]): DataFrame =
+    raw.select(from_json(col("value"), Envelope.schema).as("e")).select("e.*")
+
+  def parseRaw(spark: SparkSession, messages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    parseRaw(messages.toDS())
+  }
+}
+
+/** ERC-20 / ERC-721 Transfer-log decoder
+  * (/root/reference/src/transform/etl_pipeline.py:65-130) as a declarative
+  * DataFrame transform: topic filter → address slicing → standard
+  * discrimination on topic count → uint256 decode via the codegen'd
+  * hex_to_decimal expression. One narrow projection, no per-row closures —
+  * the whole decode stays inside whole-stage codegen and scales linearly.
+  *
+  * Semantics notes vs the reference:
+  *  - addresses are normalized to lowercase; the reference EIP-55
+  *    checksum-cases them (etl_pipeline.py:81-82), which only changes letter
+  *    case (SURVEY.md §2.2 P3).
+  *  - `amount` is float64 exactly like the reference's cast
+  *    (etl_pipeline.py:129); `amount_raw` additionally keeps the exact value.
+  */
+object TokenTransferDecoder {
+
+  def decode(envelopes: DataFrame): DataFrame = {
+    GraftFunctions.register(envelopes.sparkSession)
+    val hex = GraftFunctions.hexToDecimal _
+    val topics = col("payload.topics")
+    val addr = (t: Column) => concat(lit("0x"), lower(substring(t, -40, 40)))
+
+    envelopes
+      .filter(col("event_type").isin("token_transfer", "log"))
+      .filter(size(topics) >= 3 &&
+        element_at(topics, 1) === lit(Envelope.Erc20TransferTopic))
+      .select(
+        when(size(topics) >= 4, lit("ERC-721")).otherwise(lit("ERC-20")).as("standard"),
+        col("payload.contract").as("contract"),
+        addr(element_at(topics, 2)).as("from"),
+        addr(element_at(topics, 3)).as("to"),
+        when(size(topics) >= 4, hex(element_at(topics, 4)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("token_id"),
+        when(size(topics) >= 4, lit(java.math.BigDecimal.ONE).cast("decimal(38,0)"))
+          .otherwise(coalesce(hex(col("payload.data")), lit(0).cast("decimal(38,0)")))
+          .as("amount_raw"),
+        col("block_number"),
+        timestamp_seconds(col("block_timestamp")).as("block_timestamp"),
+        col("payload.tx_hash").as("tx_hash"),
+        col("chain_id"))
+      .withColumn("amount", col("amount_raw").cast("double"))
+  }
+}
+
+/** Uniswap V2 Swap parser (/root/reference/src/transform/etl_pipeline.py:137-188).
+  * ABI data layout is static (4 × 32-byte big-endian uint256), so the decode
+  * is fixed-offset substring slicing + hex_to_decimal — no ABI interpreter.
+  *
+  * The price fallback chain reproduces the reference's Python semantics
+  * exactly (etl_pipeline.py:159): `a1out/a0in if a0in else (a0out/a1in or 1)`
+  * — including the ZeroDivisionError when both denominators are 0, which
+  * drops the row there (caught by its except) and yields null→filtered here.
+  */
+object DeFiSwapParser {
+
+  def parse(envelopes: DataFrame): DataFrame = {
+    GraftFunctions.register(envelopes.sparkSession)
+    val hex = GraftFunctions.hexToDecimal _
+    val topics = col("payload.topics")
+    // strip 0x, then 4 fixed 64-hex-char words
+    val raw = regexp_replace(col("payload.data"), "^0[xX]", "")
+    def word(i: Int): Column =
+      hex(substring(raw, i * 64 + 1, 64)).as(s"w$i")
+
+    val a0in  = col("amount0_in").cast("double")
+    val a1in  = col("amount1_in").cast("double")
+    val a0out = col("amount0_out").cast("double")
+    val a1out = col("amount1_out").cast("double")
+
+    envelopes
+      .filter(size(topics) >= 1 &&
+        element_at(topics, 1) === lit(Envelope.UniswapV2SwapTopic))
+      .filter(length(raw) >= 256)
+      .select(
+        lit("uniswap_v2").as("protocol"),
+        col("payload.contract").as("pool"),
+        word(0).as("amount0_in"),
+        word(1).as("amount1_in"),
+        word(2).as("amount0_out"),
+        word(3).as("amount1_out"),
+        col("block_number"),
+        timestamp_seconds(col("block_timestamp")).as("block_timestamp"),
+        col("chain_id"),
+        coalesce(col("payload.tx_hash"), lit("")).as("tx_hash"))
+      .withColumn("price",
+        when(a0in =!= 0.0, a1out / a0in)
+          .when(a1in =!= 0.0, coalesce(nullif(a0out / a1in, lit(0.0)), lit(1.0)))
+          .otherwise(lit(null).cast("double")))
+      .filter(col("price").isNotNull)
+      .select("protocol", "pool", "amount0_in", "amount1_in", "amount0_out",
+        "amount1_out", "price", "block_number", "block_timestamp", "chain_id",
+        "tx_hash")
+  }
+}
+
+/** Transaction feature engineering
+  * (/root/reference/src/transform/etl_pipeline.py:195-252).
+  *
+  * The rolling gas p90 (etl_pipeline.py:227-232: sort by block_number,
+  * window=100, min_periods=1, q=0.9) is an exact interpolated percentile
+  * over a 100-row frame. The reference's global sort becomes a Spark window;
+  * `orderCols` lets callers add a unique tiebreaker so frames are
+  * deterministic under block_number ties (pandas' stable sort equivalent).
+  * At scale, pass a `partitionCol` (e.g. chain_id or a date bucket) to keep
+  * the window out of a single partition.
+  */
+object TransactionFeatureEngineer {
+
+  val RollingWindow = 100
+
+  def engineer(tx: DataFrame, orderCols: Seq[String] = Seq("block_number", "nonce"),
+               partitionCols: Seq[String] = Nil): DataFrame = {
+    // Mirror the reference's column-presence gating (etl_pipeline.py:203-233):
+    // each feature is derived only when its source column exists.
+    val cols = tx.columns.toSet
+    if (cols.isEmpty) return tx
+    var df = tx
+    if (cols("gas_price"))
+      df = df.withColumn("gas_price_gwei", col("gas_price").cast("double") / 1e9)
+    if (cols("value_wei"))
+      df = df.withColumn("value_eth", col("value_wei").cast("double") / 1e18)
+    df = df.withColumn("is_contract_deploy", col("to").isNull)
+    if (cols("input"))
+      df = df
+        .withColumn("fn_selector", substring(col("input"), 1, 10))
+        .withColumn("fn_name",
+          coalesce(element_at(typedlit(Envelope.TokenStandards), col("fn_selector")),
+            lit("unknown")))
+        .withColumn("is_defi_tx", col("fn_name") =!= "unknown")
+
+    if (cols("gas_price")) {
+      val w0 = if (partitionCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(partitionCols.map(col): _*)
+      val order = orderCols.filter(cols)
+      val w = w0.orderBy(order.map(col): _*)
+        .rowsBetween(-(RollingWindow - 1), Window.currentRow)
+      df = df
+        .withColumn("gas_p90", percentile(col("gas_price_gwei"), lit(0.9)).over(w))
+        .withColumn("is_high_priority", col("gas_price_gwei") > col("gas_p90"))
+    }
+    df
+  }
+
+  /** Per-block aggregation (A1, etl_pipeline.py:238-252): one hash aggregate,
+    * partial+final combine — the shuffle key is block_number. */
+  def aggregateByBlock(tx: DataFrame): DataFrame =
+    tx.groupBy("block_number").agg(
+      count(col("hash")).as("tx_count"),
+      sum(col("value_eth")).as("total_eth_volume"),
+      avg(col("gas_price_gwei")).as("avg_gas_price_gwei"),
+      max(col("gas_price_gwei")).as("max_gas_price_gwei"),
+      sum(col("is_defi_tx").cast("long")).as("defi_tx_count"),
+      sum(col("is_contract_deploy").cast("long")).as("contract_deploys"))
+    .orderBy("block_number")
+}
+
+/** End-to-end batch orchestrator
+  * (`BlockchainETLPipeline.run`, /root/reference/src/transform/etl_pipeline.py:397-446).
+  * Where the reference *exports* its two analytical queries as dialect SQL
+  * text for an external warehouse, this engine executes them natively — see
+  * [[graft.sql.CanonicalQueries]].
+  */
+case class EtlResult(transfers: DataFrame, swaps: DataFrame,
+  transactions: DataFrame, blockAgg: DataFrame,
+  transferSql: String, swapSql: String)
+
+object BlockchainEtlPipeline {
+
+  def runRaw(rawMessages: Dataset[String]): EtlResult =
+    run(Ingest.parseRaw(rawMessages))
+
+  def run(envelopes: DataFrame): EtlResult = {
+    val transfers = TokenTransferDecoder.decode(envelopes)
+    val swaps = DeFiSwapParser.parse(envelopes)
+    val tx = envelopes
+      .filter(col("event_type") === "transaction")
+      .select(col("payload.*"), col("block_number"),
+        col("block_timestamp"), col("chain_id"))
+    val engineered = TransactionFeatureEngineer.engineer(tx)
+    val blockAgg = TransactionFeatureEngineer.aggregateByBlock(engineered)
+    EtlResult(transfers, swaps, engineered, blockAgg,
+      graft.sql.CanonicalQueries.TransferVolumeSql,
+      graft.sql.CanonicalQueries.SwapPriceImpactSql)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.{ImpermanentLossResult, MEVRiskResult, VaRResult}
+
+/** Historical-simulation VaR & CVaR
+  * (/root/reference/src/models/risk_models.py:58-143).
+  *
+  * The returns series is a DataFrame with a value column (and an order
+  * column for the rolling variant) — at scale this is a partitioned table,
+  * not a driver-side array. `compute` is a single two-aggregate pass: the
+  * interpolated quantile and the conditional tail mean share one plan via a
+  * broadcast cross join of the 1-row quantile frame (SURVEY.md A10/A11).
+  */
+class HistoricalVaR(returns: DataFrame, valueCol: String = "r",
+                    positionSize: Double = 1000000.0) {
+
+  private val clean = returns.na.drop(Seq(valueCol))
+  require(!clean.isEmpty, "Returns series cannot be empty.")
+
+  def compute(confidence: Double = 0.95, horizonDays: Int = 1,
+              scaleBySqrt: Boolean = true): VaRResult = {
+    val v = col(valueCol)
+    val qdf = clean.agg(percentile(v, lit(1 - confidence)).as("q"))
+    val row = clean.crossJoin(broadcast(qdf))
+      .agg(
+        first(col("q")).as("q"),
+        avg(when(v <= col("q"), v)).as("tail_mean"),
+        count(v).as("n"))
+      .collect()(0)
+
+    var varPct = -row.getDouble(0)
+    var cvarPct = -row.getDouble(1)
+    if (scaleBySqrt && horizonDays > 1) {
+      val s = math.sqrt(horizonDays.toDouble)
+      varPct *= s; cvarPct *= s
+    }
+    VaRResult(confidence, horizonDays, varPct * positionSize,
+      cvarPct * positionSize, row.getLong(2), "historical_simulation")
+  }
+
+  /** Rolling 1-day VaR (risk_models.py:110-122): window `window`,
+    * min_periods = window/2 (pandas semantics: null below the threshold),
+    * exact interpolated quantile. Pass partitionCols to shard the window at
+    * scale. */
+  def rollingVar(window: Int = 30, confidence: Double = 0.95,
+                 orderCol: String = "idx",
+                 partitionCols: Seq[String] = Nil): DataFrame = {
+    val base = if (partitionCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(partitionCols.map(col): _*)
+    val w = base.orderBy(orderCol).rowsBetween(-(window - 1), Window.currentRow)
+    val minPeriods = window / 2
+    clean
+      .withColumn("rolling_var",
+        when(count(col(valueCol)).over(w) >= minPeriods,
+          percentile(col(valueCol), lit(1 - confidence)).over(w) * (-positionSize)))
+  }
+
+  /** Hypothetical shock P&L table (risk_models.py:124-143): a literal-driven
+    * generator — rows from a Seq, pure column math. */
+  def stressTest(shockPcts: Seq[Double] = Seq(-0.10, -0.20, -0.30, -0.50, -0.80)): DataFrame = {
+    val spark = returns.sparkSession
+    import spark.implicits._
+    shockPcts.toDF("shock")
+      .select(
+        (col("shock") * 100).as("shock_pct"),
+        (col("shock") * positionSize).as("pnl_usd"),
+        (lit(positionSize) + col("shock") * positionSize).as("position_remaining"))
+  }
+}
+
+/** Constant-product AMM impermanent loss
+  * (/root/reference/src/models/risk_models.py:150-204).
+  * IL = 2·√r/(1+r) − 1 with r = price_current/price_entry. Offered both as a
+  * scalar (driver-side math for API shaping) and as a columnar scan over a
+  * ratio grid (explode of a literal sequence — M6).
+  */
+object ImpermanentLossModel {
+
+  def compute(priceEntry: Double, priceCurrent: Double,
+              initialUsdValue: Double = 10000.0): ImpermanentLossResult = {
+    val r = priceCurrent / priceEntry
+    val lpRelative = 2 * math.sqrt(r) / (1 + r)
+    val ilPct = lpRelative - 1
+    val holdValue = initialUsdValue * (1 + r) / 2
+    val lpValue = initialUsdValue * lpRelative
+    ImpermanentLossResult(r, ilPct * 100, holdValue, lpValue, lpValue - holdValue)
+  }
+
+  val DefaultRatios: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 5.0, 10.0)
+
+  /** IL across a ratio grid (risk_models.py:182-204): rows generated from a
+    * literal Seq, all metrics as column expressions. */
+  def scanPriceRange(spark: SparkSession, priceEntry: Double,
+                     initialUsd: Double = 10000.0,
+                     ratios: Seq[Double] = DefaultRatios): DataFrame = {
+    import spark.implicits._
+    val r = col("price_ratio")
+    val lpRel = lit(2) * sqrt(r) / (lit(1) + r)
+    ratios.toDF("price_ratio")
+      .select(
+        r,
+        (lit(priceEntry) * r).as("price_current"),
+        ((lpRel - 1) * 100).as("il_pct"),
+        (lit(initialUsd) * lpRel).as("lp_value"),
+        (lit(initialUsd) * (lit(1) + r) / 2).as("hold_value"))
+      .withColumn("loss_usd", col("lp_value") - col("hold_value"))
+  }
+}
+
+/** MEV exposure scoring (/root/reference/src/models/risk_models.py:211-284).
+  *
+  * The reference loops over blocks in Python, filtering both frames per block
+  * (risk_models.py:273-274) — O(blocks × rows). Here the same numbers come
+  * from two hash aggregates and one left join (SURVEY.md J1/A8): per-block
+  * gas stats from transactions, per-(block,pool) swap counts rolled up to
+  * per-block signals, joined on block_number. Scales to any block count.
+  */
+class MEVExposureModel(txDf: DataFrame, swapDf: Option[DataFrame] = None) {
+
+  private def swapSignals: Option[DataFrame] = swapDf.map { sw =>
+    sw.groupBy("block_number", "pool").count()
+      .groupBy("block_number").agg(
+        sum(when(col("count") >= 3, 1).otherwise(0)).as("high_activity_pools"),
+        sum(when(col("count") >= 2, 1).otherwise(0)).as("backrun_pools"))
+  }
+
+  private def txSignals: DataFrame =
+    txDf.groupBy("block_number").agg(
+      max(col("gas_price_gwei")).as("gas_max"),
+      percentile(col("gas_price_gwei"), lit(0.5)).as("gas_med"))
+
+  /** Composite per-block scores: min(100, 0.5·sandwich + 0.4·frontrun +
+    * 2·backrun), components rounded to 2dp (risk_models.py:234-242). The
+    * block universe is the transaction frame's blocks, as in the reference's
+    * `score_all_blocks` (risk_models.py:269-274). */
+  def scoreAllBlocks(): DataFrame = {
+    val joined = swapSignals match {
+      case Some(sig) => txSignals.join(sig, Seq("block_number"), "left")
+      case None => txSignals
+        .withColumn("high_activity_pools", lit(null).cast("long"))
+        .withColumn("backrun_pools", lit(null).cast("long"))
+    }
+    val sandwich = least(lit(100.0), coalesce(col("high_activity_pools"), lit(0L)) * 25.0)
+    val frontrun = when(col("gas_med").isNull || col("gas_med") === 0.0, 0.0)
+      .otherwise(least(lit(100.0),
+        greatest(lit(0.0), (col("gas_max") / col("gas_med") - 1) * 20)))
+    val backrun = coalesce(col("backrun_pools"), lit(0L)).cast("int")
+    joined
+      .withColumn("sandwich_risk", round(sandwich, 2))
+      .withColumn("frontrun_risk", round(frontrun, 2))
+      .withColumn("backrun_opportunities", backrun)
+      .withColumn("mev_score",
+        round(least(lit(100.0),
+          sandwich * 0.5 + frontrun * 0.4 + backrun * 2), 2))
+      .select("block_number", "mev_score", "sandwich_risk", "frontrun_risk",
+        "backrun_opportunities")
+      .orderBy("block_number")
+  }
+
+  /** Single-block score (risk_models.py:225-242). Unlike `scoreAllBlocks`,
+    * a block absent from the tx frame still gets its swap-side signals —
+    * mirroring the reference's per-block filters. */
+  def scoreBlock(blockNumber: Long): MEVRiskResult = {
+    val txB = txDf.filter(col("block_number") === blockNumber)
+    val swB = swapDf.map(_.filter(col("block_number") === blockNumber))
+    val model = new MEVExposureModel(txB, swB)
+    val fromTx = model.scoreAllBlocks().collect()
+    if (fromTx.nonEmpty) {
+      val r = fromTx(0)
+      MEVRiskResult(r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))
+    } else {
+      // no transactions in the block: frontrun=0, swap signals may remain
+      val (sand, back) = swB match {
+        case Some(sw) =>
+          val counts = sw.groupBy("pool").count()
+            .agg(
+              sum(when(col("count") >= 3, 1).otherwise(0)).as("hi"),
+              sum(when(col("count") >= 2, 1).otherwise(0)).as("bk"))
+            .collect()(0)
+          if (counts.isNullAt(0)) (0.0, 0)
+          else (math.min(100.0, counts.getLong(0) * 25.0), counts.getLong(1).toInt)
+        case None => (0.0, 0)
+      }
+      val composite = math.min(100.0, sand * 0.5 + back * 2)
+      MEVRiskResult(blockNumber,
+        math.rint(composite * 100) / 100, math.rint(sand * 100) / 100, 0.0, back)
+    }
+  }
+}
