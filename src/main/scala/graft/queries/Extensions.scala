@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.mm.Multimodal
+import graft.sim.VectorOps
+import graft.text.TextOps
+
+/** Training-data-pipeline extension operators (BASELINE.json north star):
+  * text analysis, dedup family, similarity search, multimodal plumbing —
+  * over the driver's `documents` and `embeddings` tables, oracle-checked
+  * wherever DuckDB can express the twin (all hash material is md5 and all
+  * float outputs derive from integer counts or decimal-exact sums, so the
+  * checks are exact, not tolerance-based).
+  */
+object Extensions {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shared oracle SQL fragments (DuckDB dialect)
+  private val toksSql =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+  private def shinglesCte =
+    s"""toks AS (
+       |  SELECT doc_id, $toksSql AS l FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l)-1),
+       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle FROM toks
+       |)""".stripMargin
+
+  // ------------------------------------------------------------------ text
+  private val textStats: Q = (s, dir) => {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+      round(length(concat_ws("", toks)).cast("double") / size(toks), 6)
+        .as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  private val textStatsSql =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len($toksSql) AS n_tokens,
+       |  len(list_distinct($toksSql)) AS n_uniq_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
+       |  ROUND(CAST(length(array_to_string($toksSql, '')) AS DOUBLE)
+       |    / len($toksSql), 6) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val textQuality: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  private val textQualitySql = {
+    val allStops = TextOps.LangStopwords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, lang,
+       |  ROUND(
+       |    0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       |  + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE)
+       |           / CAST(len($toksSql) AS DOUBLE))
+       |  + 0.3 * LEAST(1.0, CAST(len(list_filter($toksSql,
+       |      x -> list_contains([$allStops], x))) AS DOUBLE)
+       |           / CAST(len($toksSql) AS DOUBLE) * 10.0), 6) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val textLangId: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val textLangIdSql = {
+    val scoreExprs = TextOps.LangStopwords.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      l -> s"len(list_filter($toksSql, x -> list_contains([$list], x)))"
+    }
+    val scoreCols = scoreExprs.map { case (l, e) => s"$e AS sc_$l" }.mkString(",\n  ")
+    val best = scoreExprs.map(e => s"sc_${e._1}").mkString("GREATEST(", ", ", ")")
+    val cases = scoreExprs.map { case (l, _) =>
+      s"WHEN sc_$l > 0 AND sc_$l = $best THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang,
+       |  CASE $cases ELSE 'und' END AS lang_pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private val textFingerprint: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val fps = docs.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val sketch = Dedup.shingled(docs)
+      .groupBy("doc_id").agg(min(md5(col("shingle"))).as("sketch"))
+    fps.join(sketch, Seq("doc_id"), "left").orderBy("doc_id")
+  }
+
+  private val textFingerprintSql =
+    s"""WITH $shinglesCte, sk AS (
+       |  SELECT doc_id, min(md5(shingle)) AS sketch FROM sh GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  md5(lower(array_to_string($toksSql, ' '))) AS fp,
+       |  sk.sketch AS sketch
+       |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- dedup
+  private val dedupExact: Q = (s, dir) =>
+    Dedup.exact(Tables.documents(s, dir))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS h, min(doc_id) AS doc_id, COUNT(*) AS n
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  private val dedupMinhash: Q = (s, dir) =>
+    Dedup.minhashSignatures(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val dedupMinhashSql = {
+    val mins = (0 until Dedup.MinhashK)
+      .map(k => s"min(md5('$k|' || shingle)) AS h$k").mkString(",\n  ")
+    s"""WITH $shinglesCte
+       |SELECT doc_id,
+       |  $mins
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val dedupLshPairs: Q = (s, dir) =>
+    Dedup.lshCandidates(Tables.documents(s, dir)).orderBy("d1", "d2")
+
+  private val dedupLshPairsSql = {
+    val mins = (0 until Dedup.MinhashK)
+      .map(k => s"min(md5('$k|' || shingle)) AS h$k").mkString(",\n  ")
+    val rows = Dedup.MinhashK / Dedup.LshBands
+    val bandSelects = (0 until Dedup.LshBands).map { b =>
+      val cols = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte, sigs AS (
+       |  SELECT doc_id,
+       |  $mins
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  val JaccardThreshold = 0.5
+
+  private val dedupJaccard: Q = (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), JaccardThreshold)
+
+  private val dedupJaccardSql =
+    s"""WITH $shinglesCte, sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, common,
+       |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+
+  private val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhash(Tables.documents(s, dir))
+
+  private val dedupSimhashSql = {
+    val votes = (1 to Dedup.SimhashBits).map(j =>
+      s"SUM(CASE WHEN substr(md5(w), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n  ")
+    val bits = (1 to Dedup.SimhashBits)
+      .map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest($toksSql) AS w FROM documents
+       |), votes AS (
+       |  SELECT doc_id,
+       |  $votes
+       |  FROM words GROUP BY doc_id
+       |)
+       |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash+LSH near-dup end-to-end (candidates → exact verify) — the
+    * 100 TB path. No oracle: equivalence to the exhaustive jaccard pass is
+    * asserted in ExtensionSpec. */
+  private val dedupNearDup: Q = (s, dir) =>
+    Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)
+
+  // ------------------------------------------------------------ similarity
+  val CosineThreshold = 0.3
+
+  private val embCosinePairs: Q = (s, dir) =>
+    VectorOps.cosinePairs(Tables.embeddings(s, dir), CosineThreshold)
+
+  private val embCosinePairsSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), dots AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |  FROM v a JOIN v b ON a.i = b.i AND a.label = b.label
+       |    AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2
+       |), nrm AS (
+       |  SELECT vec_id,
+       |    SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+       |  FROM v GROUP BY 1
+       |)
+       |SELECT v1, v2, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |FROM dots JOIN nrm na ON v1 = na.vec_id JOIN nrm nb ON v2 = nb.vec_id
+       |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= $CosineThreshold
+       |ORDER BY v1, v2""".stripMargin
+
+  private val simTopK: Q = (s, dir) =>
+    VectorOps.cosineTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
+  private val simTopKSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT i, x AS qx FROM v WHERE vec_id = 0
+      |), dots AS (
+      |  SELECT v.vec_id, CAST(SUM(CAST(v.x * q.qx AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      |  FROM v JOIN q ON v.i = q.i GROUP BY 1
+      |), nrm AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      |  FROM v GROUP BY 1
+      |), qn AS (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0)
+      |SELECT dots.vec_id, ROUND(dot / (nrm.nrm * qn.qnrm), 6) AS cosine
+      |FROM dots JOIN nrm ON dots.vec_id = nrm.vec_id, qn
+      |ORDER BY cosine DESC, dots.vec_id LIMIT 10""".stripMargin
+
+  /** LSH-bucketed ANN — scale path; recall vs brute force asserted in
+    * ExtensionSpec, no SQL oracle (the planes are engine-side constants). */
+  private val simAnnTopK: Q = (s, dir) =>
+    VectorOps.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
+  // ------------------------------------------------------------ multimodal
+  /** Binary-column pipeline with stubbed codec — rows-only check. */
+  private val mmFeatures: Q = (s, dir) =>
+    Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(Tables.documents(s, dir)))
+      .toDF().orderBy("media_id")
+
+  // -------------------------------------------------------------- registry
+  val queries: Map[String, Q] = Map(
+    "text_stats"          -> textStats,
+    "text_quality"        -> textQuality,
+    "text_lang_id"        -> textLangId,
+    "text_fingerprint"    -> textFingerprint,
+    "dedup_exact"         -> dedupExact,
+    "dedup_minhash_sigs"  -> dedupMinhash,
+    "dedup_lsh_pairs"     -> dedupLshPairs,
+    "dedup_jaccard"       -> dedupJaccard,
+    "dedup_simhash"       -> dedupSimhash,
+    "dedup_near_dup"      -> dedupNearDup,
+    "emb_cosine_pairs"    -> embCosinePairs,
+    "sim_cosine_topk"     -> simTopK,
+    "sim_ann_topk"        -> simAnnTopK,
+    "mm_features"         -> mmFeatures,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats"          -> textStatsSql,
+    "text_quality"        -> textQualitySql,
+    "text_lang_id"        -> textLangIdSql,
+    "text_fingerprint"    -> textFingerprintSql,
+    "dedup_exact"         -> dedupExactSql,
+    "dedup_minhash_sigs"  -> dedupMinhashSql,
+    "dedup_lsh_pairs"     -> dedupLshPairsSql,
+    "dedup_jaccard"       -> dedupJaccardSql,
+    "dedup_simhash"       -> dedupSimhashSql,
+    "emb_cosine_pairs"    -> embCosinePairsSql,
+    "sim_cosine_topk"     -> simTopKSql,
+  )
+}

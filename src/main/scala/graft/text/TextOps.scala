@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * statistics, quality scoring, language ID, fingerprinting, and the shingle
+  * machinery shared by the dedup family ([[graft.dedup.Dedup]]).
+  *
+  * Every op is a pure column expression (whole-stage codegen, no UDFs), and
+  * every numeric output is derived from integer counts or decimal-exact sums
+  * so the DuckDB oracle twins hash-match bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped. DuckDB twin:
+    * `list_filter(string_split(text, ' '), x -> x <> '')`. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space chars. DuckDB twin:
+    * `len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))`. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  /** Distinct n-gram word shingles (default 3). Guarded for short docs.
+    * DuckDB twin:
+    * `list_distinct(list_transform(range(1, len(l)-1), i -> l[i]||' '||l[i+1]||' '||l[i+2]))`. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + lit(1))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Function words per language for the n-gram/stopword language-ID
+    * heuristic. The zh entry uses romanized function words (the fixture
+    * corpus is latin-script). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "es", "y", "un"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"),
+  )
+
+  /** Count of tokens contained in `words` (with repeats). */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language ID: argmax of per-language function-word hits; ties resolve in
+    * [[LangStopwords]] order; zero hits → "und". */
+  def langId(toks: Column): Column = {
+    val scores = LangStopwords.map { case (l, ws) => l -> stopwordCount(toks, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(1, chars/500) + 0.3·type-token-ratio + 0.3·min(1, 10·stop-ratio).
+    * All terms from integer counts → engine-exact; rounded to 6dp. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val lengthScore = least(lit(1.0), length(text).cast("double") / 500.0)
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = stopwordCount(toks, LangStopwords.flatMap(_._2).distinct)
+      .cast("double") / n
+    round(lit(0.4) * lengthScore + lit(0.3) * ttr +
+      lit(0.3) * least(lit(1.0), stopRatio * 10.0), 6)
+  }
+
+  /** Whole-document fingerprint: md5 of the token-normalized text (lowercase,
+    * single-space). Identical md5 on the DuckDB side. */
+  def fingerprint(text: Column): Column =
+    md5(lower(concat_ws(" ", tokens(text))))
+}
