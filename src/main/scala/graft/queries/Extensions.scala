@@ -211,6 +211,9 @@ object Extensions {
   private val embCosinePairs: Q = (s, dir) =>
     VectorOps.cosinePairs(Tables.embeddings(s, dir), CosineThreshold)
 
+  // Fixed-point dot products (×1e12 as BIGINT): long addition is
+  // associative, so SUM order doesn't matter and the Spark inline
+  // zip_with/aggregate computes the bit-identical value.
   private val embCosinePairsSql =
     s"""WITH v AS (
        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -218,18 +221,19 @@ object Extensions {
        |  FROM embeddings
        |), dots AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-       |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |    SUM(CAST(ROUND(a.x * b.x * 1e12, 0) AS BIGINT)) AS dot
        |  FROM v a JOIN v b ON a.i = b.i AND a.label = b.label
        |    AND a.vec_id < b.vec_id
        |  GROUP BY 1, 2
        |), nrm AS (
        |  SELECT vec_id,
-       |    SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+       |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
        |  FROM v GROUP BY 1
        |)
-       |SELECT v1, v2, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |SELECT v1, v2,
+       |  ROUND((CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) AS cosine
        |FROM dots JOIN nrm na ON v1 = na.vec_id JOIN nrm nb ON v2 = nb.vec_id
-       |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= $CosineThreshold
+       |WHERE ROUND((CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= $CosineThreshold
        |ORDER BY v1, v2""".stripMargin
 
   private val simTopK: Q = (s, dir) =>
@@ -243,13 +247,15 @@ object Extensions {
       |), q AS (
       |  SELECT i, x AS qx FROM v WHERE vec_id = 0
       |), dots AS (
-      |  SELECT v.vec_id, CAST(SUM(CAST(v.x * q.qx AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      |  SELECT v.vec_id, SUM(CAST(ROUND(v.x * q.qx * 1e12, 0) AS BIGINT)) AS dot
       |  FROM v JOIN q ON v.i = q.i GROUP BY 1
       |), nrm AS (
-      |  SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      |  SELECT vec_id,
+      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
       |  FROM v GROUP BY 1
       |), qn AS (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0)
-      |SELECT dots.vec_id, ROUND(dot / (nrm.nrm * qn.qnrm), 6) AS cosine
+      |SELECT dots.vec_id,
+      |  ROUND((CAST(dot AS DOUBLE) / 1e12) / (nrm.nrm * qn.qnrm), 6) AS cosine
       |FROM dots JOIN nrm ON dots.vec_id = nrm.vec_id, qn
       |ORDER BY cosine DESC, dots.vec_id LIMIT 10""".stripMargin
 

@@ -2,70 +2,68 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Exact path: positional explode + equi-join on the dimension index +
-  * decimal-exact dot products — bit-identical to the DuckDB oracle and
-  * fully shuffle-parallel (the join key is (pair, dim), never a single
-  * partition).
+  * Dot products are computed *inline over the array* (zip_with + aggregate)
+  * in fixed-point: each product is rounded to 12 decimals and accumulated as
+  * a long. Long addition is associative, so the result is independent of
+  * evaluation order and bit-identical to the DuckDB oracle's
+  * `SUM(CAST(ROUND(x*y*1e12, 0) AS BIGINT))` — while staying on the fast
+  * primitive path (no BigDecimal, no explode, no per-dimension shuffle).
+  * With |x| ≤ 1 and 64 dims the accumulator stays ≤ ~1e14 ≪ 2^63.
   *
-  * Scale path: random-hyperplane LSH — each vector gets a b-bit sign
-  * bucket from deterministic pseudo-planes; candidates share a bucket, and
-  * only candidates are reranked exactly. At 100 TB the bucket join replaces
-  * the all-pairs product: cost goes from O(N²·d) to O(N·d + collisions).
+  * Scale posture: the exact pair pass joins on a blocking key (label here;
+  * LSH buckets at 100 TB) carrying the arrays — one shuffle, no
+  * (pair × dimension) row explosion. ANN path: random-hyperplane LSH
+  * buckets → hamming-probe candidates → exact rerank, O(N·d + collisions)
+  * instead of O(N²·d).
   */
 object VectorOps {
 
-  private def dsum12(c: Column): Column =
-    sum(c.cast(DecimalType(38, 12))).cast("double")
+  private val Scale = 1e12
 
-  /** (vec_id, label, i, x) positional explode; x widened to double. */
-  def unnested(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-      posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("x", col("x").cast("double"))
+  /** Fixed-point dot product of two float arrays, as a long (×1e12). */
+  def fixedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double") * Scale).cast("long")),
+      lit(0L), (acc, v) => acc + v)
 
-  /** Per-vector L2 norms (decimal-exact sum of squares). */
-  def norms(v: DataFrame): DataFrame =
-    v.groupBy("vec_id").agg(sqrt(dsum12(col("x") * col("x"))).as("nrm"))
+  /** L2 norm from the fixed-point self-dot. */
+  def norm(e: Column): Column =
+    sqrt(fixedDot(e, e).cast("double") / Scale)
 
-  /** Exact cosine of every vector vs the `queryId` vector, top-k.
-    * Brute force — the correctness baseline. */
+  private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    round((fixedDot(ea, eb).cast("double") / Scale) / (na * nb), 6)
+
+  /** Exact cosine of every vector vs the `queryId` vector, top-k. The query
+    * vector is a 1-row broadcast; one scan, no shuffle before the top-k. */
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val v = unnested(emb)
-    val q = v.filter(col("vec_id") === queryId)
-      .select(col("i"), col("x").as("qx"))
-    val dots = v.join(q, "i")
-      .groupBy("vec_id")
-      .agg(dsum12(col("x") * col("qx")).as("dot"))
-    val n = norms(v)
-    val qn = n.filter(col("vec_id") === queryId).select(col("nrm").as("qnrm"))
-    dots.join(n, "vec_id").crossJoin(broadcast(qn))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qemb"))
+    emb.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(col("dot") / (col("nrm") * col("qnrm")), 6).as("cosine"))
+        cosine(col("embedding"), col("qemb"),
+          norm(col("embedding")), norm(col("qemb"))).as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
   }
 
   /** All same-label pairs with cosine ≥ threshold (embedding near-dup).
-    * The label acts as the blocking key — at scale, replace with LSH
-    * buckets ([[lshBuckets]]) to bound pair growth. */
+    * The label is the blocking key — at scale, substitute LSH buckets
+    * ([[lshBuckets]]) to bound pair growth. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val v = unnested(emb)
-    val a = v.as("a"); val b = v.as("b")
-    val dots = a.join(b,
-        col("a.i") === col("b.i") && col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-      .agg(dsum12(col("a.x") * col("b.x")).as("dot"))
-    val n = norms(v)
-    dots
-      .join(n.select(col("vec_id").as("v1"), col("nrm").as("n1")), "v1")
-      .join(n.select(col("vec_id").as("v2"), col("nrm").as("n2")), "v2")
+    val withNorm = emb.select(col("vec_id"), col("label"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("ea"), col("nrm").as("n1"))
+    val b = withNorm.select(col("label"), col("vec_id").as("v2"),
+      col("embedding").as("eb"), col("nrm").as("n2"))
+    a.join(b, "label")
+      .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+        cosine(col("ea"), col("eb"), col("n1"), col("n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("v1", "v2")
   }
@@ -83,20 +81,24 @@ object VectorOps {
     (conv(substring(md5(concat(lit(s"$p|"), i.cast("string"))), 1, 6), 16, 10)
       .cast("double") / lit(0xffffff.toDouble)) * 2.0 - 1.0
 
-  /** b-bit sign bucket per vector under [[LshPlanes]] random hyperplanes. */
+  /** b-bit sign bucket per vector under [[LshPlanes]] random hyperplanes —
+    * computed inline over the array (projection = aggregate over the dim
+    * sequence), no explode, no shuffle. */
   def lshBuckets(emb: DataFrame, planes: Int = LshPlanes): DataFrame = {
-    val v = unnested(emb)
-    val projAggs = (0 until planes).map(p =>
-      sum(col("x") * planeComponent(p, col("i"))).as(s"proj$p"))
-    val bits = (0 until planes).map(p => when(col(s"proj$p") >= 0, "1").otherwise("0"))
-    v.groupBy("vec_id").agg(projAggs.head, projAggs.tail: _*)
-      .select(col("vec_id"), concat(bits: _*).as("bucket"))
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, "1").otherwise("0")
+    }
+    emb.select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
-  /** ANN top-k: restrict candidates to vectors whose LSH bucket is within
-    * `maxHamming` bits of the query's bucket, then rerank exactly. With
-    * maxHamming = 0 this is a pure bucket-equality join (the 100 TB path);
-    * small positive values trade cost for recall. */
+  /** ANN top-k: candidates are vectors whose LSH bucket is within
+    * `maxHamming` bits of the query's, reranked exactly. maxHamming = 0 is
+    * a pure bucket-equality join (the 100 TB path); small positive values
+    * trade cost for recall. */
   def annTopK(emb: DataFrame, queryId: Long, k: Int,
               maxHamming: Int = 3): DataFrame = {
     val buckets = lshBuckets(emb)

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.etl.{Ingest, TokenTransferDecoder}
+
+/** Structured Streaming slice (SURVEY.md §2.9): the reference's ingestion is
+  * a 2-second poll loop feeding micro-batches
+  * (/root/reference/src/ingestion/kafka_producer.py:129-148) — exactly
+  * Structured Streaming's model. The same decode transforms run verbatim on
+  * a streaming frame; this module adds the event-time machinery the
+  * reference lacks (watermarks, tumbling windows, keyed state).
+  *
+  * Source-agnostic: callers pass any streaming DataFrame of envelope-JSON
+  * strings (Kafka `value`, file source, MemoryStream in tests) — swap in
+  * `readStream.format("kafka")` without touching the transforms.
+  */
+object StreamingEtl {
+
+  /** Decode a streaming Dataset of raw envelope JSON into token transfers —
+    * identical transform as batch ([[TokenTransferDecoder.decode]]). */
+  def decodeTransfers(raw: Dataset[String]): DataFrame =
+    TokenTransferDecoder.decode(Ingest.parseRaw(raw))
+
+  /** Incremental hourly transfer volume — the streaming twin of the
+    * canonical TRANSFER_VOLUME query (A2/A6): 1-hour tumbling window with a
+    * 10-minute watermark. COUNT(DISTINCT) is not incrementally computable
+    * with bounded state, so unique senders/receivers use
+    * approx_count_distinct (documented deviation from the batch twin). */
+  def hourlyTransferVolume(transfers: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame =
+    transfers
+      .withWatermark("block_timestamp", watermark)
+      .groupBy(
+        window(col("block_timestamp"), "1 hour").as("hour_window"),
+        col("standard"))
+      .agg(
+        count(lit(1)).as("transfer_count"),
+        sum(col("amount") / 1e18).as("volume_normalized"),
+        approx_count_distinct(col("from")).as("unique_senders"),
+        approx_count_distinct(col("to")).as("unique_receivers"))
+      .select(col("hour_window.start").as("hour_bucket"), col("standard"),
+        col("transfer_count"), col("volume_normalized"),
+        col("unique_senders"), col("unique_receivers"))
+
+  /** Running per-contract totals via keyed state (mapGroupsWithState):
+    * bounded state per contract, update-mode output — the pattern for
+    * stateful enrichments the tumbling window can't express. */
+  case class ContractState(transfers: Long, volume: Double)
+  case class ContractUpdate(contract: String, transfers: Long, volume: Double)
+
+  def runningContractTotals(transfers: DataFrame): Dataset[ContractUpdate] = {
+    val spark = transfers.sparkSession
+    import spark.implicits._
+    transfers.select(col("contract"), col("amount")).as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ContractState, ContractUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (contract, rows, state: GroupState[ContractState]) =>
+          val prev = state.getOption.getOrElse(ContractState(0L, 0.0))
+          var n = prev.transfers; var v = prev.volume
+          rows.foreach { case (_, amt) => n += 1; v += amt / 1e18 }
+          val next = ContractState(n, v)
+          state.update(next)
+          ContractUpdate(contract, next.transfers, next.volume)
+      }
+  }
+}
