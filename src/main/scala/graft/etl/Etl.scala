@@ -29,9 +29,9 @@ object Ingest {
   * the whole decode stays inside whole-stage codegen and scales linearly.
   *
   * Semantics notes vs the reference:
-  *  - addresses are normalized to lowercase; the reference EIP-55
-  *    checksum-cases them (etl_pipeline.py:81-82), which only changes letter
-  *    case (SURVEY.md §2.2 P3).
+  *  - addresses are EIP-55 checksum-cased exactly like the reference's
+  *    `Web3.to_checksum_address` (etl_pipeline.py:81-82), via the pure-JVM
+  *    keccak in [[graft.functions.Keccak256]].
   *  - `amount` is float64 exactly like the reference's cast
   *    (etl_pipeline.py:129); `amount_raw` additionally keeps the exact value.
   */
@@ -39,9 +39,11 @@ object TokenTransferDecoder {
 
   def decode(envelopes: DataFrame): DataFrame = {
     GraftFunctions.register(envelopes.sparkSession)
+    graft.functions.KeccakFunctions.register(envelopes.sparkSession)
     val hex = GraftFunctions.hexToDecimal _
     val topics = col("payload.topics")
-    val addr = (t: Column) => concat(lit("0x"), lower(substring(t, -40, 40)))
+    val addr = (t: Column) => graft.functions.KeccakFunctions.checksumAddress(
+      concat(lit("0x"), lower(substring(t, -40, 40))))
 
     envelopes
       .filter(col("event_type").isin("token_transfer", "log"))

@@ -78,11 +78,14 @@ class TokenTransferDecoderSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
-  test("addresses sliced from topics") {
+  test("addresses sliced from topics and EIP-55 checksum-cased") {
     val df = decode(Seq(Fixtures.transferMessage()))
     val row = df.select("from", "to").collect()(0)
-    assert(row.getString(0) == "0x" + "a" * 40)
-    assert(row.getString(1) == "0x" + "b" * 40)
+    assert(row.getString(0) ==
+      graft.functions.Keccak256.toChecksumAddress("0x" + "a" * 40))
+    assert(row.getString(1) ==
+      graft.functions.Keccak256.toChecksumAddress("0x" + "b" * 40))
+    assert(row.getString(0).toLowerCase == "0x" + "a" * 40)
   }
 }
 

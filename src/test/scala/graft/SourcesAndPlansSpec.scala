@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.etl.{Fixtures, Ingest, TokenTransferDecoder}
+import graft.queries.{Relational, Tables}
+
+/** Source/sink round-trips beyond parquet (S2/S3/S5): the envelope JSON
+  * wire format through json-lines files, and csv for flat exports. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("envelope JSON round-trips through a json-lines source") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val msgs = Fixtures.syntheticTransferMessages(50)
+    msgs.toDF("value").write.mode("overwrite").text(dir)
+    val fromFile = Ingest.parseRaw(spark.read.text(dir).as[String])
+    val direct = Ingest.parseRaw(spark, msgs)
+    assert(fromFile.count() == 50)
+    assert(TokenTransferDecoder.decode(fromFile).count() ==
+      TokenTransferDecoder.decode(direct).count())
+  }
+
+  test("decoded transfers round-trip through parquet and csv sinks") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val transfers = TokenTransferDecoder.decode(
+      Ingest.parseRaw(spark, Fixtures.syntheticTransferMessages(50)))
+      .drop("amount_raw") // csv has no decimal-38 fidelity; flat cols only
+    transfers.write.mode("overwrite").parquet(s"$out/p")
+    transfers.write.mode("overwrite").option("header", "true").csv(s"$out/c")
+    assert(spark.read.parquet(s"$out/p").count() == transfers.count())
+    val csv = spark.read.option("header", "true").csv(s"$out/c")
+    assert(csv.count() == transfers.count())
+    assert(csv.columns.toSet == transfers.columns.toSet)
+  }
+}
+
+/** Plan-shape assertions (SURVEY.md §4.2): the physical plans must show the
+  * optimizations the 100 TB posture depends on — filter/column pushdown to
+  * the parquet scan, broadcast joins for dims, partial aggregation, and
+  * whole-stage codegen over the hot expressions. */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Relational.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("scan-prune pushes the shipdate filter and prunes columns") {
+    val p = plan("q_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"), p)
+  }
+
+  test("star join broadcasts the small dimensions") {
+    val p = plan("q_join_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("grouped agg is partial+final hash aggregate inside codegen") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // codegen spans only materialize in the final adaptive plan — execute
+    // first, then look for the `*(n)` whole-stage markers
+    val df = Relational.queries("q_agg_pricing")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("*("), finalPlan)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_parts")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi and anti joins stay joins (no subquery materialization)") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+}
