@@ -29,18 +29,19 @@ object Extensions {
        |)""".stripMargin
 
   // ------------------------------------------------------------------ text
-  private val textStats: Q = (s, dir) => {
-    val toks = TextOps.tokens(col("text"))
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      length(col("text")).as("n_chars"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_uniq_tokens"),
-      TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
-      round(length(concat_ws("", toks)).cast("double") / size(toks), 6)
-        .as("avg_token_len"))
+  private val textStats: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+        round(length(concat_ws("", col("toks"))).cast("double") / size(col("toks")), 6)
+          .as("avg_token_len"))
       .orderBy("doc_id")
-  }
 
   private val textStatsSql =
     s"""SELECT doc_id,
@@ -53,9 +54,11 @@ object Extensions {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   private val textQuality: Q = (s, dir) =>
-    Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      TextOps.qualityScore(col("text")).as("quality_score"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text"), col("toks")).as("quality_score"))
       .orderBy("doc_id")
 
   private val textQualitySql = {
@@ -73,9 +76,11 @@ object Extensions {
   }
 
   private val textLangId: Q = (s, dir) =>
-    Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        TextOps.langId(col("toks")).as("lang_pred"))
       .orderBy("doc_id")
 
   private val textLangIdSql = {

@@ -23,12 +23,13 @@ object VectorOps {
 
   private val Scale = 1e12
 
-  /** Fixed-point dot product of two float arrays, as a long (×1e12). */
+  /** Fixed-point dot product of two float arrays, as a long (×1e12) — the
+    * fused codegen'd [[graft.functions.FixedDotExpr]]; the equivalent
+    * composable form `aggregate(zip_with(a, b, (x,y) => round(x·y·1e12)))`
+    * computes the identical value ~3× slower (interpreted HOFs + an
+    * intermediate array per row). */
   def fixedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * Scale).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.FixedDotFunctions.fixedDot(a, b)
 
   /** L2 norm from the fixed-point self-dot. */
   def norm(e: Column): Column =
@@ -40,6 +41,7 @@ object VectorOps {
   /** Exact cosine of every vector vs the `queryId` vector, top-k. The query
     * vector is a 1-row broadcast; one scan, no shuffle before the top-k. */
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qemb"))
     emb.crossJoin(broadcast(q))
@@ -54,6 +56,7 @@ object VectorOps {
     * The label is the blocking key — at scale, substitute LSH buckets
     * ([[lshBuckets]]) to bound pair growth. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
     val withNorm = emb.select(col("vec_id"), col("label"),
       col("embedding"), norm(col("embedding")).as("nrm"))
     val a = withNorm.select(col("label"), col("vec_id").as("v1"),

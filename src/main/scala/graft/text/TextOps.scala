@@ -25,7 +25,10 @@ object TextOps {
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
 
   /** Distinct n-gram word shingles (default 3). Guarded for short docs.
-    * DuckDB twin:
+    * PERFORMANCE: pass a *materialized* token column (`.as("toks")` in a
+    * prior projection), never `tokens(text)` inline — Catalyst doesn't CSE
+    * inside HOF lambdas, so an inline token expression is re-evaluated per
+    * element access. DuckDB twin:
     * `list_distinct(list_transform(range(1, len(l)-1), i -> l[i]||' '||l[i+1]||' '||l[i+2]))`. */
   def shingles(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
@@ -60,9 +63,9 @@ object TextOps {
 
   /** Composite quality score in [0,1]:
     * 0.4·min(1, chars/500) + 0.3·type-token-ratio + 0.3·min(1, 10·stop-ratio).
-    * All terms from integer counts → engine-exact; rounded to 6dp. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+    * All terms from integer counts → engine-exact; rounded to 6dp.
+    * `toks` should be a materialized token column (see [[shingles]]). */
+  def qualityScore(text: Column, toks: Column): Column = {
     val n = size(toks).cast("double")
     val lengthScore = least(lit(1.0), length(text).cast("double") / 500.0)
     val ttr = size(array_distinct(toks)).cast("double") / n

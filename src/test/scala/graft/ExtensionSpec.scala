@@ -112,7 +112,9 @@ class TextOpsSpec extends SparkSpec {
 
   test("quality score bounded in [0,1]") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val bad = docs.select(TextOps.qualityScore(col("text")).as("q"))
+    val bad = docs
+      .select(col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select(TextOps.qualityScore(col("text"), col("toks")).as("q"))
       .filter(col("q") < 0 || col("q") > 1).count()
     assert(bad == 0)
   }
