@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** 100 TB-posture techniques demonstrated and plan-asserted at test scale:
+  * bucketed co-located joins (no shuffle on the fact side), date-partitioned
+  * layouts with partition pruning, and skew salting. These are the knobs the
+  * engine's operators assume at cluster scale. */
+class ScaleSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without an exchange on the join key") {
+    // default warehouse dir (spark-warehouse/, gitignored) — the conf is
+    // static and cannot be set per-test; also remove orphaned dirs a prior
+    // JVM's in-memory catalog left behind
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("li_b", "o_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    Tables.lineitem(spark, dir).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables.orders(spark, dir).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    // disable broadcast so the co-location is what saves the shuffle
+    val joined = spark.table("li_b").hint("merge")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // neither side of the sort-merge join may re-shuffle on the key
+    val exchanges = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findAllIn(plan).size
+    assert(exchanges == 0, plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("date-partitioned writes prune partitions under a date filter") {
+    val out = Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(out)
+    val read = spark.read.parquet(out)
+      .filter(col("event_date") === lit("2024-01-05").cast("date"))
+    read.collect()
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan)
+    // only one of the ~30 daily partitions is read
+    val scanned = read.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles").map(_.value)
+    assert(scanned.exists(_ <= 2), s"numFiles=$scanned")
+  }
+
+  test("salting spreads a skewed key across subkeys and recombines exactly") {
+    import spark.implicits._
+    // heavily skewed: 90% of rows share key 0
+    val skewed = (0 until 10000).map(i =>
+      (if (i % 10 == 0) i.toLong % 100 else 0L, i.toDouble)).toDF("k", "v")
+    val salts = 16
+    val salted = skewed
+      .withColumn("salt", pmod(hash(col("v")), lit(salts)))
+      .groupBy("k", "salt")
+      .agg(sum(col("v").cast("decimal(38,6)")).as("partial"),
+        count(lit(1)).as("n"))
+      .groupBy("k")
+      .agg(sum(col("partial")).cast("double").as("total"), sum(col("n")).as("n"))
+    val direct = skewed.groupBy("k")
+      .agg(sum(col("v").cast("decimal(38,6)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+    val a = salted.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val b = direct.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq) // two-level agg == direct agg, exactly
+    // the salted first level actually split the hot key
+    val hotPartials = skewed.withColumn("salt", pmod(hash(col("v")), lit(salts)))
+      .filter(col("k") === 0L).select("salt").distinct().count()
+    assert(hotPartials > 1)
+  }
+}
