@@ -81,10 +81,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Shingles restricted to document frequency ≤ maxDf. At scale this is
+    * THE lever for exact-Jaccard passes: ubiquitous shingles contribute
+    * quadratically to the equi-join but almost nothing to discrimination —
+    * dropping them bounds join fan-out by maxDf per shingle while near-dup
+    * pairs (whose shared shingles are rare by definition) keep their
+    * overlap. */
+  def rareShingled(docs: DataFrame, maxDf: Int, n: Int = 3): DataFrame = {
+    val sh = shingled(docs, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    sh.join(rare, Seq("shingle"), "left_semi")
+  }
+
   /** Exact n-gram Jaccard over all colliding pairs (shingle equi-join).
     * `threshold` keeps only near-dups. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled(docs)
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardOverShingles(shingled(docs), threshold)
+
+  /** Jaccard over the DF-filtered shingle set — the 100 TB exact pass. */
+  def jaccardPairsRare(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame =
+    jaccardOverShingles(rareShingled(docs, maxDf), threshold)
+
+  private def jaccardOverShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle") &&

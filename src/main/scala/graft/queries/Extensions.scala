@@ -185,6 +185,31 @@ object Extensions {
        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
 
+  val JaccardMaxDf = 10
+
+  /** DF-filtered exact Jaccard — the scale-path exact pass (ubiquitous
+    * shingles dropped before the equi-join). */
+  private val dedupJaccardRare: Q = (s, dir) =>
+    Dedup.jaccardPairsRare(Tables.documents(s, dir), JaccardThreshold, JaccardMaxDf)
+
+  private val dedupJaccardRareSql =
+    s"""WITH $shinglesCte, rare AS (
+       |  SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= $JaccardMaxDf
+       |), shr AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, common,
+       |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+       |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+
   private val dedupSimhash: Q = (s, dir) =>
     Dedup.simhash(Tables.documents(s, dir))
 
@@ -269,6 +294,11 @@ object Extensions {
   private val simAnnTopK: Q = (s, dir) =>
     VectorOps.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
+  /** IVF-bucketed ANN — the other scale path (coarse quantizer + nprobe);
+    * rows-only, overlap asserted in ExtensionSpec. */
+  private val simIvfTopK: Q = (s, dir) =>
+    VectorOps.ivfTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
   // ------------------------------------------------------------ multimodal
   /** Binary-column pipeline with stubbed codec — rows-only check. */
   private val mmFeatures: Q = (s, dir) =>
@@ -286,11 +316,13 @@ object Extensions {
     "dedup_minhash_sigs"  -> dedupMinhash,
     "dedup_lsh_pairs"     -> dedupLshPairs,
     "dedup_jaccard"       -> dedupJaccard,
+    "dedup_jaccard_rare"  -> dedupJaccardRare,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_near_dup"      -> dedupNearDup,
     "emb_cosine_pairs"    -> embCosinePairs,
     "sim_cosine_topk"     -> simTopK,
     "sim_ann_topk"        -> simAnnTopK,
+    "sim_ivf_topk"        -> simIvfTopK,
     "mm_features"         -> mmFeatures,
   )
 
@@ -303,6 +335,7 @@ object Extensions {
     "dedup_minhash_sigs"  -> dedupMinhashSql,
     "dedup_lsh_pairs"     -> dedupLshPairsSql,
     "dedup_jaccard"       -> dedupJaccardSql,
+    "dedup_jaccard_rare"  -> dedupJaccardRareSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "sim_cosine_topk"     -> simTopKSql,

@@ -98,6 +98,50 @@ object VectorOps {
     emb.select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
+  // ------------------------------------------------------------------ IVF
+  /** IVF coarse quantizer: the first `k` vec_ids serve as deterministic
+    * seed centroids (at scale: a k-means refinement over a sample — the
+    * assignment machinery is identical). Centroids are broadcast; every
+    * vector is assigned to its max-cosine cell in one scan. */
+  def ivfAssign(emb: DataFrame, nCells: Int): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    val centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cemb"),
+        norm(col("embedding")).as("cnrm"))
+    val scored = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("cemb"), norm(col("embedding")),
+          col("cnrm")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cos"), col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` cells whose centroids are closest to
+    * the query, rerank exactly inside them. Candidate cost ≈ nprobe/nCells
+    * of the corpus instead of all of it. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCells: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    val assign = ivfAssign(emb, nCells)
+    val qemb = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val centroids = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cemb"),
+        norm(col("embedding")).as("cnrm"))
+    val probeCells = centroids.crossJoin(broadcast(qemb))
+      .select(col("cell"),
+        cosine(col("cemb"), col("qe"), col("cnrm"), norm(col("qe"))).as("cos"))
+      .orderBy(desc("cos"), col("cell")).limit(nprobe)
+      .select("cell")
+    val candidates = assign.join(broadcast(probeCells), "cell").select("vec_id")
+      // the query itself must stay a candidate even if its cell isn't probed
+      .union(emb.filter(col("vec_id") === queryId).select("vec_id"))
+      .distinct()
+    cosineTopK(emb.join(candidates, Seq("vec_id"), "left_semi"), queryId, k)
+  }
+
   /** ANN top-k: candidates are vectors whose LSH bucket is within
     * `maxHamming` bits of the query's, reranked exactly. maxHamming = 0 is
     * a pure bucket-equality join (the 100 TB path); small positive values

@@ -44,6 +44,13 @@ object StreamingEtl {
         col("transfer_count"), col("volume_normalized"),
         col("unique_senders"), col("unique_receivers"))
 
+  /** Streaming exact dedup: state-backed dropDuplicates on the content
+    * hash — only the 16-byte digest is held in state, never the document.
+    * In production add `withWatermark` + `dropDuplicatesWithinWatermark`
+    * to bound state; unbounded here mirrors a global exact pass. */
+  def dedupedByContent(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("h", md5(col(textCol))).dropDuplicates("h").drop("h")
+
   /** Running per-contract totals via keyed state (mapGroupsWithState):
     * bounded state per contract, update-mode output — the pattern for
     * stateful enrichments the tumbling window can't express. */

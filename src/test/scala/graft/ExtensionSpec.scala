@@ -36,6 +36,15 @@ class DedupSpec extends SparkSpec {
     assert(exhaustive.nonEmpty)
   }
 
+  test("DF-filtered jaccard finds the same near-dup pairs as the full pass") {
+    val full = Dedup.jaccardPairs(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rare = Dedup.jaccardPairsRare(docs, 0.5, maxDf = 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty && rare == full,
+      s"missing=${full -- rare} extra=${rare -- full}")
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val pairs = Dedup.jaccardPairs(docs, 0.5).select("d1", "d2").collect()
     assume(pairs.nonEmpty)
@@ -74,6 +83,16 @@ class SimilaritySpec extends SparkSpec {
     // efficiency claim: the bucket probe must prune a majority of vectors
     val candidates = VectorOps.lshBuckets(emb).count()
     assert(candidates == emb.count()) // sanity: one bucket per vector
+  }
+
+  test("IVF topk: every vector assigned to one cell; probe overlaps exact") {
+    val assign = VectorOps.ivfAssign(emb, nCells = 16)
+    assert(assign.count() == emb.count())
+    val exact = VectorOps.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = VectorOps.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L))
+    info(s"ivf overlap=${(exact & ivf).size}/10")
+    assert((exact & ivf).size >= 3, s"overlap=${(exact & ivf).size}")
   }
 
   test("lsh buckets are deterministic across invocations") {

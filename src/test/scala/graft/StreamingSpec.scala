@@ -42,6 +42,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeated content across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDS().toDF("doc_id", "text")
+    val out = StreamingEtl.dedupedByContent(docs)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      stream.addData((4L, "alpha"), (5L, "gamma")) // alpha seen in batch 1
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text")
+        .collect().map(_.getString(0)).toSeq
+      assert(texts.sorted == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
