@@ -114,8 +114,10 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
+      // raw double ratio of exact integers — bit-identical across engines;
+      // ROUND would *introduce* divergence at exact .5·10⁻ⁿ boundaries
       .withColumn("jaccard",
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "common", "jaccard")
       .orderBy("d1", "d2")

@@ -39,7 +39,7 @@ object Extensions {
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_uniq_tokens"),
         TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
-        round(length(concat_ws("", col("toks"))).cast("double") / size(col("toks")), 6)
+        (length(concat_ws("", col("toks"))).cast("double") / size(col("toks")))
           .as("avg_token_len"))
       .orderBy("doc_id")
 
@@ -49,8 +49,8 @@ object Extensions {
        |  len($toksSql) AS n_tokens,
        |  len(list_distinct($toksSql)) AS n_uniq_tokens,
        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
-       |  ROUND(CAST(length(array_to_string($toksSql, '')) AS DOUBLE)
-       |    / len($toksSql), 6) AS avg_token_len
+       |  CAST(length(array_to_string($toksSql, '')) AS DOUBLE)
+       |    / len($toksSql) AS avg_token_len
        |FROM documents ORDER BY doc_id""".stripMargin
 
   private val textQuality: Q = (s, dir) =>
@@ -65,13 +65,12 @@ object Extensions {
     val allStops = TextOps.LangStopwords.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id, lang,
-       |  ROUND(
-       |    0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       |  0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
        |  + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE)
        |           / CAST(len($toksSql) AS DOUBLE))
        |  + 0.3 * LEAST(1.0, CAST(len(list_filter($toksSql,
        |      x -> list_contains([$allStops], x))) AS DOUBLE)
-       |           / CAST(len($toksSql) AS DOUBLE) * 10.0), 6) AS quality_score
+       |           / CAST(len($toksSql) AS DOUBLE) * 10.0) AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -180,7 +179,7 @@ object Extensions {
        |  GROUP BY 1, 2
        |)
        |SELECT d1, d2, common,
-       |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+       |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
        |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
@@ -205,7 +204,7 @@ object Extensions {
        |  GROUP BY 1, 2
        |)
        |SELECT d1, d2, common,
-       |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+       |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
        |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
@@ -261,9 +260,9 @@ object Extensions {
        |  FROM v GROUP BY 1
        |)
        |SELECT v1, v2,
-       |  ROUND((CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) AS cosine
+       |  (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) AS cosine
        |FROM dots JOIN nrm na ON v1 = na.vec_id JOIN nrm nb ON v2 = nb.vec_id
-       |WHERE ROUND((CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm), 6) >= $CosineThreshold
+       |WHERE (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) >= $CosineThreshold
        |ORDER BY v1, v2""".stripMargin
 
   private val simTopK: Q = (s, dir) =>
@@ -285,7 +284,7 @@ object Extensions {
       |  FROM v GROUP BY 1
       |), qn AS (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0)
       |SELECT dots.vec_id,
-      |  ROUND((CAST(dot AS DOUBLE) / 1e12) / (nrm.nrm * qn.qnrm), 6) AS cosine
+      |  (CAST(dot AS DOUBLE) / 1e12) / (nrm.nrm * qn.qnrm) AS cosine
       |FROM dots JOIN nrm ON dots.vec_id = nrm.vec_id, qn
       |ORDER BY cosine DESC, dots.vec_id LIMIT 10""".stripMargin
 

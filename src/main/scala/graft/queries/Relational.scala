@@ -178,7 +178,11 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("s"),
-        dsum(col("value") * col("value"), 10).as("ss"))
+        // scale 4: value is 2-dp data so value² is exact at 4dp, and the
+        // decimal's unscaled value stays < 2^53 at any realistic SF — at
+        // scale 10 the sf0.1 sums exceeded 2^53 and DuckDB's two-step
+        // decimal→double cast drifted 1 ulp from Java's correctly-rounded one
+        dsum(col("value") * col("value"), 4).as("ss"))
       .filter(col("n_events") > 5)
       .select(col("event_type"),
         (col("s") / col("n_events")).as("avg_value"),
@@ -190,7 +194,7 @@ object Relational {
     """WITH g AS (
       |  SELECT event_type, COUNT(*) AS n_events,
       |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
-      |    CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS ss
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS ss
       |  FROM events GROUP BY event_type HAVING COUNT(*) > 5
       |)
       |SELECT event_type, s / n_events AS avg_value,

@@ -35,8 +35,12 @@ object VectorOps {
   def norm(e: Column): Column =
     sqrt(fixedDot(e, e).cast("double") / Scale)
 
+  // raw double chain — long-dot ÷ 1e12 ÷ (sqrt·sqrt product) is the same
+  // IEEE op sequence in both engines (sqrt is correctly rounded by IEEE
+  // 754), so the value is bit-identical without rounding; ROUND itself
+  // diverges between engines at exact .5·10⁻ⁿ boundaries
   private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
-    round((fixedDot(ea, eb).cast("double") / Scale) / (na * nb), 6)
+    (fixedDot(ea, eb).cast("double") / Scale) / (na * nb)
 
   /** Exact cosine of every vector vs the `queryId` vector, top-k. The query
     * vector is a 1-row broadcast; one scan, no shuffle before the top-k. */

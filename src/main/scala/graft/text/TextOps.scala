@@ -63,7 +63,11 @@ object TextOps {
 
   /** Composite quality score in [0,1]:
     * 0.4·min(1, chars/500) + 0.3·type-token-ratio + 0.3·min(1, 10·stop-ratio).
-    * All terms from integer counts → engine-exact; rounded to 6dp.
+    * All terms from integer counts → engine-exact, so the raw double is
+    * bit-identical across engines and needs NO rounding (ROUND at a fixed
+    * scale is itself an engine-divergence risk: exact .5·10⁻ⁿ boundaries
+    * round differently between Spark's BigDecimal HALF_UP and DuckDB —
+    * observed once in 5000 docs at sf0.1).
     * `toks` should be a materialized token column (see [[shingles]]). */
   def qualityScore(text: Column, toks: Column): Column = {
     val n = size(toks).cast("double")
@@ -71,8 +75,8 @@ object TextOps {
     val ttr = size(array_distinct(toks)).cast("double") / n
     val stopRatio = stopwordCount(toks, LangStopwords.flatMap(_._2).distinct)
       .cast("double") / n
-    round(lit(0.4) * lengthScore + lit(0.3) * ttr +
-      lit(0.3) * least(lit(1.0), stopRatio * 10.0), 6)
+    lit(0.4) * lengthScore + lit(0.3) * ttr +
+      lit(0.3) * least(lit(1.0), stopRatio * 10.0)
   }
 
   /** Whole-document fingerprint: md5 of the token-normalized text (lowercase,
