@@ -104,7 +104,11 @@ object Dedup {
   def jaccardPairsRare(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame =
     jaccardOverShingles(rareShingled(docs, maxDf), threshold)
 
-  private def jaccardOverShingles(sh: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardOverShingles(shRaw: DataFrame, threshold: Double): DataFrame = {
+    // the shingle frame feeds three plan branches (sizes + both sides of
+    // the self-join); materialize it once so the tokenize→shingle(→df
+    // filter) DAG isn't re-executed per branch
+    val sh = shRaw.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle") &&
