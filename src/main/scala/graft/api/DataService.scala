@@ -52,17 +52,34 @@ class DataService(spark: SparkSession) {
 
     val df = returns.zipWithIndex.map { case (r, i) => (i.toLong, r) }.toDF("idx", "r")
     val model = new HistoricalVaR(df, "r", positionSize)
-    // rolling series: same Window spec as the reference's per-i loop (W5),
-    // min_periods = full window (the loop starts only at i = window)
+    // rolling series: same Window spec as the reference's per-i loop (W5) —
+    // returns[i-30:i], 30 rows ending at i-1. The tail mean must condition
+    // every window row on the CURRENT row's window quantile q_i, not each
+    // row's own rolling q_j, so the window is collected per row and both
+    // q_i and the tail mean are computed over that one array (a window
+    // aggregate's argument would re-evaluate per frame row — wrong frame).
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy("idx").rowsBetween(-30, -1) // returns[i-30:i] — 30 rows ending at i-1
+      .orderBy("idx").rowsBetween(-30, -1)
+    val arr = col("arr")
+    val wlen = size(arr)
+    val hPos = (wlen - 1).cast("double") * lit(0.05) // numpy linear interpolation
+    val lo = floor(col("h")).cast("int")
+    val qExpr = element_at(arr, lo + 1) +
+      (col("h") - lo.cast("double")) *
+        (element_at(arr, least(lo + 2, wlen)) - element_at(arr, lo + 1))
+    val tailArr = filter(arr, x => x <= col("q"))
     val rolling = df
-      .withColumn("cnt", count(col("r")).over(w))
-      .withColumn("q", percentile(col("r"), lit(0.05)).over(w))
-      .withColumn("tail", avg(when(col("r") <= col("q"), col("r"))).over(w))
+      .withColumn("arr", array_sort(collect_list(col("r")).over(w)))
+      .withColumn("h", hPos)
+      // gate on the full window before indexing: the first rows' frames are
+      // short/empty and lo+1 would hit index 0 (CaseWhen only evaluates the
+      // taken branch, so the guard is also the bounds check)
+      .withColumn("q", when(wlen >= 30, qExpr))
+      .withColumn("tail",
+        aggregate(tailArr, lit(0.0), (acc, x) => acc + x) / size(tailArr))
       .select(col("idx"),
-        when(col("cnt") >= 30, round(-col("q") * positionSize, 2)).as("var_usd"),
-        when(col("cnt") >= 30, round(-col("tail") * positionSize, 2)).as("cvar_usd"))
+        when(wlen >= 30, round(-col("q") * positionSize, 2)).as("var_usd"),
+        when(wlen >= 30, round(-col("tail") * positionSize, 2)).as("cvar_usd"))
       .orderBy("idx").collect()
 
     val points = rolling.map { row =>
@@ -143,13 +160,15 @@ class DataService(spark: SparkSession) {
       .select(col("hour"), col("cnt"))
     val points = spine
       .join(erc20, Seq("hour"), "left").join(erc721, Seq("hour"), "left")
-      .select(col("hour"),
+      .select(
+        // label formatted engine-side in the session timezone — a JVM-side
+        // SimpleDateFormat would silently render in the host's default TZ
+        date_format(col("hour"), "HH:mm").as("label"),
+        col("hour"),
         round(coalesce(col("volume"), lit(0.0)) / 1e18, 2).as("vol"),
         coalesce(col("cnt"), lit(0L)).as("n721"))
       .orderBy("hour").collect()
-      .map(r => TransferPoint(
-        new java.text.SimpleDateFormat("HH:mm").format(r.getTimestamp(0)),
-        r.getDouble(1), r.getLong(2))).toSeq
+      .map(r => TransferPoint(r.getString(0), r.getDouble(2), r.getLong(3))).toSeq
 
     val summaryRow = df.agg(
       count(lit(1)).as("total"),

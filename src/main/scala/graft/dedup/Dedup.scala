@@ -106,9 +106,12 @@ object Dedup {
 
   private def jaccardOverShingles(shRaw: DataFrame, threshold: Double): DataFrame = {
     // the shingle frame feeds three plan branches (sizes + both sides of
-    // the self-join); materialize it once so the tokenize→shingle(→df
-    // filter) DAG isn't re-executed per branch
-    val sh = shRaw.localCheckpoint(true)
+    // the self-join); cache it so the tokenize→shingle(→df filter) DAG
+    // isn't re-executed per branch. persist (not localCheckpoint): blocks
+    // are evictable under memory pressure with recompute fallback, and no
+    // job runs at construction time. Session-scoped; a long-lived caller
+    // can unpersist the inputs when done.
+    val sh = shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle") &&

@@ -56,13 +56,24 @@ object TokenTransferDecoder {
         addr(element_at(topics, 3)).as("to"),
         when(size(topics) >= 4, hex(element_at(topics, 4)).cast("long"))
           .otherwise(lit(null).cast("long")).as("token_id"),
+        // empty/absent data decodes to 0 (etl_pipeline.py:97); data that is
+        // *present but not valid hex* must DROP the row like the reference's
+        // int(data, 16) → ValueError → None path, so it stays null here and
+        // is filtered below rather than coalesced to 0
         when(size(topics) >= 4, lit(java.math.BigDecimal.ONE).cast("decimal(38,0)"))
-          .otherwise(coalesce(hex(col("payload.data")), lit(0).cast("decimal(38,0)")))
+          .otherwise(when(col("payload.data").isNull ||
+              col("payload.data").isin("", "0x"), lit(0).cast("decimal(38,0)"))
+            .otherwise(hex(col("payload.data"))))
           .as("amount_raw"),
         col("block_number"),
         timestamp_seconds(col("block_timestamp")).as("block_timestamp"),
         col("payload.tx_hash").as("tx_hash"),
         col("chain_id"))
+      // decode failures (invalid amount hex, invalid ERC-721 tokenId) drop
+      // the row, mirroring the reference's except-return-None
+      // (etl_pipeline.py:106-108)
+      .filter(col("amount_raw").isNotNull &&
+        !(col("standard") === "ERC-721" && col("token_id").isNull))
       .withColumn("amount", col("amount_raw").cast("double"))
   }
 }

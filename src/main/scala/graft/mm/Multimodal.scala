@@ -88,8 +88,9 @@ object Multimodal {
           if (c == 0) acc else { val p = c.toDouble / n; acc - p * math.log(p) / math.log(2) }
         }
         val thumb = Codecs.resize(samples, 64)
+        val mean = if (n == 0) 0.0 else math.rint(s / n * 1e6) / 1e6
         MediaFeatures(m.media_id, m.kind, n,
-          math.rint(s / n * 1e6) / 1e6, math.rint(entropy * 1e6) / 1e6,
+          mean, math.rint(entropy * 1e6) / 1e6,
           hist, thumb.length)
       }
     }

@@ -30,6 +30,11 @@ object Tables {
     * and convert to a microsecond-truncated TimestampType column — DuckDB
     * keeps nanoseconds, so oracle SQL that *outputs* raw `ts` must truncate
     * with `date_trunc('microseconds', ts)` for hash parity.
+    *
+    * NOTE the conf set here is session-wide and stays set: any later parquet
+    * read of a TIMESTAMP(NANOS) column in the same session will also see
+    * longs instead of failing loudly. Acceptable for this engine's sessions
+    * (events is the only nanos table); a multi-tenant session would scope it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -16,6 +16,11 @@ class ApiSpec extends SparkSpec {
     assert(d.points.count(_.varUsd.isDefined) == 60)
     assert(d.points.take(30).forall(_.varUsd.isEmpty))
     assert(d.summary.var95 > 0 && d.summary.cvar95 >= d.summary.var95)
+    // CVaR (tail mean beyond the window quantile) dominates VaR pointwise
+    d.points.filter(_.varUsd.isDefined).foreach { p =>
+      assert(p.cvarUsd.get >= p.varUsd.get - 0.01,
+        s"${p.label}: cvar ${p.cvarUsd.get} < var ${p.varUsd.get}")
+    }
     assert(d.stress.length == 4)
     assert(d.stress.head.pnlUsd > d.stress.last.pnlUsd)
   }

@@ -73,6 +73,19 @@ class TokenTransferDecoderSpec extends SparkSpec {
     assert(df.schema("block_timestamp").dataType == TimestampType)
   }
 
+  test("empty data decodes to amount 0; corrupt hex drops the row") {
+    val empty = Fixtures.transferMessage() // data present & valid
+    val zero = empty.replace("\"0x" + (BigInt(10) * BigInt(10).pow(18)).toString(16) + "\"",
+      "\"0x\"")
+    val corrupt = empty.replace("\"0x" + (BigInt(10) * BigInt(10).pow(18)).toString(16) + "\"",
+      "\"0xzz\"")
+    val dfZero = decode(Seq(zero))
+    assert(dfZero.count() == 1)
+    assert(dfZero.select("amount").collect()(0).getDouble(0) == 0.0)
+    // reference: int("0xzz", 16) raises → decode_log returns None → dropped
+    assert(decode(Seq(corrupt)).count() == 0)
+  }
+
   test("non-transfer topics are filtered out") {
     val df = decode(Seq(Fixtures.swapMessage(amount0In = 5)))
     assert(df.count() == 0)
