@@ -42,6 +42,9 @@ def main(sf_dir, out_dir):
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols got={list(got.columns)} want={list(want.columns)}")
             n_fail += 1; continue
+        for c in got.columns:
+            if str(got[c].dtype) != str(want[c].dtype):
+                print(f"  DTYPE {name}.{c}: spark={got[c].dtype} oracle={want[c].dtype}")
         if len(got) != len(want):
             print(f"FAIL {name}: rows got={len(got)} want={len(want)}")
             n_fail += 1; continue

@@ -34,11 +34,12 @@ object Extensions {
       .select(col("doc_id"), col("text"),
         TextOps.tokens(col("text")).as("toks"))
       .select(
+        // bigint counts: DuckDB length/len are BIGINT, Spark's are INT
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_uniq_tokens"),
-        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
         (length(concat_ws("", col("toks"))).cast("double") / size(col("toks")))
           .as("avg_token_len"))
       .orderBy("doc_id")

@@ -212,10 +212,12 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_date")
 
+  // DuckDB SUM(INTEGER) yields HUGEINT (int128 → float64 in pandas) while
+  // Spark's sum(int) is LONG — pin the oracle to BIGINT for dtype parity
   private val conditionalAggSql =
     """SELECT CAST(ts AS DATE) AS event_date,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-      |  SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS n_high_value,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin
 
@@ -277,7 +279,8 @@ object Relational {
     val w = Window.partitionBy("o_custkey")
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, dir)
-      .withColumn("rn", row_number().over(w))
+      // bigint rn: DuckDB's row_number() is BIGINT, Spark's is INT
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")
