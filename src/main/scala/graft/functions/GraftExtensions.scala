@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions installer: makes graft's custom expressions
+  * (`hex_to_decimal`, `keccak256`, `checksum_address`, `fixed_dot`)
+  * available to pure-SQL users at session build time —
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. The library
+  * call sites also self-register per session, so either path works.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("hex_to_decimal"),
+      new ExpressionInfo(classOf[HexToDecimal].getName, "hex_to_decimal"),
+      exprs => HexToDecimal(exprs.head)))
+    e.injectFunction((FunctionIdentifier("keccak256"),
+      new ExpressionInfo(classOf[Keccak256Expr].getName, "keccak256"),
+      exprs => Keccak256Expr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("checksum_address"),
+      new ExpressionInfo(classOf[ChecksumAddressExpr].getName, "checksum_address"),
+      exprs => ChecksumAddressExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("fixed_dot"),
+      new ExpressionInfo(classOf[FixedDotExpr].getName, "fixed_dot"),
+      exprs => FixedDotExpr(exprs(0), exprs(1))))
+  }
+}

@@ -52,6 +52,13 @@ class KeccakSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects the custom function set") {
+    // the builder-time path can't be exercised on the shared session; the
+    // injection list itself must at least build without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+  }
+
   test("checksum_address as a column expression") {
     KeccakFunctions.register(spark)
     val got = Seq("0x5aaeb6053f3e94c9b9a09f33669435e7ef1beaed").toDF("a")
