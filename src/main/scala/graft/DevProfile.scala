@@ -39,6 +39,16 @@ object DevProfile {
         .count()
     }
     time("full jaccardPairs") { Dedup.jaccardPairs(docs, 0.5).count() }
+    time("jaccardPairs again (cached)") { Dedup.jaccardPairs(docs, 0.5).count() }
+    time("pair join only (md5 key)") {
+      val sh = Dedup.shingled(docs)
+        .select(col("doc_id"), md5(col("shingle")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("b.doc_id")).count().count()
+      sh.unpersist(); n
+    }
     spark.stop()
   }
 }

@@ -35,16 +35,24 @@ object Dedup {
   val MinhashK = 16
   val LshBands = 4 // 4 bands × 4 rows
 
-  /** Per-doc exploded distinct shingles: (doc_id, shingle).
-    *
-    * Tokens are materialized into their own projection first: Catalyst does
-    * not common-subexpression-eliminate inside higher-order-function
-    * lambdas, so building shingles directly over `filter(split(text))`
-    * re-tokenizes the document for every `element_at` — measured 20-50 s at
-    * sf0.1 vs ~2 s with the bound attribute. */
+  /** Per-doc exploded distinct shingles: (doc_id, shingle), via the fused
+    * codegen'd [[graft.functions.WordShinglesExpr]] (identical semantics to
+    * the composable TextOps.shingles form — see its scaladoc for why the
+    * HOF route was 8× slower even with materialized tokens). */
   def shingled(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), n)).as("shingle"))
+    if (n == 3) {
+      graft.functions.WordShingleFunctions.register(docs.sparkSession)
+      docs.select(col("doc_id"),
+        explode(graft.functions.WordShingleFunctions.wordShingles(col("text")))
+          .as("shingle"))
+    } else {
+      // composable fallback for non-default n (registry function is fixed
+      // at 3); tokens materialized first — Catalyst doesn't CSE inside HOF
+      // lambdas
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("toks"), n)).as("shingle"))
+    }
 
   /** MinHash signatures: h_k = min over shingles of md5("k|" + shingle). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
