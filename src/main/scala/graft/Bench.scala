@@ -28,7 +28,11 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cache hygiene between queries (outside the timed section): a query
+      // that persists intermediates must not warm or crowd the next one
+      spark.catalog.clearCache()
+      (name, dt, ok)
     }
     // a crashed query must not read as a healthy timing: report -1 for it
     // and list it under "failed"

@@ -22,33 +22,33 @@ object DevProfile {
       val t0 = System.nanoTime()
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      spark.catalog.clearCache()
     }
 
-    time("tokens only") {
-      docs.select(graft.text.TextOps.tokens(col("text")).as("t"))
-        .select(sum(size(col("t")))).collect()(0).getLong(0)
+    println("=== q_json_extract plan ===")
+    SparkEntry.queries("q_json_extract")(spark, sfDir).explain("formatted")
+
+    time("q_json_extract") {
+      SparkEntry.queries("q_json_extract")(spark, sfDir).count()
     }
-    time("shingled explode") { Dedup.shingled(docs).count() }
-    time("shingled + groupBy sizes") {
-      Dedup.shingled(docs).groupBy("doc_id").count().count()
+    time("dedup_near_dup") {
+      SparkEntry.queries("dedup_near_dup")(spark, sfDir).count()
     }
-    time("self-join count") {
-      val sh = Dedup.shingled(docs)
-      sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .count()
+    time("sim_cosine_topk") {
+      SparkEntry.queries("sim_cosine_topk")(spark, sfDir).count()
     }
-    time("full jaccardPairs") { Dedup.jaccardPairs(docs, 0.5).count() }
-    time("jaccardPairs again (cached)") { Dedup.jaccardPairs(docs, 0.5).count() }
-    time("pair join only (md5 key)") {
-      val sh = Dedup.shingled(docs)
-        .select(col("doc_id"), md5(col("shingle")).as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id"), col("b.doc_id")).count().count()
-      sh.unpersist(); n
+    time("sim_ann_topk") {
+      SparkEntry.queries("sim_ann_topk")(spark, sfDir).count()
     }
+    time("sim_ivf_topk") {
+      SparkEntry.queries("sim_ivf_topk")(spark, sfDir).count()
+    }
+    time("dedup_lsh_pairs") {
+      SparkEntry.queries("dedup_lsh_pairs")(spark, sfDir).count()
+    }
+
+    println("=== sim_ivf_topk plan ===")
+    SparkEntry.queries("sim_ivf_topk")(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

@@ -132,9 +132,12 @@ class DataService(spark: SparkSession) {
       .orderBy(desc("block_number")).limit(48).orderBy("block_number").collect()
     def band(s: Double) = if (s > 66) "high" else if (s > 33) "medium" else "low"
     val rows = scores.map { r =>
+      // band derives from the SAME rounded value the row reports — banding
+      // the raw score would let 66.01 round to 66.0 yet display "high"
+      val score = math.rint(r.getDouble(1) * 10) / 10
       MevRow(s"#${r.getLong(0)}",
-        math.rint(r.getDouble(1) * 10) / 10, math.rint(r.getDouble(2) * 10) / 10,
-        math.rint(r.getDouble(3) * 10) / 10, r.getInt(4), band(r.getDouble(1)))
+        score, math.rint(r.getDouble(2) * 10) / 10,
+        math.rint(r.getDouble(3) * 10) / 10, r.getInt(4), band(score))
     }.toSeq
     val summary = MevSummary(
       math.rint(rows.map(_.score).sum / rows.length * 10) / 10,

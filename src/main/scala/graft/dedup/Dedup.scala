@@ -54,14 +54,33 @@ object Dedup {
           explode(TextOps.shingles(col("toks"), n)).as("shingle"))
     }
 
-  /** MinHash signatures: h_k = min over shingles of md5("k|" + shingle). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** MinHash signatures from a pre-built shingle frame — lets pipelines that
+    * already materialized (or persisted) shingles reuse them instead of
+    * re-deriving the tokenize→shingle DAG. */
+  private[graft] def minhashFromShingles(sh: DataFrame): DataFrame = {
     val aggs = (0 until MinhashK).map(k =>
       min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"h$k"))
-    shingled(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band signature (band b =
+  /** MinHash signatures: h_k = min over shingles of md5("k|" + shingle). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashFromShingles(shingled(docs))
+
+  /** Per-bucket membership cap (see [[lshCandidates]]): pair generation per
+    * (band, sig) bucket is quadratic in bucket size, so one degenerate
+    * duplicate cluster (every shingle identical across millions of docs)
+    * would otherwise concentrate O(M²) work and O(M) aggregation-buffer
+    * memory in a single task. Buckets are truncated to the `maxBucket`
+    * smallest doc_ids — deterministic, and lossless whenever every real
+    * near-dup cluster is smaller than the cap. */
+  val DefaultMaxBucket = 10000
+  /** Salt fan-out for the two-phase bucket build: phase 1 groups on
+    * (band, sig, doc_id % Salts) so a degenerate bucket's collect_list is
+    * spread over [[BucketSalts]] tasks before the capped phase-2 combine. */
+  val BucketSalts = 16
+
+  /** LSH candidate pairs from a signature frame (band b =
     * md5(h_{4b}‖…‖h_{4b+3})), deduplicated, d1 < d2.
     *
     * One pass: the 4 band keys explode from a single projection of the
@@ -69,9 +88,14 @@ object Dedup {
     * per branch — measured 8× recompute, ~100 s at sf0.1), then pairs are
     * generated *within* each (band, sig) bucket from a sorted collect_list.
     * Bucket sizes are near-dup cluster sizes, so the quadratic step is
-    * bounded by the largest duplicate cluster, not the corpus. */
-  def lshCandidates(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
+    * bounded by the largest duplicate cluster — and, against degenerate
+    * clusters, hard-capped at `maxBucket` via a salted two-phase combine:
+    * phase 1 collects per (band, sig, salt) so no single task materializes
+    * the whole bucket, phase 2 merges the per-salt lists and truncates to
+    * the `maxBucket` smallest doc_ids. Results are identical to the
+    * uncapped form whenever no bucket exceeds the cap. */
+  private[graft] def lshFromSignatures(sigs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = MinhashK / LshBands
     val bandStructs = (0 until LshBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -79,8 +103,12 @@ object Dedup {
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .groupBy(col("band"), col("sig"),
+        pmod(col("doc_id"), lit(BucketSalts)).as("salt"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
       .groupBy("band", "sig")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(slice(sort_array(flatten(collect_list(col("ids")))), 1, maxBucket)
+        .as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), x =>
         transform(filter(col("ids"), y => y > x),
@@ -88,6 +116,11 @@ object Dedup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
   }
+
+  /** LSH candidate pairs over a document frame. */
+  def lshCandidates(docs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshFromSignatures(minhashSignatures(docs), maxBucket)
 
   /** Shingles restricted to document frequency ≤ maxDf. At scale this is
     * THE lever for exact-Jaccard passes: ubiquitous shingles contribute
@@ -139,13 +172,24 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pipeline: LSH candidates verified with exact
-    * Jaccard — the 100 TB path (candidates only, never all pairs). */
+    * Jaccard — the 100 TB path (candidates only, never all pairs).
+    *
+    * The shingle frame is built ONCE and persisted: it feeds the minhash→LSH
+    * candidate DAG *and* the exact-Jaccard verify (restricted to candidate
+    * docs by a semi-join on the shingle frame itself, so the verify never
+    * re-tokenizes). `cand` is persisted too — it is consumed by both union
+    * branches of the candidate-id frame, and without the cache each branch
+    * would re-execute the whole LSH DAG (the round-1 41 s plan ran the
+    * shingle explode ≥3×; this one runs it once). Callers that loop should
+    * `spark.catalog.clearCache()` between invocations. */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val cand = lshCandidates(docs)
-    jaccardPairs(docs.join(
-      cand.select(col("d1").as("doc_id"))
-        .union(cand.select(col("d2").as("doc_id"))).distinct(),
-      Seq("doc_id"), "left_semi"), threshold)
+    val sh = shingled(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshFromSignatures(minhashFromShingles(sh))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    jaccardOverShingles(sh.join(candIds, Seq("doc_id"), "left_semi"), threshold)
   }
 
   val SimhashBits = 16

@@ -54,8 +54,20 @@ object TokenTransferDecoder {
         col("payload.contract").as("contract"),
         addr(element_at(topics, 2)).as("from"),
         addr(element_at(topics, 3)).as("to"),
-        when(size(topics) >= 4, hex(element_at(topics, 4)).cast("long"))
-          .otherwise(lit(null).cast("long")).as("token_id"),
+        // token_id is DECIMAL(38,0) like amount_raw: real uint256 token ids
+        // routinely exceed 2^63 (hash-derived ENS names), and the round-1
+        // long cast nulled them out and silently dropped the row. Full
+        // uint256 can still exceed 10^38 (any decimal's ceiling), so
+        // token_id_hex keeps the LOSSLESS id — the reference's arbitrary-
+        // precision int(topics[3],16) maps to (decimal when it fits, hex
+        // always); only genuinely invalid hex drops the row (below)
+        when(size(topics) >= 4, hex(element_at(topics, 4)))
+          .otherwise(lit(null).cast("decimal(38,0)")).as("token_id"),
+        when(size(topics) >= 4,
+          coalesce(nullif(
+            lower(regexp_replace(element_at(topics, 4), "^0[xX]0*", "")),
+            lit("")), lit("0")))
+          .otherwise(lit(null).cast("string")).as("token_id_hex"),
         // empty/absent data decodes to 0 (etl_pipeline.py:97); data that is
         // *present but not valid hex* must DROP the row like the reference's
         // int(data, 16) → ValueError → None path, so it stays null here and
@@ -71,9 +83,11 @@ object TokenTransferDecoder {
         col("chain_id"))
       // decode failures (invalid amount hex, invalid ERC-721 tokenId) drop
       // the row, mirroring the reference's except-return-None
-      // (etl_pipeline.py:106-108)
+      // (etl_pipeline.py:106-108). Overflow of the DECIMAL(38,0) token_id is
+      // NOT a decode failure — the lossless hex id keeps the row alive
       .filter(col("amount_raw").isNotNull &&
-        !(col("standard") === "ERC-721" && col("token_id").isNull))
+        !(col("standard") === "ERC-721" &&
+          !col("token_id_hex").rlike("^[0-9a-f]*$")))
       .withColumn("amount", col("amount_raw").cast("double"))
   }
 }
@@ -155,7 +169,8 @@ object TransactionFeatureEngineer {
       df = df.withColumn("gas_price_gwei", col("gas_price").cast("double") / 1e9)
     if (cols("value_wei"))
       df = df.withColumn("value_eth", col("value_wei").cast("double") / 1e18)
-    df = df.withColumn("is_contract_deploy", col("to").isNull)
+    if (cols("to"))
+      df = df.withColumn("is_contract_deploy", col("to").isNull)
     if (cols("input"))
       df = df
         .withColumn("fn_selector", substring(col("input"), 1, 10))

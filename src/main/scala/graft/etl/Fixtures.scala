@@ -41,9 +41,13 @@ object Fixtures {
                       fromAddr: String = "0x" + "a" * 64,
                       toAddr: String = "0x" + "b" * 64,
                       amount: BigInt = BigInt(10) * BigInt(10).pow(18),
-                      logIndex: Long = 0L): String = {
+                      logIndex: Long = 0L,
+                      tokenId: BigInt = BigInt(1)): String = {
     val base = Seq(Envelope.Erc20TransferTopic, fromAddr, toAddr)
-    val topics = if (standard == "ERC-721") base :+ ("0x" + "0" * 63 + "1") else base
+    val idHex = tokenId.toString(16)
+    val topics =
+      if (standard == "ERC-721") base :+ ("0x" + "0" * (64 - idHex.length) + idHex)
+      else base
     val data = if (standard == "ERC-721") "0x" else "0x" + amount.toString(16)
     val payload =
       s"""{"tx_hash": ${jstr("0x" + "c" * 64)}, "log_index": $logIndex,

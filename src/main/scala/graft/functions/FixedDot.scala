@@ -53,6 +53,21 @@ object FixedDotOps {
     }
     acc
   }
+
+  /** Driver-side twin of [[dot]] over plain arrays — the identical op
+    * sequence, so constants derived on the driver (IVF centroid norms,
+    * probe-cell scores) match the distributed expression bit-for-bit. */
+  def dot(a: Array[Float], b: Array[Float]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val p = a(i).toDouble * b(i).toDouble * Scale
+      acc += (if (p >= 0) Math.floor(p + 0.5) else Math.ceil(p - 0.5)).toLong
+      i += 1
+    }
+    acc
+  }
 }
 
 object FixedDotFunctions {

@@ -51,7 +51,7 @@ object Extensions {
        |  len(list_distinct($toksSql)) AS n_uniq_tokens,
        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
        |  CAST(length(array_to_string($toksSql, '')) AS DOUBLE)
-       |    / len($toksSql) AS avg_token_len
+       |    / NULLIF(len($toksSql), 0) AS avg_token_len
        |FROM documents ORDER BY doc_id""".stripMargin
 
   private val textQuality: Q = (s, dir) =>
@@ -65,13 +65,15 @@ object Extensions {
   private val textQualitySql = {
     val allStops = TextOps.LangStopwords.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString(", ")
+    // NULLIF guards: Spark's divide-by-zero yields NULL while DuckDB's IEEE
+    // float division yields inf/NaN — a zero-token doc must be NULL on both
     s"""SELECT doc_id, lang,
        |  0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
        |  + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE)
-       |           / CAST(len($toksSql) AS DOUBLE))
+       |           / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0))
        |  + 0.3 * LEAST(1.0, CAST(len(list_filter($toksSql,
        |      x -> list_contains([$allStops], x))) AS DOUBLE)
-       |           / CAST(len($toksSql) AS DOUBLE) * 10.0) AS quality_score
+       |           / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0) * 10.0) AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -300,11 +302,16 @@ object Extensions {
     VectorOps.ivfTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
   // ------------------------------------------------------------ multimodal
-  /** Binary-column pipeline with stubbed codec — rows-only check. */
+  /** Binary-column pipeline with stubbed codec — rows-only check. The
+    * library API keeps `hist` as array<bigint>; the CONTRACT projection
+    * stringifies it (the driver's pandas compare sorts every column and
+    * cannot hash an ndarray cell). */
   private val mmFeatures: Q = (s, dir) =>
     Multimodal.extractFeatures(
       Multimodal.syntheticMedia(Tables.documents(s, dir)))
-      .toDF().orderBy("media_id")
+      .toDF()
+      .withColumn("hist", concat_ws(",", col("hist")))
+      .orderBy("media_id")
 
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(

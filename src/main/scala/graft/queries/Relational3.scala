@@ -12,21 +12,31 @@ object Relational3 {
   type Q = (SparkSession, String) => DataFrame
 
   /** Correlated scalar subquery through spark.sql — Catalyst rewrites the
-    * per-row subquery into an aggregate + join (decorrelation). */
+    * per-row subquery into an aggregate + join (decorrelation). The mean is
+    * authored decimal-exact IN THE SQL TEXT (AVG(double) is evaluation-order
+    * dependent; a last-ulp difference would flip boundary rows), so this
+    * form is oracle-verified end-to-end through the SQL front door. */
   private val correlatedSubquery: Q = (s, dir) => {
     Tables.customer(s, dir).createOrReplaceTempView("customer_v")
     s.sql(
       """SELECT c_custkey, c_name, c_acctbal FROM customer_v c
-        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v c2
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |                          / COUNT(c_acctbal)
+        |                   FROM customer_v c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin)
   }
 
-  // AVG(double) is order-dependent, but each nation group is small and both
-  // engines compute the same partial order? No — keep it robust: the
-  // predicate compares against a per-nation mean whose last-ulp could
-  // differ, flipping rows at the boundary. Use the decimal-exact mean in
-  // BOTH engines instead.
+  /** DuckDB twin of the correlated form — same decimal-exact mean. */
+  private val sqlCorrelatedSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |                          / COUNT(c_acctbal)
+      |                   FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // The DataFrame twin keeps the decorrelated decimal-exact mean explicit.
   private val correlatedSubquerySpark: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
     val means = c.groupBy("c_nationkey")
@@ -176,6 +186,7 @@ object Relational3 {
 
   val oracleSql: Map[String, String] = Map(
     "q_correlated_subquery" -> correlatedSubquerySql,
+    "q_sql_correlated"      -> sqlCorrelatedSql,
     "q_exists_inequality"   -> existsInequalitySql,
     "q_window_ranks"        -> windowRanksSql,
     "q_first_last"          -> firstLastOrderSql,

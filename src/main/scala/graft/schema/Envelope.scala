@@ -81,7 +81,8 @@ object Envelope {
   * as DECIMAL(38,0) — an engine improvement the reference cannot offer. */
 case class TokenTransfer(
   standard: String, contract: String, from: String, to: String,
-  token_id: Option[Long], amount: Double, amount_raw: java.math.BigDecimal,
+  token_id: Option[java.math.BigDecimal], amount: Double,
+  amount_raw: java.math.BigDecimal,
   block_number: Long, block_timestamp: java.sql.Timestamp,
   tx_hash: String, chain_id: Int)
 

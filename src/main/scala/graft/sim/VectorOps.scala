@@ -81,89 +81,183 @@ object VectorOps {
   // off when true neighbors are close (cosine ≥ 0.9).
   val LshPlanes = 8
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * md5("p|i") → first 6 hex digits → uniform in [-1, 1). Pure column
-    * expression, reproducible on any engine. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"$p|"), i.cast("string"))), 1, 6), 16, 10)
-      .cast("double") / lit(0xffffff.toDouble)) * 2.0 - 1.0
+  /** Plane literals cover up to this many dimensions; [[fixedDot]] stops at
+    * the shorter array, so any embedding with dim ≤ MaxPlaneDim projects
+    * onto exactly its own dim components. Matrices are generated lazily per
+    * requested dim (the md5 derivation is per-(plane, dim-index), so a
+    * longer matrix is a prefix-consistent extension of a shorter one). */
+  val MaxPlaneDim = 512
 
-  /** b-bit sign bucket per vector under [[LshPlanes]] random hyperplanes —
-    * computed inline over the array (projection = aggregate over the dim
-    * sequence), no explode, no shuffle. */
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * md5("p|i") → first 6 hex digits → uniform in [-1, 1). Same derivation
+    * as round 1's per-row column expression, but computed ONCE on the
+    * driver — the old form re-ran md5+conv for every (row, plane, dim)
+    * inside an interpreted HOF, which made the "approximate" path slower
+    * than the exhaustive scan it was meant to beat. */
+  private def planeComponent(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble /
+      0xffffff.toDouble) * 2.0 - 1.0
+  }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Float]]]()
+
+  private def planeMatrixFor(dim: Int): Array[Array[Float]] =
+    planeCache.computeIfAbsent(math.min(dim, MaxPlaneDim),
+      d => Array.tabulate(LshPlanes, d)((p, i) => planeComponent(p, i).toFloat))
+
+  private def planeMatrix: Array[Array[Float]] = planeMatrixFor(MaxPlaneDim)
+
+  /** b-bit sign bucket per vector under [[LshPlanes]] random hyperplanes.
+    * Each plane is an embedded literal array and each projection one fused
+    * [[fixedDot]] — a pure codegen projection, no explode, no shuffle, no
+    * per-row hash derivation. This is the INDEXING op: at 100 TB the
+    * bucketed frame is written out partitioned by bucket once, and probes
+    * ([[annTopK]]) become partition pruning instead of scans. */
   def lshBuckets(emb: DataFrame, planes: Int = LshPlanes): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, "1").otherwise("0")
+      val plane = typedlit(planeMatrix(p))
+      when(fixedDot(col("embedding"), plane) >= 0, "1").otherwise("0")
     }
     emb.select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
+  /** Driver-side twin of one [[lshBuckets]] bit — identical fixed-point op
+    * sequence, so a collected query vector hashes to the same bucket the
+    * distributed projection assigns. */
+  private def planeBit(e: Array[Float], p: Int): Boolean =
+    graft.functions.FixedDotOps.dot(e, planeMatrixFor(e.length)(p)) >= 0
+
+  /** Collect the query embedding (1-row pushed-filter scan — the same
+    * scalar boundary as a broadcast variable). */
+  private def queryVector(emb: DataFrame, queryId: Long): Array[Float] =
+    emb.filter(col("vec_id") === queryId).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).toArray
+
+  /** Exact top-k of `cands` against a driver-held query vector: the query
+    * side is a literal, so the rerank is one scan + TakeOrdered with no
+    * join at all, and the query norm is a constant instead of a per-row
+    * recompute. Cosine values are bit-identical to [[cosineTopK]] (same
+    * fixed-point dot, same double op sequence). */
+  private def topKVsQuery(cands: DataFrame, qe: Array[Float], k: Int): DataFrame = {
+    val qnrm = math.sqrt(graft.functions.FixedDotOps.dot(qe, qe).toDouble / Scale)
+    cands.select(col("vec_id"),
+        cosine(col("embedding"), typedlit(qe),
+          norm(col("embedding")), lit(qnrm)).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ IVF
-  /** IVF coarse quantizer: the first `k` vec_ids serve as deterministic
-    * seed centroids (at scale: a k-means refinement over a sample — the
-    * assignment machinery is identical). Centroids are broadcast; every
-    * vector is assigned to its max-cosine cell in one scan. */
+  /** Collected coarse codebook: the first `nCells` vec_ids serve as
+    * deterministic seed centroids (at scale: a k-means refinement over a
+    * sample — the assignment machinery is identical). nCells is O(10–1000),
+    * so the codebook is a legitimate driver-side constant — the same
+    * boundary as a broadcast variable, without a join. */
+  private def codebook(emb: DataFrame, nCells: Int): Array[(Long, Array[Float], Double)] =
+    emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val ce = r.getSeq[Float](1).toArray
+        val nrm = math.sqrt(
+          graft.functions.FixedDotOps.dot(ce, ce).toDouble / Scale)
+        (r.getLong(0), ce, nrm)
+      }
+      .sortBy(_._1)
+
+  /** IVF cell assignment as a single shuffle-free projection: the argmax
+    * over the `nCells` literal-centroid scores is a struct-max over an
+    * inline array — no crossJoin, no window, no Exchange (round 1 shuffled
+    * the whole corpus through a row_number window for what is a 16-way
+    * argmax). The score is dot(e,c)/|c| — the row norm is a positive
+    * constant factor per row, so the argmax (and its ties) is the argmax of
+    * the cosine without computing the row norm at all. Ties break to the
+    * lowest cell id, matching the old ORDER BY cos DESC, cell ASC. */
   def ivfAssign(emb: DataFrame, nCells: Int): DataFrame = {
     graft.functions.FixedDotFunctions.register(emb.sparkSession)
-    val centroids = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cemb"),
-        norm(col("embedding")).as("cnrm"))
-    val scored = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        cosine(col("embedding"), col("cemb"), norm(col("embedding")),
-          col("cnrm")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("cos"), col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell")
+    assignWithCells(emb, codebook(emb, nCells)).select("vec_id", "cell")
+  }
+
+  private def assignWithCells(emb: DataFrame,
+      cells: Array[(Long, Array[Float], Double)]): DataFrame = {
+    val scored = cells.map { case (cell, ce, cnrm) =>
+      struct(
+        ((fixedDot(col("embedding"), typedlit(ce)).cast("double") / Scale) / cnrm)
+          .as("s"),
+        lit(-cell).as("negcell"))
+    }
+    emb.select(col("vec_id"), col("embedding"),
+      (-array_max(array(scored: _*)).getField("negcell")).as("cell"))
   }
 
   /** IVF ANN top-k: probe the `nprobe` cells whose centroids are closest to
     * the query, rerank exactly inside them. Candidate cost ≈ nprobe/nCells
-    * of the corpus instead of all of it. */
+    * of the corpus instead of all of it.
+    *
+    * Probe-cell selection happens on the driver over the collected codebook
+    * (identical fixed-point math), so the whole query plan is one scan →
+    * assign projection → filter → literal-query rerank → TakeOrdered: ZERO
+    * exchanges of any kind (asserted in PlanSpec; round 1 shuffled the
+    * whole corpus through a row_number window). At cluster scale the
+    * assignment is precomputed and the table is partitioned BY cell, making
+    * the probe filter partition pruning. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nCells: Int = 16,
               nprobe: Int = 4): DataFrame = {
-    val assign = ivfAssign(emb, nCells)
-    val qemb = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"))
-    val centroids = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cemb"),
-        norm(col("embedding")).as("cnrm"))
-    val probeCells = centroids.crossJoin(broadcast(qemb))
-      .select(col("cell"),
-        cosine(col("cemb"), col("qe"), col("cnrm"), norm(col("qe"))).as("cos"))
-      .orderBy(desc("cos"), col("cell")).limit(nprobe)
-      .select("cell")
-    val candidates = assign.join(broadcast(probeCells), "cell").select("vec_id")
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    // one driver job collects codebook AND query vector (pushed-filter scan)
+    val collected = emb
+      .filter(col("vec_id") < nCells || col("vec_id") === queryId)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toMap
+    val cells = collected.filter(_._1 < nCells).toArray.sortBy(_._1)
+      .map { case (cell, ce) =>
+        (cell, ce,
+          math.sqrt(graft.functions.FixedDotOps.dot(ce, ce).toDouble / Scale))
+      }
+    val qe = collected(queryId)
+    val qnrm = math.sqrt(graft.functions.FixedDotOps.dot(qe, qe).toDouble / Scale)
+    val probed = cells
+      .map { case (cell, ce, cnrm) =>
+        val cos = (graft.functions.FixedDotOps.dot(ce, qe).toDouble / Scale) /
+          (cnrm * qnrm)
+        (cell, cos)
+      }
+      .sortBy { case (cell, cos) => (-cos, cell) }
+      .take(nprobe).map(_._1)
+    val candidates = assignWithCells(emb, cells)
       // the query itself must stay a candidate even if its cell isn't probed
-      .union(emb.filter(col("vec_id") === queryId).select("vec_id"))
-      .distinct()
-    cosineTopK(emb.join(candidates, Seq("vec_id"), "left_semi"), queryId, k)
+      .filter(col("cell").isin(probed: _*) || col("vec_id") === queryId)
+      .select("vec_id", "embedding")
+    topKVsQuery(candidates, qe, k)
   }
 
   /** ANN top-k: candidates are vectors whose LSH bucket is within
     * `maxHamming` bits of the query's, reranked exactly. maxHamming = 0 is
-    * a pure bucket-equality join (the 100 TB path); small positive values
-    * trade cost for recall. */
+    * a pure bucket-equality probe (with a pre-bucketed table, the 100 TB
+    * path); small positive values trade cost for recall.
+    *
+    * The query's bucket bits are computed on the DRIVER from the collected
+    * query vector (identical fixed-point ops), so the hamming test is a
+    * literal comparison per plane and the whole plan is one scan → filter →
+    * literal-query rerank → TakeOrdered — no bucket self-consumption, no
+    * semi-join shuffle, no persist (round 1 evaluated the bucket DAG twice
+    * and shuffled candidates through a join). */
   def annTopK(emb: DataFrame, queryId: Long, k: Int,
               maxHamming: Int = 3): DataFrame = {
-    val buckets = lshBuckets(emb)
-    val qb = buckets.filter(col("vec_id") === queryId)
-      .select(col("bucket").as("qbucket"))
-    val hamming = {
-      val diffs = (1 to LshPlanes).map(j =>
-        when(substring(col("bucket"), j, 1) =!= substring(col("qbucket"), j, 1), 1)
-          .otherwise(0))
-      diffs.reduce(_ + _)
-    }
-    val candidates = buckets.crossJoin(broadcast(qb))
-      .filter(hamming <= maxHamming)
-      .select("vec_id")
-    cosineTopK(emb.join(candidates, Seq("vec_id"), "left_semi"), queryId, k)
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    val qe = queryVector(emb, queryId)
+    val planes = planeMatrixFor(qe.length)
+    val hamming = (0 until LshPlanes).map { p =>
+      val rowBit = fixedDot(col("embedding"), typedlit(planes(p))) >= 0
+      when(rowBit === lit(planeBit(qe, p)), 0).otherwise(1)
+    }.reduce(_ + _)
+    topKVsQuery(emb.filter(hamming <= maxHamming), qe, k)
   }
 }

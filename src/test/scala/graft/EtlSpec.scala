@@ -60,8 +60,34 @@ class TokenTransferDecoderSpec extends SparkSpec {
     val df = decode(Seq(Fixtures.transferMessage("ERC-721")))
     val row = df.select("standard", "token_id", "amount").collect()(0)
     assert(row.getString(0) == "ERC-721")
-    assert(row.getLong(1) == 1L)
+    assert(row.getDecimal(1).longValueExact() == 1L)
     assert(row.getDouble(2) == 1.0)
+  }
+
+  test("erc721 token ids beyond 2^63 survive (decimal when it fits)") {
+    // 2^63 < id < 10^38: representable as DECIMAL(38,0), was nulled+dropped
+    // by the round-1 long cast
+    val big = BigInt(2).pow(80) + 12345
+    val df = decode(Seq(Fixtures.transferMessage("ERC-721", tokenId = big)))
+    val row = df.select("token_id", "token_id_hex").collect()(0)
+    assert(BigInt(row.getDecimal(0).toBigInteger) == big)
+    assert(BigInt(row.getString(1), 16) == big)
+  }
+
+  test("erc721 hash-derived ids beyond 10^38 keep the row via lossless hex") {
+    // full-width uint256 (ENS-style namehash) exceeds every decimal type;
+    // the row must survive with token_id null and token_id_hex exact
+    val huge = (BigInt(2).pow(256) - 1) - 987654321
+    val df = decode(Seq(Fixtures.transferMessage("ERC-721", tokenId = huge)))
+    val row = df.select("token_id", "token_id_hex").collect()(0)
+    assert(row.isNullAt(0))
+    assert(BigInt(row.getString(1), 16) == huge)
+  }
+
+  test("erc721 corrupt token-id hex still drops the row") {
+    val msg = Fixtures.transferMessage("ERC-721")
+    val corrupt = msg.replace("0x" + "0" * 63 + "1", "0xZZnothex")
+    assert(decode(Seq(corrupt)).count() == 0)
   }
 
   test("empty messages produce empty frame") {
