@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter}
+
+/** Kafka connector wiring for the streaming slice, mirroring the reference
+  * producer's topic and key layout
+  * (/root/reference/src/ingestion/kafka_producer.py:24-27 topic constants;
+  * :105-111 `key or str(event.block_number)`; :154-225 per-record publish):
+  * four raw topics, JSON envelope values, record key = the entity hash when
+  * one exists, else the block number.
+  *
+  * The option mapping and record shaping are plain functions, unit-testable
+  * without a broker (this sandbox ships no kafka connector jar, so
+  * `.load()`/`.start()` resolve only in a real deployment). Everything
+  * between source and sink — decode, windowed aggregation, keyed state —
+  * is source-agnostic ([[StreamingEtl]]) and runs unchanged on a Kafka
+  * frame, a file stream, or a MemoryStream.
+  */
+object KafkaIO {
+
+  // Topic layout (kafka_producer.py:24-27)
+  val TopicBlocks         = "blockchain.blocks.raw"
+  val TopicTransactions   = "blockchain.transactions.raw"
+  val TopicLogs           = "blockchain.logs.raw"
+  val TopicTokenTransfers = "blockchain.token_transfers.raw"
+  val AllTopics: Seq[String] =
+    Seq(TopicBlocks, TopicTransactions, TopicLogs, TopicTokenTransfers)
+
+  /** Source-side configuration. `failOnDataLoss=false` mirrors the
+    * producer's at-least-once posture (delivery retries, acks=all). */
+  case class SourceConfig(
+      bootstrapServers: String,
+      topics: Seq[String] = AllTopics,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = false)
+
+  def sourceOptions(cfg: SourceConfig): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+      "subscribe" -> cfg.topics.mkString(","),
+      "startingOffsets" -> cfg.startingOffsets,
+      "failOnDataLoss" -> cfg.failOnDataLoss.toString
+    ) ++ cfg.maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  /** Configured `readStream` (format + options); callers `.load()` where a
+    * broker exists. */
+  def reader(spark: SparkSession, cfg: SourceConfig): DataStreamReader =
+    spark.readStream.format("kafka").options(sourceOptions(cfg))
+
+  /** Kafka source frame (binary key/value + topic/partition/offset) →
+    * envelope-JSON strings, the input shape of
+    * [[StreamingEtl.decodeTransfers]] and [[graft.etl.Ingest.parseRaw]]. */
+  def envelopeValues(kafka: DataFrame): Dataset[String] = {
+    val spark = kafka.sparkSession
+    import spark.implicits._
+    kafka.select(col("value").cast("string")).as[String]
+  }
+
+  case class SinkConfig(
+      bootstrapServers: String,
+      topic: String = TopicTokenTransfers,
+      checkpointLocation: String)
+
+  def sinkOptions(cfg: SinkConfig): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+    "topic" -> cfg.topic,
+    "checkpointLocation" -> cfg.checkpointLocation)
+
+  /** Shape rows into Kafka records: value = full-row JSON, key = tx_hash
+    * when the frame carries one (transaction/log/transfer records,
+    * kafka_producer.py:196,208) falling back to block_number
+    * (kafka_producer.py:105-111). Works on batch and streaming frames. */
+  def sinkRecords(rows: DataFrame): DataFrame = {
+    val key =
+      if (rows.columns.contains("tx_hash"))
+        coalesce(col("tx_hash").cast("string"), col("block_number").cast("string"))
+      else col("block_number").cast("string")
+    rows.select(key.as("key"),
+      to_json(struct(rows.columns.map(col): _*)).as("value"))
+  }
+
+  /** Configured `writeStream` for decoded rows; callers `.start()` where a
+    * broker exists. */
+  def writer(rows: DataFrame, cfg: SinkConfig): DataStreamWriter[org.apache.spark.sql.Row] =
+    sinkRecords(rows).writeStream.format("kafka").options(sinkOptions(cfg))
+}

@@ -44,6 +44,51 @@ object StreamingEtl {
         col("transfer_count"), col("volume_normalized"),
         col("unique_senders"), col("unique_receivers"))
 
+  /** Exact-distinct streaming hourly volume — replaces
+    * [[hourlyTransferVolume]]'s approx_count_distinct with a TWO-LEVEL
+    * windowed aggregation (Spark 3.4+ chained stateful operators):
+    *
+    *  - level 1 keys on (window, standard, role, address) — each transfer
+    *    contributes a sender-role row and a receiver-role row, so state per
+    *    key is one counter, bounded by the watermark like any windowed agg;
+    *  - level 2 re-windows on `window_time` and COUNTS the level-1 rows per
+    *    role: the count of distinct (role, addr) groups IS the exact
+    *    distinct-address count. transfer_count/volume ride along on the
+    *    sender rows only (each transfer has exactly one sender row).
+    *
+    * Multiple stateful operators require append output, so rows emit once
+    * the watermark passes the window end (the batch-equivalence test
+    * advances the watermark with a late flush message). */
+  def hourlyTransferVolumeExact(transfers: DataFrame,
+                                watermark: String = "10 minutes"): DataFrame = {
+    val roles = transfers
+      .withWatermark("block_timestamp", watermark)
+      .select(col("block_timestamp"), col("standard"), col("amount"),
+        explode(array(
+          struct(lit("s").as("role"), col("from").as("addr")),
+          struct(lit("r").as("role"), col("to").as("addr")))).as("ra"))
+      .select(col("block_timestamp"), col("standard"), col("amount"),
+        col("ra.role").as("role"), col("ra.addr").as("addr"))
+    val perAddr = roles
+      .groupBy(window(col("block_timestamp"), "1 hour").as("w"),
+        col("standard"), col("role"), col("addr"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("role") === "s", col("amount") / 1e18).otherwise(0.0))
+          .as("vol"))
+    perAddr
+      .groupBy(window(window_time(col("w")), "1 hour").as("hour_window"),
+        col("standard"))
+      .agg(
+        sum(when(col("role") === "s", col("cnt")).otherwise(0L))
+          .as("transfer_count"),
+        sum(col("vol")).as("volume_normalized"),
+        sum(when(col("role") === "s", 1L).otherwise(0L)).as("unique_senders"),
+        sum(when(col("role") === "r", 1L).otherwise(0L)).as("unique_receivers"))
+      .select(col("hour_window.start").as("hour_bucket"), col("standard"),
+        col("transfer_count"), col("volume_normalized"),
+        col("unique_senders"), col("unique_receivers"))
+  }
+
   /** Streaming exact dedup: state-backed dropDuplicates on the content
     * hash — only the 16-byte digest is held in state, never the document.
     * In production add `withWatermark` + `dropDuplicatesWithinWatermark`

@@ -45,6 +45,25 @@ class DedupSpec extends SparkSpec {
       s"missing=${full -- rare} extra=${rare -- full}")
   }
 
+  test("a planted degenerate duplicate cluster is capped, not quadratic") {
+    import spark.implicits._
+    // 500 byte-identical docs: every band bucket holds the full cluster.
+    // With maxBucket=20 the pair fan-out must be C(20,2), not C(500,2),
+    // and the kept ids are the deterministic smallest ones.
+    val giant = (0L until 500L).map(i => (i, "the same exact document text " +
+      "repeated verbatim across the whole cluster"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidates(giant, maxBucket = 20)
+    assert(pairs.count() == 20 * 19 / 2)
+    val ids = pairs.select("d1").union(pairs.select("d2"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 20L).toSet)
+    // and the default cap leaves ordinary corpora untouched
+    val normal = Dedup.lshCandidates(docs).count()
+    val capped = Dedup.lshCandidates(docs, maxBucket = Dedup.DefaultMaxBucket).count()
+    assert(normal == capped)
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val pairs = Dedup.jaccardPairs(docs, 0.5).select("d1", "d2").collect()
     assume(pairs.nonEmpty)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.etl.{Fixtures, Ingest, TokenTransferDecoder}
-import graft.streaming.StreamingEtl
+import graft.streaming.{KafkaIO, StreamingEtl}
 
 /** Streaming slice driven synchronously with MemoryStream +
   * processAllAvailable — micro-batches exercise the same decode transforms
@@ -38,6 +38,55 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
       assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("exact streaming distinct counts match the batch twin after flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val out = StreamingEtl.hourlyTransferVolumeExact(
+      StreamingEtl.decodeTransfers(stream.toDS()), watermark = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hourly_exact_out").start()
+    try {
+      val msgs = Fixtures.syntheticTransferMessages(120)
+      val batch = TokenTransferDecoder.decode(Ingest.parseRaw(spark, msgs))
+      val maxTs = batch.agg(max(col("block_timestamp"))).collect()(0)
+        .getTimestamp(0)
+      stream.addData(msgs: _*)
+      q.processAllAvailable()
+      // two flush batches push the watermark past every real window (the
+      // watermark advances between micro-batches, and append-mode rows only
+      // emit once the watermark passes their window end)
+      val flush1 = Fixtures.transferMessage(
+        ts = maxTs.toInstant.getEpochSecond + 4 * 3600, blockNumber = 99000001L)
+      stream.addData(flush1)
+      q.processAllAvailable()
+      val flush2 = Fixtures.transferMessage(
+        ts = maxTs.toInstant.getEpochSecond + 8 * 3600, blockNumber = 99000002L)
+      stream.addData(flush2)
+      q.processAllAvailable()
+
+      val streamed = spark.table("hourly_exact_out")
+        .filter(col("hour_bucket") <= maxTs)
+        .select("hour_bucket", "standard", "transfer_count",
+          "unique_senders", "unique_receivers")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+
+      val expected = batch
+        .groupBy(date_trunc("hour", col("block_timestamp")).as("hour_bucket"),
+          col("standard"))
+        .agg(count(lit(1)).as("transfer_count"),
+          countDistinct(col("from")).as("unique_senders"),
+          countDistinct(col("to")).as("unique_receivers"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+
+      assert(streamed == expected)
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
@@ -79,5 +128,65 @@ class StreamingSpec extends SparkSpec {
       assert(rows.length == 1)
       assert(rows(0).getAs[Long]("transfers") == 2L)
     } finally q.stop()
+  }
+}
+
+/** Kafka wiring tests — option mapping and record shaping are pure
+  * functions; no broker exists in this sandbox, so `.load()`/`.start()`
+  * (which resolve the connector) are exercised only in deployments. */
+class KafkaIOSpec extends SparkSpec {
+
+  test("source options carry the reference's topic layout") {
+    val opts = KafkaIO.sourceOptions(KafkaIO.SourceConfig(
+      bootstrapServers = "broker:9092", startingOffsets = "earliest",
+      maxOffsetsPerTrigger = Some(50000L)))
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") ==
+      "blockchain.blocks.raw,blockchain.transactions.raw," +
+      "blockchain.logs.raw,blockchain.token_transfers.raw")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("maxOffsetsPerTrigger") == "50000")
+    assert(opts("failOnDataLoss") == "false")
+  }
+
+  test("sink records: key = tx_hash, value = round-trippable JSON") {
+    val decoded = TokenTransferDecoder.decode(Ingest.parseRaw(spark,
+      Fixtures.syntheticTransferMessages(20)))
+    val recs = KafkaIO.sinkRecords(decoded)
+    assert(recs.columns.toSeq == Seq("key", "value"))
+    val rows = recs.collect()
+    assert(rows.length == decoded.count())
+    val hashes = decoded.select("tx_hash").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == hashes)
+    // value JSON parses back to the decoded schema with matching contracts
+    import org.apache.spark.sql.functions.{col, from_json}
+    val parsed = recs.select(
+      from_json(col("value"), decoded.schema).as("t")).select("t.contract")
+    assert(parsed.collect().map(_.getString(0)).toSet ==
+      decoded.select("contract").collect().map(_.getString(0)).toSet)
+  }
+
+  test("sink records fall back to block_number when no tx_hash column") {
+    import spark.implicits._
+    val rows = Seq((18000000L, "a"), (18000001L, "b"))
+      .toDF("block_number", "payload")
+    val recs = KafkaIO.sinkRecords(rows).collect()
+    assert(recs.map(_.getString(0)).toSet == Set("18000000", "18000001"))
+  }
+
+  test("sink options pin topic and checkpoint") {
+    val opts = KafkaIO.sinkOptions(KafkaIO.SinkConfig(
+      "broker:9092", checkpointLocation = "/tmp/ckpt"))
+    assert(opts("topic") == "blockchain.token_transfers.raw")
+    assert(opts("checkpointLocation") == "/tmp/ckpt")
+  }
+
+  test("envelope values feed the standard decode transform") {
+    import spark.implicits._
+    val kafkaShaped = Fixtures.syntheticTransferMessages(10)
+      .map(m => ("k".getBytes, m.getBytes)).toDF("key", "value")
+    val decoded = TokenTransferDecoder.decode(
+      graft.etl.Ingest.parseRaw(KafkaIO.envelopeValues(kafkaShaped)))
+    assert(decoded.count() == 10)
   }
 }
