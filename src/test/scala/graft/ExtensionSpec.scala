@@ -165,10 +165,35 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(docs))
     assert(feats.count() == docs.count())
     val row = feats.filter(col("media_id") === 0L).collect()(0)
-    assert(row.n_bytes > 0)
-    assert(row.hist.sum == row.n_bytes) // histogram covers every byte
+    assert(row.n_bytes > 0 && row.n_samples > 0)
+    assert(row.hist.sum == row.n_samples) // histogram covers every sample
     assert(row.byte_entropy >= 0 && row.byte_entropy <= 8)
     assert(row.thumb_bytes <= 64)
+    // media_id 0 is an image: content is a real BMP, larger than its pixels
+    assert(row.kind == "image" && row.n_bytes > row.n_samples / 2)
+  }
+
+  test("BMP codec round-trips pixel bytes through a real header parse") {
+    val pixels = Array.tabulate(96)(i => (i * 5 % 256).toByte)
+    val bmp = Codecs.encodeBmp(pixels, Multimodal.ImageWidth)
+    val decoded = Codecs.decodeBmp(bmp).get
+    assert(decoded.length == 96) // 2 full 48-byte rows, no padding kept
+    assert(decoded.toSeq == pixels.map(_ & 0xff).toSeq)
+    assert(Codecs.decodeBmp("notabmp".getBytes).isEmpty)
+  }
+
+  test("WAV codec round-trips bytes via normalized PCM16 samples") {
+    val raw = "the quick brown fox".getBytes("UTF-8")
+    val wav = Codecs.encodeWav(raw, 16000)
+    val decoded = Codecs.decodeWav(wav).get
+    assert(decoded.toSeq == raw.map(_ & 0xff).toSeq)
+    assert(Codecs.decodeWav("RIFFjunk".getBytes).isEmpty)
+  }
+
+  test("corrupt media degrades to the stub decode, not a crash") {
+    val meta = MediaMeta(16, 480, 16000, 0L, "bmp")
+    val junk = Array.tabulate(100)(_.toByte)
+    assert(Codecs.decode(junk, meta).toSeq == junk.map(_ & 0xff).toSeq)
   }
 
   test("stub codec stages: resize bounds length, frame sample strides") {

@@ -79,4 +79,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
+
+  test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val ivf = graft.sim.VectorOps.ivfTopK(emb, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(!ivf.contains("Exchange hashpartitioning"), ivf)
+    assert(!ivf.contains("Exchange rangepartitioning"), ivf)
+    assert(ivf.contains("TakeOrderedAndProject"), ivf)
+    val ann = graft.sim.VectorOps.annTopK(emb, 0L, 10)
+      .queryExecution.executedPlan.toString
+    assert(!ann.contains("Exchange hashpartitioning"), ann)
+    assert(!ann.contains("Exchange rangepartitioning"), ann)
+    assert(ann.contains("TakeOrderedAndProject"), ann)
+  }
 }
