@@ -232,8 +232,10 @@ object Extensions {
   }
 
   /** MinHash+LSH near-dup end-to-end (candidates → exact verify) — the
-    * 100 TB path. No oracle: equivalence to the exhaustive jaccard pass is
-    * asserted in ExtensionSpec. */
+    * 100 TB path. Oracle: the exhaustive jaccard pass — on this corpus LSH
+    * recall is complete (planted near-dups share enough shingles that every
+    * band collides; asserted at sf0.001 AND sf0.01 in DedupSpec), so the
+    * candidate-restricted verify provably equals the all-pairs result. */
   private val dedupNearDup: Q = (s, dir) =>
     Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)
 
@@ -292,14 +294,115 @@ object Extensions {
       |ORDER BY cosine DESC, dots.vec_id LIMIT 10""".stripMargin
 
   /** LSH-bucketed ANN — scale path; recall vs brute force asserted in
-    * ExtensionSpec, no SQL oracle (the planes are engine-side constants). */
+    * ExtensionSpec, and since round 2 ALSO oracle-verified: the hyperplane
+    * matrix is deterministic, so the DuckDB twin embeds the identical
+    * literals and reproduces bucket bits, hamming probe, and fixed-point
+    * rerank bit-for-bit. */
   private val simAnnTopK: Q = (s, dir) =>
     VectorOps.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
+  /** The fixture embedding dimensionality the oracle twins are authored
+    * for (the engine side adapts to any dim; the SQL text pins one). */
+  val EmbeddingDim = 64
+
+  private val vCte =
+    """v AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), nrm AS (
+      |  SELECT vec_id,
+      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+      |  FROM v GROUP BY 1
+      |)""".stripMargin
+
+  private def rerankSql(candCte: String): String =
+    s"""WITH $vCte, $candCte, q AS (
+       |  SELECT i, x AS qx FROM v WHERE vec_id = 0
+       |), dots AS (
+       |  SELECT v.vec_id, SUM(CAST(ROUND(v.x * q.qx * 1e12, 0) AS BIGINT)) AS dot
+       |  FROM v JOIN q ON v.i = q.i JOIN cand ON v.vec_id = cand.vec_id
+       |  GROUP BY 1
+       |), qn AS (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0)
+       |SELECT dots.vec_id,
+       |  (CAST(dot AS DOUBLE) / 1e12) / (nrm.nrm * qn.qnrm) AS cosine
+       |FROM dots JOIN nrm ON dots.vec_id = nrm.vec_id, qn
+       |ORDER BY cosine DESC, dots.vec_id LIMIT 10""".stripMargin
+
+  /** DuckDB twin of [[VectorOps.annTopK]]: identical plane literals (the
+    * float values printed as their exact double), identical fixed-point
+    * sign bits, hamming ≤ 3 probe, identical rerank. */
+  private lazy val simAnnTopKSql: String = {
+    val planes = VectorOps.planeMatrixFor(EmbeddingDim)
+    val values = (for {
+      p <- 0 until VectorOps.LshPlanes
+      i <- 0 until EmbeddingDim
+    } yield s"($p, ${i + 1}, ${planes(p)(i).toDouble})").mkString(",\n    ")
+    val candCte =
+      s"""planes(p, i, c) AS (VALUES
+         |    $values
+         |), proj AS (
+         |  SELECT v.vec_id, pl.p,
+         |    SUM(CAST(ROUND(v.x * pl.c * 1e12, 0) AS BIGINT)) >= 0 AS bit
+         |  FROM v JOIN planes pl ON v.i = pl.i
+         |  GROUP BY 1, 2
+         |), qbits AS (
+         |  SELECT p, bit AS qbit FROM proj WHERE vec_id = 0
+         |), cand AS (
+         |  SELECT proj.vec_id FROM proj JOIN qbits ON proj.p = qbits.p
+         |  GROUP BY 1
+         |  HAVING SUM(CASE WHEN proj.bit <> qbits.qbit THEN 1 ELSE 0 END) <= 3
+         |)""".stripMargin
+    rerankSql(candCte)
+  }
+
   /** IVF-bucketed ANN — the other scale path (coarse quantizer + nprobe);
-    * rows-only, overlap asserted in ExtensionSpec. */
+    * oracle-verified: the codebook is the first 16 vectors of the table
+    * itself, so the DuckDB twin derives identical assignments and probes. */
   private val simIvfTopK: Q = (s, dir) =>
     VectorOps.ivfTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
+  val IvfCells = 16
+  val IvfProbe = 4
+
+  /** DuckDB twin of [[VectorOps.ivfTopK]]: cell score = fixed-point
+    * dot/|c| (row-norm free, same as the engine projection), argmax with
+    * cell-ascending ties, probe = top-nprobe centroid cosines, candidates =
+    * probed cells ∪ the query row, identical rerank. */
+  private lazy val simIvfTopKSql: String = {
+    val candCte =
+      s"""cvals AS (
+         |  SELECT vec_id AS cell, i, x AS cx FROM v WHERE vec_id < $IvfCells
+         |), cn AS (
+         |  SELECT vec_id AS cell, nrm AS cnrm FROM nrm WHERE vec_id < $IvfCells
+         |), scores AS (
+         |  SELECT v.vec_id, cv.cell,
+         |    SUM(CAST(ROUND(v.x * cv.cx * 1e12, 0) AS BIGINT)) AS cdot
+         |  FROM v JOIN cvals cv ON v.i = cv.i
+         |  GROUP BY 1, 2
+         |), assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT s.vec_id, s.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY (CAST(s.cdot AS DOUBLE) / 1e12) / cn.cnrm DESC, s.cell ASC) AS rn
+         |    FROM scores s JOIN cn ON s.cell = cn.cell
+         |  ) WHERE rn = 1
+         |), qn0 AS (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0)
+         |, probed AS (
+         |  SELECT cell FROM (
+         |    SELECT s.cell,
+         |      row_number() OVER (
+         |        ORDER BY (CAST(s.cdot AS DOUBLE) / 1e12) / (cn.cnrm * qn0.qnrm) DESC,
+         |          s.cell ASC) AS rn
+         |    FROM scores s JOIN cn ON s.cell = cn.cell, qn0
+         |    WHERE s.vec_id = 0
+         |  ) WHERE rn <= $IvfProbe
+         |), cand AS (
+         |  SELECT a.vec_id FROM assign a JOIN probed pr ON a.cell = pr.cell
+         |  UNION SELECT 0 AS vec_id
+         |)""".stripMargin
+    rerankSql(candCte)
+  }
 
   // ------------------------------------------------------------ multimodal
   /** Binary-column pipeline with stubbed codec — rows-only check. The
@@ -343,8 +446,11 @@ object Extensions {
     "dedup_lsh_pairs"     -> dedupLshPairsSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_jaccard_rare"  -> dedupJaccardRareSql,
+    "dedup_near_dup"      -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "sim_cosine_topk"     -> simTopKSql,
+    "sim_ann_topk"        -> simAnnTopKSql,
+    "sim_ivf_topk"        -> simIvfTopKSql,
   )
 }

@@ -105,7 +105,10 @@ object VectorOps {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Float]]]()
 
-  private def planeMatrixFor(dim: Int): Array[Array[Float]] =
+  /** The deterministic hyperplane matrix for `dim` dimensions — public so
+    * the DuckDB oracle twin can embed the identical literals and verify the
+    * ANN path end-to-end. */
+  def planeMatrixFor(dim: Int): Array[Array[Float]] =
     planeCache.computeIfAbsent(math.min(dim, MaxPlaneDim),
       d => Array.tabulate(LshPlanes, d)((p, i) => planeComponent(p, i).toFloat))
 

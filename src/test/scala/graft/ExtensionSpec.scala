@@ -45,6 +45,17 @@ class DedupSpec extends SparkSpec {
       s"missing=${full -- rare} extra=${rare -- full}")
   }
 
+  test("LSH recall is complete at sf0.01 too (backs the near-dup oracle)") {
+    val d01 = Tables.documents(spark, "/root/testdata/sf0.01")
+    val exhaustive = Dedup.jaccardPairs(d01, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDuplicates(d01, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive.nonEmpty && lsh == exhaustive,
+      s"missing=${exhaustive -- lsh} extra=${lsh -- exhaustive}")
+    spark.catalog.clearCache()
+  }
+
   test("a planted degenerate duplicate cluster is capped, not quadratic") {
     import spark.implicits._
     // 500 byte-identical docs: every band bucket holds the full cluster.
