@@ -54,12 +54,25 @@ object Dedup {
           explode(TextOps.shingles(col("toks"), n)).as("shingle"))
     }
 
+  /** Hash windows per md5: each of the 16 minhash functions h_k is a
+    * non-overlapping 8-hex-digit (32-bit) window of md5("(k/4)|"+shingle) —
+    * 4 md5 evaluations per shingle row instead of 16 (the digest work is
+    * THE dominant cost of the signature pass at scale), with fully
+    * independent bits per window. The DuckDB oracle computes the identical
+    * substrings, so signatures stay engine-exact. */
+  val HashesPerMd5 = 4
+
+  private[graft] def minhashHashSql(k: Int): String =
+    s"min(substr(md5('${k / HashesPerMd5}|' || shingle), ${(k % HashesPerMd5) * 8 + 1}, 8))"
+
   /** MinHash signatures from a pre-built shingle frame — lets pipelines that
     * already materialized (or persisted) shingles reuse them instead of
     * re-deriving the tokenize→shingle DAG. */
   private[graft] def minhashFromShingles(sh: DataFrame): DataFrame = {
-    val aggs = (0 until MinhashK).map(k =>
-      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"h$k"))
+    val aggs = (0 until MinhashK).map { k =>
+      val h = md5(concat(lit(s"${k / HashesPerMd5}|"), col("shingle")))
+      min(substring(h, (k % HashesPerMd5) * 8 + 1, 8)).as(s"h$k")
+    }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 

@@ -137,7 +137,7 @@ object Extensions {
 
   private val dedupMinhashSql = {
     val mins = (0 until Dedup.MinhashK)
-      .map(k => s"min(md5('$k|' || shingle)) AS h$k").mkString(",\n  ")
+      .map(k => s"${Dedup.minhashHashSql(k)} AS h$k").mkString(",\n  ")
     s"""WITH $shinglesCte
        |SELECT doc_id,
        |  $mins
@@ -149,7 +149,7 @@ object Extensions {
 
   private val dedupLshPairsSql = {
     val mins = (0 until Dedup.MinhashK)
-      .map(k => s"min(md5('$k|' || shingle)) AS h$k").mkString(",\n  ")
+      .map(k => s"${Dedup.minhashHashSql(k)} AS h$k").mkString(",\n  ")
     val rows = Dedup.MinhashK / Dedup.LshBands
     val bandSelects = (0 until Dedup.LshBands).map { b =>
       val cols = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
