@@ -270,6 +270,55 @@ object Extensions {
        |WHERE (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) >= $CosineThreshold
        |ORDER BY v1, v2""".stripMargin
 
+  /** Label-free embedding near-dup: exact cosine pairs inside LSH buckets
+    * (the blocking that exists at 100 TB, where no curated label does).
+    * Oracle-verified via the embedded plane literals. */
+  private val embLshPairs: Q = (s, dir) =>
+    VectorOps.cosinePairsLsh(Tables.embeddings(s, dir), CosineThreshold)
+
+  private lazy val embLshPairsSql: String = {
+    val planes = VectorOps.planeMatrixFor(EmbeddingDim)
+    val values = (for {
+      p <- 0 until VectorOps.LshPlanes
+      i <- 0 until EmbeddingDim
+    } yield s"($p, ${i + 1}, ${planes(p)(i).toDouble})").mkString(",\n    ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), planes(p, i, c) AS (VALUES
+       |    $values
+       |), buckets AS (
+       |  SELECT vec_id, string_agg(
+       |    CASE WHEN bit THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM (
+       |    SELECT v.vec_id, pl.p,
+       |      SUM(CAST(ROUND(v.x * pl.c * 1e12, 0) AS BIGINT)) >= 0 AS bit
+       |    FROM v JOIN planes pl ON v.i = pl.i
+       |    GROUP BY 1, 2
+       |  ) GROUP BY vec_id
+       |), pairs AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM buckets a JOIN buckets b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), dots AS (
+       |  SELECT p.v1, p.v2,
+       |    SUM(CAST(ROUND(a.x * b.x * 1e12, 0) AS BIGINT)) AS dot
+       |  FROM pairs p JOIN v a ON a.vec_id = p.v1
+       |    JOIN v b ON b.vec_id = p.v2 AND a.i = b.i
+       |  GROUP BY 1, 2
+       |), nrm AS (
+       |  SELECT vec_id,
+       |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+       |  FROM v GROUP BY 1
+       |)
+       |SELECT v1, v2,
+       |  (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) AS cosine
+       |FROM dots JOIN nrm na ON v1 = na.vec_id JOIN nrm nb ON v2 = nb.vec_id
+       |WHERE (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) >= $CosineThreshold
+       |ORDER BY v1, v2""".stripMargin
+  }
+
   private val simTopK: Q = (s, dir) =>
     VectorOps.cosineTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
@@ -430,6 +479,7 @@ object Extensions {
     "dedup_simhash"       -> dedupSimhash,
     "dedup_near_dup"      -> dedupNearDup,
     "emb_cosine_pairs"    -> embCosinePairs,
+    "emb_lsh_pairs"       -> embLshPairs,
     "sim_cosine_topk"     -> simTopK,
     "sim_ann_topk"        -> simAnnTopK,
     "sim_ivf_topk"        -> simIvfTopK,
@@ -449,6 +499,7 @@ object Extensions {
     "dedup_near_dup"      -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
+    "emb_lsh_pairs"       -> embLshPairsSql,
     "sim_cosine_topk"     -> simTopKSql,
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,

@@ -120,13 +120,19 @@ object VectorOps {
     * per-row hash derivation. This is the INDEXING op: at 100 TB the
     * bucketed frame is written out partitioned by bucket once, and probes
     * ([[annTopK]]) become partition pruning instead of scans. */
-  def lshBuckets(emb: DataFrame, planes: Int = LshPlanes): DataFrame = {
-    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+  /** The bucket string as a column expression (one fused fixedDot per
+    * plane). */
+  private def bucketCol(planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val plane = typedlit(planeMatrix(p))
       when(fixedDot(col("embedding"), plane) >= 0, "1").otherwise("0")
     }
-    emb.select(col("vec_id"), concat(bits: _*).as("bucket"))
+    concat(bits: _*)
+  }
+
+  def lshBuckets(emb: DataFrame, planes: Int = LshPlanes): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), bucketCol(planes).as("bucket"))
   }
 
   /** Driver-side twin of one [[lshBuckets]] bit — identical fixed-point op
@@ -153,6 +159,33 @@ object VectorOps {
           norm(col("embedding")), lit(qnrm)).as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Label-free embedding near-dup at scale: exact cosine pairs WITHIN each
+    * LSH bucket. This is [[cosinePairs]] with the blocking key replaced by
+    * the hyperplane bucket — the form that holds at 100 TB, where no
+    * curated label exists and all-pairs is impossible: the only shuffle is
+    * the self-join on the 8-bit bucket key, so pair fan-out is bounded by
+    * bucket occupancy (≈ N/2^planes per bucket under the random-projection
+    * mixing), and near neighbors land in the same bucket with the standard
+    * SimHash collision probability (1 − θ/π per plane). The bucket frame is
+    * persisted so the bucket projection runs once, not per join branch. */
+  def cosinePairsLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    val withB = emb
+      .select(col("vec_id"), bucketCol(LshPlanes).as("bucket"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withB.select(col("bucket"), col("vec_id").as("v1"),
+      col("embedding").as("ea"), col("nrm").as("n1"))
+    val b = withB.select(col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("eb"), col("nrm").as("n2"))
+    a.join(b, "bucket")
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        cosine(col("ea"), col("eb"), col("n1"), col("n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("v1", "v2")
   }
 
   // ------------------------------------------------------------------ IVF

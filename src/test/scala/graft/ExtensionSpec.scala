@@ -125,6 +125,27 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ivf).size >= 3, s"overlap=${(exact & ivf).size}")
   }
 
+  test("LSH-bucketed cosine pairs == exhaustive pairs sharing a bucket") {
+    val lshPairs = VectorOps.cosinePairsLsh(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buckets = VectorOps.lshBuckets(emb)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def nrm(e: Array[Float]) =
+      math.sqrt(graft.functions.FixedDotOps.dot(e, e).toDouble / 1e12)
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j && buckets(i) == buckets(j)
+      cos = (graft.functions.FixedDotOps.dot(vecs(i), vecs(j)).toDouble / 1e12) /
+        (nrm(vecs(i)) * nrm(vecs(j)))
+      if cos >= 0.3
+    } yield (i, j)).toSet
+    assert(lshPairs == expected)
+    assert(lshPairs.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val b1 = VectorOps.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b2 = VectorOps.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
