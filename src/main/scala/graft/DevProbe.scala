@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 import graft.queries.Tables
 
 /** Dev-only micro-probe for plan variants (not part of the contract). */
@@ -14,52 +15,34 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ev = Tables.events(spark, sfDir)
-    ev.count() // warm
+    val docs = Tables.documents(spark, sfDir)
+    docs.count() // warm
 
     def time(name: String)(f: => Long): Unit = {
       (0 until 3).foreach { i =>
         val t0 = System.nanoTime()
         val n = f
         println(f"$name%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+        spark.catalog.clearCache()
       }
     }
 
-    time("scan+substring only") {
-      ev.select(col("event_id"), substring(col("props"), 1, 5).as("prefix"))
-        .count()
+    def pairJoin(sh: org.apache.spark.sql.DataFrame): Long = {
+      val s = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = s.as("a").join(s.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("b.doc_id")).count().count()
+      s.unpersist(); n
     }
-    time("current double-parse") {
-      ev.select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"),
-          substring(col("props"), 1, 5).as("prefix"))
-        .filter(col("k") > 50)
-        .orderBy("event_id").count()
+
+    time("join on raw shingle") { pairJoin(Dedup.shingled(docs)) }
+    time("join on unhex(md5)") {
+      pairJoin(Dedup.shingled(docs)
+        .select(col("doc_id"), unhex(md5(col("shingle"))).as("shingle")))
     }
-    time("inline(filter(array))") {
-      ev.select(inline(filter(array(struct(
-            col("event_id"),
-            get_json_object(col("props"), "$.k").cast("int").as("k"),
-            substring(col("props"), 1, 5).as("prefix"))),
-          r => r.getField("k") > 50)))
-        .orderBy("event_id").count()
-    }
-    time("json_tuple generator") {
-      ev.select(col("event_id"), substring(col("props"), 1, 5).as("prefix"),
-          json_tuple(col("props"), "k").as("k"))
-        .select(col("event_id"), col("k").cast("int").as("k"), col("prefix"))
-        .filter(col("k") > 50)
-        .select("event_id", "k", "prefix")
-        .orderBy("event_id").count()
-    }
-    time("from_json double") {
-      ev.select(col("event_id"),
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").as("k"),
-          substring(col("props"), 1, 5).as("prefix"))
-        .filter(col("k") > 50)
-        .orderBy("event_id").count()
+    time("join on xxhash64") {
+      pairJoin(Dedup.shingled(docs)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
     }
     spark.stop()
   }

@@ -178,7 +178,8 @@ object Extensions {
        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
        |), pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b
+       |    ON md5(a.shingle) = md5(b.shingle) AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT d1, d2, common,
@@ -203,7 +204,8 @@ object Extensions {
        |  SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY 1
        |), pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-       |  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shr a JOIN shr b
+       |    ON md5(a.shingle) = md5(b.shingle) AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT d1, d2, common,
