@@ -76,17 +76,20 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var exitCode = 0
     try {
       println(s"pipeline.init network=${cfg.network} chain_id=${cfg.chainId} " +
         s"dry_run=${cfg.dryRun}")
       if (cfg.dryRun) {
         val errs = dryRunChecks(spark)
         errs.foreach(e => println(s"dry_run.FAIL $e"))
-        if (errs.nonEmpty) sys.exit(1)
-        val il = ImpermanentLossModel.compute(2000.0, 4000.0, 100000.0)
-        println(f"dry_run.sql_ok queries=2")
-        println(f"dry_run.il_model_ok il_pct=${il.ilPct}%.2f")
-        println("Dry-run passed. All components validated.")
+        if (errs.nonEmpty) exitCode = 1
+        else {
+          val il = ImpermanentLossModel.compute(2000.0, 4000.0, 100000.0)
+          println(f"dry_run.sql_ok queries=2")
+          println(f"dry_run.il_model_ok il_pct=${il.ilPct}%.2f")
+          println("Dry-run passed. All components validated.")
+        }
       } else {
         val rng = new scala.util.Random(11)
         val swaps = (0 until cfg.messages / 4).map { i =>
@@ -110,5 +113,6 @@ object Main {
         println(s"pipeline.transfer_volume rows=${vol.count()}")
       }
     } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

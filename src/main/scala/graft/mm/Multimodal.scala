@@ -48,10 +48,15 @@ object Codecs {
     val width = u32le(b, 18)
     val height = u32le(b, 22)
     val bpp = u16le(b, 28)
-    if (bpp != 24 || width <= 0 || height <= 0) return None
-    val rowBytes = width * 3
-    val stride = (rowBytes + 3) / 4 * 4
-    if (off + stride.toLong * height > b.length) return None
+    if (bpp != 24 || width <= 0 || height <= 0 || off < 0) return None
+    // all size arithmetic in Long: a hostile width/height/offset must fail
+    // the bounds check, not overflow Int into a crash
+    val rowBytesL = width.toLong * 3
+    val strideL = (rowBytesL + 3) / 4 * 4
+    if (off + strideL * height > b.length || rowBytesL * height > Int.MaxValue)
+      return None
+    val rowBytes = rowBytesL.toInt
+    val stride = strideL.toInt
     val out = new Array[Int](rowBytes * height)
     var r = 0
     while (r < height) {
@@ -73,17 +78,21 @@ object Codecs {
     if (b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var pos = 12
+    // chunk walk in Long with a monotonic-progress guard: a hostile size
+    // field (negative as Int, or huge) must end the parse as None, never
+    // loop forever or index out of bounds
+    var pos = 12L
     var bits = -1
     var data: Option[(Int, Int)] = None
     while (pos + 8 <= b.length && (bits < 0 || data.isEmpty)) {
-      val id = new String(b.slice(pos, pos + 4), "US-ASCII")
-      val size = u32le(b, pos + 4)
+      val p = pos.toInt
+      val id = new String(b.slice(p, p + 4), "US-ASCII")
+      val size = u32le(b, p + 4).toLong & 0xffffffffL // unsigned
       if (id == "fmt " && pos + 8 + 16 <= b.length) {
-        if (u16le(b, pos + 8) != 1) return None // PCM only
-        bits = u16le(b, pos + 8 + 14)
+        if (u16le(b, p + 8) != 1) return None // PCM only
+        bits = u16le(b, p + 8 + 14)
       } else if (id == "data") {
-        data = Some((pos + 8, math.min(size, b.length - pos - 8)))
+        data = Some((p + 8, math.min(size, (b.length - pos - 8)).toInt))
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }

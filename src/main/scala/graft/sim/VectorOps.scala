@@ -142,10 +142,15 @@ object VectorOps {
     graft.functions.FixedDotOps.dot(e, planeMatrixFor(e.length)(p)) >= 0
 
   /** Collect the query embedding (1-row pushed-filter scan — the same
-    * scalar boundary as a broadcast variable). */
-  private def queryVector(emb: DataFrame, queryId: Long): Array[Float] =
+    * scalar boundary as a broadcast variable). None when the id is absent —
+    * probes degrade to an empty result, matching the join-based form. */
+  private def queryVector(emb: DataFrame, queryId: Long): Option[Array[Float]] =
     emb.filter(col("vec_id") === queryId).select(col("embedding"))
-      .collect()(0).getSeq[Float](0).toArray
+      .collect().headOption.map(_.getSeq[Float](0).toArray)
+
+  /** Empty (vec_id, cosine) frame — the top-k result of a missing query. */
+  private def emptyTopK(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), lit(0.0).as("cosine")).limit(0)
 
   /** Exact top-k of `cands` against a driver-held query vector: the query
     * side is a literal, so the rerank is one scan + TakeOrdered with no
@@ -257,6 +262,7 @@ object VectorOps {
         (cell, ce,
           math.sqrt(graft.functions.FixedDotOps.dot(ce, ce).toDouble / Scale))
       }
+    if (!collected.contains(queryId)) return emptyTopK(emb)
     val qe = collected(queryId)
     val qnrm = math.sqrt(graft.functions.FixedDotOps.dot(qe, qe).toDouble / Scale)
     val probed = cells
@@ -288,12 +294,15 @@ object VectorOps {
   def annTopK(emb: DataFrame, queryId: Long, k: Int,
               maxHamming: Int = 3): DataFrame = {
     graft.functions.FixedDotFunctions.register(emb.sparkSession)
-    val qe = queryVector(emb, queryId)
-    val planes = planeMatrixFor(qe.length)
-    val hamming = (0 until LshPlanes).map { p =>
-      val rowBit = fixedDot(col("embedding"), typedlit(planes(p))) >= 0
-      when(rowBit === lit(planeBit(qe, p)), 0).otherwise(1)
-    }.reduce(_ + _)
-    topKVsQuery(emb.filter(hamming <= maxHamming), qe, k)
+    queryVector(emb, queryId) match {
+      case None => emptyTopK(emb)
+      case Some(qe) =>
+        val planes = planeMatrixFor(qe.length)
+        val hamming = (0 until LshPlanes).map { p =>
+          val rowBit = fixedDot(col("embedding"), typedlit(planes(p))) >= 0
+          when(rowBit === lit(planeBit(qe, p)), 0).otherwise(1)
+        }.reduce(_ + _)
+        topKVsQuery(emb.filter(hamming <= maxHamming), qe, k)
+    }
   }
 }

@@ -74,11 +74,13 @@ object KafkaIO {
     * kafka_producer.py:196,208) falling back to block_number
     * (kafka_producer.py:105-111). Works on batch and streaming frames. */
   def sinkRecords(rows: DataFrame): DataFrame = {
-    val key =
-      if (rows.columns.contains("tx_hash"))
-        coalesce(col("tx_hash").cast("string"), col("block_number").cast("string"))
-      else col("block_number").cast("string")
-    rows.select(key.as("key"),
+    val keyCols = Seq("tx_hash", "block_number")
+      .filter(rows.columns.contains)
+      .map(c => col(c).cast("string"))
+    require(keyCols.nonEmpty,
+      "sinkRecords needs a tx_hash or block_number column to key records " +
+        s"(kafka_producer.py:105-111); got: ${rows.columns.mkString(", ")}")
+    rows.select(coalesce(keyCols: _*).as("key"),
       to_json(struct(rows.columns.map(col): _*)).as("value"))
   }
 

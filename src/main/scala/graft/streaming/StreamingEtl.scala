@@ -82,8 +82,12 @@ object StreamingEtl {
         sum(when(col("role") === "s", col("cnt")).otherwise(0L))
           .as("transfer_count"),
         sum(col("vol")).as("volume_normalized"),
-        sum(when(col("role") === "s", 1L).otherwise(0L)).as("unique_senders"),
-        sum(when(col("role") === "r", 1L).otherwise(0L)).as("unique_receivers"))
+        // null-address groups still carry counts/volume above, but must not
+        // count as a distinct address — batch COUNT(DISTINCT) ignores NULLs
+        sum(when(col("role") === "s" && col("addr").isNotNull, 1L)
+          .otherwise(0L)).as("unique_senders"),
+        sum(when(col("role") === "r" && col("addr").isNotNull, 1L)
+          .otherwise(0L)).as("unique_receivers"))
       .select(col("hour_window.start").as("hour_bucket"), col("standard"),
         col("transfer_count"), col("volume_normalized"),
         col("unique_senders"), col("unique_receivers"))

@@ -69,10 +69,11 @@ class DedupSpec extends SparkSpec {
     val ids = pairs.select("d1").union(pairs.select("d2"))
       .distinct().collect().map(_.getLong(0)).toSet
     assert(ids == (0L until 20L).toSet)
-    // and the default cap leaves ordinary corpora untouched
-    val normal = Dedup.lshCandidates(docs).count()
-    val capped = Dedup.lshCandidates(docs, maxBucket = Dedup.DefaultMaxBucket).count()
-    assert(normal == capped)
+    // and on ordinary corpora the default cap is a no-op vs a genuinely
+    // uncapped run (this equality is what backs the uncapped oracle SQL)
+    val uncapped = Dedup.lshCandidates(docs, maxBucket = Int.MaxValue).count()
+    val capped = Dedup.lshCandidates(docs).count()
+    assert(uncapped == capped)
   }
 
   test("simhash of near-identical docs differs in few bits") {
@@ -144,6 +145,11 @@ class SimilaritySpec extends SparkSpec {
     assert(lshPairs == expected)
     assert(lshPairs.nonEmpty)
     spark.catalog.clearCache()
+  }
+
+  test("missing query id degrades to an empty result, not a crash") {
+    assert(VectorOps.annTopK(emb, queryId = 999999L, k = 10).count() == 0)
+    assert(VectorOps.ivfTopK(emb, queryId = 999999L, k = 10).count() == 0)
   }
 
   test("lsh buckets are deterministic across invocations") {
@@ -226,6 +232,24 @@ class MultimodalSpec extends SparkSpec {
     val meta = MediaMeta(16, 480, 16000, 0L, "bmp")
     val junk = Array.tabulate(100)(_.toByte)
     assert(Codecs.decode(junk, meta).toSeq == junk.map(_ & 0xff).toSeq)
+  }
+
+  test("hostile header fields fail the parse instead of hanging/crashing") {
+    // WAV whose first chunk claims a negative (as Int) size: the chunk walk
+    // must terminate with None, not loop forever on the same offset
+    val wav = Codecs.encodeWav("abcdef".getBytes, 16000)
+    wav(16) = 0xf8.toByte; wav(17) = 0xff.toByte
+    wav(18) = 0xff.toByte; wav(19) = 0xff.toByte
+    assert(Codecs.decodeWav(wav).isEmpty)
+    // BMP with width 2^30: size arithmetic must not overflow Int into a
+    // NegativeArraySizeException — the bounds check rejects it
+    val bmp = Codecs.encodeBmp(Array.tabulate(96)(_.toByte), 16)
+    bmp(18) = 0; bmp(19) = 0; bmp(20) = 0; bmp(21) = 0x40
+    assert(Codecs.decodeBmp(bmp).isEmpty)
+    // BMP with a negative pixel-array offset
+    val bmp2 = Codecs.encodeBmp(Array.tabulate(96)(_.toByte), 16)
+    bmp2(13) = 0x80.toByte
+    assert(Codecs.decodeBmp(bmp2).isEmpty)
   }
 
   test("stub codec stages: resize bounds length, frame sample strides") {

@@ -80,6 +80,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("near-dup pipeline reuses the cached shingle frame across branches") {
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val df = graft.dedup.Dedup.nearDuplicates(docs, 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    // the persisted shingle/candidate frames must surface as cache scans —
+    // without them the round-1 plan re-ran the shingle explode ≥3×
+    assert(p.contains("InMemoryTableScan"), p)
+    df.collect()
+    spark.catalog.clearCache()
+  }
+
   test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     val ivf = graft.sim.VectorOps.ivfTopK(emb, 0L, 10)
