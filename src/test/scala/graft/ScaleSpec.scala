@@ -58,6 +58,28 @@ class ScaleSpec extends SparkSpec {
     assert(scanned.exists(_ <= 2), s"numFiles=$scanned")
   }
 
+  test("bucket-partitioned embeddings make the ANN probe partition pruning") {
+    // the 100 TB ANN posture: lshBuckets is the indexing op — written out
+    // partitioned by bucket, an exact-bucket probe reads only the matching
+    // directory, not the corpus
+    val out = Files.createTempDirectory("graft_emb").toString
+    val emb = Tables.embeddings(spark, dir)
+    graft.sim.VectorOps.lshBuckets(emb).join(emb, "vec_id")
+      .write.partitionBy("bucket").mode("overwrite").parquet(out)
+    val qBucket = graft.sim.VectorOps.lshBuckets(emb)
+      .filter(col("vec_id") === 0L).collect()(0).getString(1)
+    val probe = spark.read.parquet(out).filter(col("bucket") === qBucket)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles").map(_.value)
+    val totalBuckets = graft.sim.VectorOps.lshBuckets(emb)
+      .select("bucket").distinct().count()
+    assert(totalBuckets > 10) // the index genuinely spreads the corpus
+    assert(scanned.exists(_ <= 2), s"numFiles=$scanned of $totalBuckets buckets")
+  }
+
   test("salting spreads a skewed key across subkeys and recombines exactly") {
     import spark.implicits._
     // heavily skewed: 90% of rows share key 0
