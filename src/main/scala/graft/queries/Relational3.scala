@@ -78,6 +78,29 @@ object Relational3 {
       |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** GROUPING SETS through the SQL front door (completes the grouping
+    * family next to rollup/cube): per-day totals, per-type totals, and a
+    * grand total in one pass. NULLS FIRST pinned so subtotal rows order
+    * identically on both engines. */
+  private val groupingSets: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM events_v
+        |GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type), ())
+        |ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type), ())
+      |ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
+
   /** ntile + percent_rank over a total order (unique tiebreak). */
   private val windowRanks: Q = (s, dir) => {
     val w = org.apache.spark.sql.expressions.Window
@@ -177,6 +200,7 @@ object Relational3 {
     "q_correlated_subquery" -> correlatedSubquerySpark,
     "q_sql_correlated"      -> correlatedSubquery,
     "q_exists_inequality"   -> existsInequality,
+    "q_grouping_sets"       -> groupingSets,
     "q_window_ranks"        -> windowRanks,
     "q_first_last"          -> firstLastOrder,
     "q_regexp_extract"      -> regexpExtract,
@@ -188,6 +212,7 @@ object Relational3 {
     "q_correlated_subquery" -> correlatedSubquerySql,
     "q_sql_correlated"      -> sqlCorrelatedSql,
     "q_exists_inequality"   -> existsInequalitySql,
+    "q_grouping_sets"       -> groupingSetsSql,
     "q_window_ranks"        -> windowRanksSql,
     "q_first_last"          -> firstLastOrderSql,
     "q_regexp_extract"      -> regexpExtractSql,
