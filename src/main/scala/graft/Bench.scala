@@ -24,15 +24,24 @@ object Bench {
       spark.read.parquet(s"$sfDir/orders.parquet").limit(100).count()
     } catch { case _: Throwable => () }
 
+    // Best-of-N timing: a co-tenant load spike on the driver box can inflate
+    // a single run by 3-7x (a 1.7 s query has been reported at 140 s), so a
+    // lone sample is not a measurement. The min over RUNS samples is robust
+    // to one-sided noise — load only ever adds time, never removes it.
+    val RUNS = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // cache hygiene between queries (outside the timed section): a query
-      // that persists intermediates must not warm or crowd the next one
-      spark.catalog.clearCache()
-      (name, dt, ok)
+      val samples = (1 to RUNS).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cache hygiene between runs (outside the timed section): a query
+        // that persists intermediates must not warm or crowd the next one
+        spark.catalog.clearCache()
+        (dt, ok)
+      }
+      val ok = samples.forall(_._2)
+      (name, samples.map(_._1).min, ok)
     }
     // a crashed query must not read as a healthy timing: report -1 for it
     // and list it under "failed"
@@ -42,7 +51,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,9 +63,13 @@ object TokenTransferDecoder {
         // always); only genuinely invalid hex drops the row (below)
         when(size(topics) >= 4, hex(element_at(topics, 4)))
           .otherwise(lit(null).cast("decimal(38,0)")).as("token_id"),
+        // canonicalize unconditionally — the 0x prefix is optional and
+        // int(x, 16) tolerates surrounding whitespace, so '0123', '0x0123'
+        // and ' 0x123' must all canonicalize to '123' or ids for the same
+        // token would fail to join/dedup
         when(size(topics) >= 4,
           coalesce(nullif(
-            lower(regexp_replace(element_at(topics, 4), "^0[xX]0*", "")),
+            regexp_replace(lower(trim(element_at(topics, 4))), "^(0x)?0*", ""),
             lit("")), lit("0")))
           .otherwise(lit(null).cast("string")).as("token_id_hex"),
         // empty/absent data decodes to 0 (etl_pipeline.py:97); data that is

@@ -498,6 +498,12 @@ object Extensions {
     "dedup_lsh_pairs"     -> dedupLshPairsSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_jaccard_rare"  -> dedupJaccardRareSql,
+    // PRECONDITION: this oracle is the EXHAUSTIVE jaccard — it equals the
+    // LSH-candidate-restricted engine result only while LSH recall is
+    // complete on the corpus (asserted for sf0.001/sf0.01/sf0.1 by the
+    // round-2 verify runs + DedupSpec's recall test). At a larger sf where
+    // a true near-dup pair misses every band, a mismatch here means lost
+    // RECALL, not a wrong engine answer — re-check recall before debugging.
     "dedup_near_dup"      -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,

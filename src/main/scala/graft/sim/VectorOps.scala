@@ -226,6 +226,12 @@ object VectorOps {
 
   private def assignWithCells(emb: DataFrame,
       cells: Array[(Long, Array[Float], Double)]): DataFrame = {
+    // an empty codebook would make array_max(array()) a NullType and the
+    // .getField fail analysis; the join-based form this replaced produced
+    // zero assignments for zero cells, so degrade to that
+    if (cells.isEmpty)
+      return emb.filter(lit(false))
+        .select(col("vec_id"), col("embedding"), lit(0L).as("cell"))
     val scored = cells.map { case (cell, ce, cnrm) =>
       struct(
         ((fixedDot(col("embedding"), typedlit(ce)).cast("double") / Scale) / cnrm)
@@ -264,6 +270,10 @@ object VectorOps {
       }
     if (!collected.contains(queryId)) return emptyTopK(emb)
     val qe = collected(queryId)
+    // no codebook → no cells to probe; the join-based form degraded to the
+    // query-only candidate set, so match that instead of failing analysis
+    if (cells.isEmpty)
+      return topKVsQuery(emb.filter(col("vec_id") === queryId), qe, k)
     val qnrm = math.sqrt(graft.functions.FixedDotOps.dot(qe, qe).toDouble / Scale)
     val probed = cells
       .map { case (cell, ce, cnrm) =>

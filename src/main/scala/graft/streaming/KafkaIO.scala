@@ -74,9 +74,13 @@ object KafkaIO {
     * kafka_producer.py:196,208) falling back to block_number
     * (kafka_producer.py:105-111). Works on batch and streaming frames. */
   def sinkRecords(rows: DataFrame): DataFrame = {
+    // Python's `key or str(block_number)` is a FALSY check, not a null
+    // check: an empty-string tx_hash (DeFiSwapParser emits '') must fall
+    // through to the block number, or every swap record would share key ''
+    // and land on one Kafka partition
     val keyCols = Seq("tx_hash", "block_number")
       .filter(rows.columns.contains)
-      .map(c => col(c).cast("string"))
+      .map(c => nullif(col(c).cast("string"), lit("")))
     require(keyCols.nonEmpty,
       "sinkRecords needs a tx_hash or block_number column to key records " +
         s"(kafka_producer.py:105-111); got: ${rows.columns.mkString(", ")}")

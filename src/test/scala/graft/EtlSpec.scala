@@ -84,6 +84,21 @@ class TokenTransferDecoderSpec extends SparkSpec {
     assert(BigInt(row.getString(1), 16) == huge)
   }
 
+  test("token_id_hex canonicalizes unprefixed and whitespace-padded topics") {
+    // int(x, 16) accepts '0123', '0x0123' and ' 0x123' as the same value;
+    // the canonical hex id must agree or joins/dedup on it would split
+    val prefixed = "0x" + "0" * 61 + "123"
+    val msg = Fixtures.transferMessage("ERC-721", tokenId = BigInt(0x123))
+    assert(msg.contains(prefixed))
+    val variants = Seq(msg,
+      msg.replace(prefixed, "0" * 61 + "123"),
+      msg.replace(prefixed, " " + prefixed))
+    for (m <- variants) {
+      val row = decode(Seq(m)).select("token_id_hex").collect()(0)
+      assert(row.getString(0) == "123", m.take(80))
+    }
+  }
+
   test("erc721 corrupt token-id hex still drops the row") {
     val msg = Fixtures.transferMessage("ERC-721")
     val corrupt = msg.replace("0x" + "0" * 63 + "1", "0xZZnothex")

@@ -152,6 +152,16 @@ class SimilaritySpec extends SparkSpec {
     assert(VectorOps.ivfTopK(emb, queryId = 999999L, k = 10).count() == 0)
   }
 
+  test("empty codebook degrades: zero assignments, query-only topk") {
+    // a corpus whose low vec_ids were all filtered out has no codebook rows;
+    // the struct-argmax over zero centroids must not be constructed (it
+    // would fail analysis) — degrade like the old join-based form did
+    val noLow = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 16)
+    assert(VectorOps.ivfAssign(noLow, nCells = 16).count() == 0)
+    val top = VectorOps.ivfTopK(noLow, queryId = 20L, k = 5).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(20L))
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val b1 = VectorOps.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b2 = VectorOps.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getString(1)).toMap

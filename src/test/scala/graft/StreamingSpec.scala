@@ -166,6 +166,16 @@ class KafkaIOSpec extends SparkSpec {
       decoded.select("contract").collect().map(_.getString(0)).toSet)
   }
 
+  test("sink records: empty-string tx_hash falls through to block_number") {
+    // `key or str(block_number)` in the reference is a falsy check — swap
+    // records carry tx_hash='' and must NOT all share Kafka key ''
+    import spark.implicits._
+    val rows = Seq(("", 18000000L), ("0x" + "c" * 64, 18000001L))
+      .toDF("tx_hash", "block_number")
+    val recs = KafkaIO.sinkRecords(rows).collect()
+    assert(recs.map(_.getString(0)).toSet == Set("18000000", "0x" + "c" * 64))
+  }
+
   test("sink records fall back to block_number when no tx_hash column") {
     import spark.implicits._
     val rows = Seq((18000000L, "a"), (18000001L, "b"))
