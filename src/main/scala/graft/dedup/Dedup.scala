@@ -150,15 +150,31 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over all colliding pairs (shingle equi-join).
-    * `threshold` keeps only near-dups. */
+    * `threshold` keeps only near-dups. Session-caches the shingle digest
+    * frame — long-lived callers should use [[jaccardPairsManaged]]. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    jaccardOverShingles(shingled(docs), threshold)
+    jaccardOverShingles(shingled(docs), threshold)._1
+
+  /** [[jaccardPairs]] with an [[graft.CachedResult]] handle that releases
+    * the cached shingle frame on close(). */
+  def jaccardPairsManaged(docs: DataFrame, threshold: Double): graft.CachedResult = {
+    val (df, cached) = jaccardOverShingles(shingled(docs), threshold)
+    new graft.CachedResult(df, cached)
+  }
 
   /** Jaccard over the DF-filtered shingle set — the 100 TB exact pass. */
   def jaccardPairsRare(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame =
-    jaccardOverShingles(rareShingled(docs, maxDf), threshold)
+    jaccardOverShingles(rareShingled(docs, maxDf), threshold)._1
 
-  private def jaccardOverShingles(shRaw: DataFrame, threshold: Double): DataFrame = {
+  /** [[jaccardPairsRare]] with a cache-releasing handle. */
+  def jaccardPairsRareManaged(docs: DataFrame, threshold: Double,
+                              maxDf: Int): graft.CachedResult = {
+    val (df, cached) = jaccardOverShingles(rareShingled(docs, maxDf), threshold)
+    new graft.CachedResult(df, cached)
+  }
+
+  private def jaccardOverShingles(shRaw: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     // Join key: the 16-byte md5 digest instead of the raw shingle string —
     // a fixed-width binary exchange with cheaper comparisons (measured 3.5×
     // on the self-join at sf0.1, and the gap widens with shingle length).
@@ -181,7 +197,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
-    common
+    val result = common
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
       // raw double ratio of exact integers — bit-identical across engines;
@@ -191,6 +207,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "common", "jaccard")
       .orderBy("d1", "d2")
+    (result, Seq(sh))
   }
 
   /** MinHash+LSH near-dup pipeline: LSH candidates verified with exact
@@ -204,14 +221,27 @@ object Dedup {
     * would re-execute the whole LSH DAG (the round-1 41 s plan ran the
     * shingle explode ≥3×; this one runs it once). Callers that loop should
     * `spark.catalog.clearCache()` between invocations. */
-  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
+    nearDuplicatesWithCaches(docs, threshold)._1
+
+  /** [[nearDuplicates]] with a handle releasing all three persisted frames
+    * (shingles, candidates, shingle digests). */
+  def nearDuplicatesManaged(docs: DataFrame, threshold: Double): graft.CachedResult = {
+    val (df, cached) = nearDuplicatesWithCaches(docs, threshold)
+    new graft.CachedResult(df, cached)
+  }
+
+  private def nearDuplicatesWithCaches(docs: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val sh = shingled(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshFromSignatures(minhashFromShingles(sh))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    jaccardOverShingles(sh.join(candIds, Seq("doc_id"), "left_semi"), threshold)
+    val (df, inner) =
+      jaccardOverShingles(sh.join(candIds, Seq("doc_id"), "left_semi"), threshold)
+    (df, Seq(sh, cand) ++ inner)
   }
 
   val SimhashBits = 16

@@ -101,14 +101,24 @@ object Relational3 {
       |GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type), ())
       |ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
 
-  /** ntile + percent_rank over a total order (unique tiebreak). */
+  /** ntile + percent_rank over a total order (unique tiebreak) WITHOUT a
+    * global window: a no-partition `Window.orderBy` would funnel every row
+    * through one task (Exchange SinglePartition — the one scale-killer plan
+    * flagged in round 2). Instead the rank comes from
+    * [[DistributedRank.withRank]] (bucket histogram + parallel per-bucket
+    * window) and ntile/percent_rank are pure arithmetic on (rank, n). */
   private val windowRanks: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
+    val orders = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    // ~1k-wide price bands spread TPC-H o_totalprice (≈900..600k) across
+    // ~600 independent buckets; narrow the band to raise parallelism at
+    // larger scale
+    val (ranked, n) = DistributedRank.withRank(orders,
+      floor(col("o_totalprice") / 1000.0),
+      Seq(col("o_totalprice"), col("o_orderkey")))
+    ranked
       .select(col("o_orderkey"), col("o_totalprice"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pct_rank"))
+        DistributedRank.ntileFromRank(col("rank"), n, 4).as("quartile"),
+        DistributedRank.percentRankFromRank(col("rank"), n).as("pct_rank"))
       .orderBy("o_orderkey")
   }
 

@@ -174,8 +174,19 @@ object VectorOps {
     * bucket occupancy (≈ N/2^planes per bucket under the random-projection
     * mixing), and near neighbors land in the same bucket with the standard
     * SimHash collision probability (1 − θ/π per plane). The bucket frame is
-    * persisted so the bucket projection runs once, not per join branch. */
-  def cosinePairsLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    * persisted so the bucket projection runs once, not per join branch —
+    * long-lived callers should use [[cosinePairsLshManaged]]. */
+  def cosinePairsLsh(emb: DataFrame, threshold: Double): DataFrame =
+    cosinePairsLshWithCache(emb, threshold)._1
+
+  /** [[cosinePairsLsh]] with a handle releasing the persisted bucket frame. */
+  def cosinePairsLshManaged(emb: DataFrame, threshold: Double): graft.CachedResult = {
+    val (df, cached) = cosinePairsLshWithCache(emb, threshold)
+    new graft.CachedResult(df, cached)
+  }
+
+  private def cosinePairsLshWithCache(emb: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     graft.functions.FixedDotFunctions.register(emb.sparkSession)
     val withB = emb
       .select(col("vec_id"), bucketCol(LshPlanes).as("bucket"),
@@ -185,12 +196,13 @@ object VectorOps {
       col("embedding").as("ea"), col("nrm").as("n1"))
     val b = withB.select(col("bucket"), col("vec_id").as("v2"),
       col("embedding").as("eb"), col("nrm").as("n2"))
-    a.join(b, "bucket")
+    val result = a.join(b, "bucket")
       .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
         cosine(col("ea"), col("eb"), col("n1"), col("n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("v1", "v2")
+    (result, Seq(withB))
   }
 
   // ------------------------------------------------------------------ IVF

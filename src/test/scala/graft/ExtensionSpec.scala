@@ -56,6 +56,21 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("Managed variants release every persisted frame on close()") {
+    spark.catalog.clearCache()
+    def cacheEmpty = spark.sharedState.cacheManager.isEmpty
+    val emb = Tables.embeddings(spark, dir)
+    val handles = Seq(
+      Dedup.jaccardPairsManaged(docs, 0.5),
+      Dedup.jaccardPairsRareManaged(docs, 0.5, maxDf = 10),
+      Dedup.nearDuplicatesManaged(docs, 0.5),
+      VectorOps.cosinePairsLshManaged(emb, 0.3))
+    handles.foreach { h =>
+      assert(h.collectAndClose().nonEmpty)
+    }
+    assert(cacheEmpty, "a dedup/ANN query leaked cached blocks after close()")
+  }
+
   test("a planted degenerate duplicate cluster is capped, not quadratic") {
     import spark.implicits._
     // 500 byte-identical docs: every band bucket holds the full cluster.

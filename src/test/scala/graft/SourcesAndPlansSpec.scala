@@ -91,6 +91,27 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("window ranks avoid the single-partition global window") {
+    // ntile/percent_rank over a total order must NOT compile to a
+    // no-partition Window (Exchange SinglePartition = every row through one
+    // task); the histogram-rank form keeps the window partitioned by bucket
+    val df = graft.queries.Relational3.queries("q_window_ranks")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+    // and it must still agree with the global-window definition exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(org.apache.spark.sql.functions.col("o_totalprice"),
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    import org.apache.spark.sql.functions._
+    val expected = graft.queries.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy("o_orderkey").collect()
+    assert(df.collect().toSeq == expected.toSeq)
+  }
+
   test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     val ivf = graft.sim.VectorOps.ivfTopK(emb, 0L, 10)
