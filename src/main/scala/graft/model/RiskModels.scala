@@ -27,7 +27,11 @@ class HistoricalVaR(returns: DataFrame, valueCol: String = "r",
     val row = clean.crossJoin(broadcast(qdf))
       .agg(
         first(col("q")).as("q"),
-        avg(when(v <= col("q"), v)).as("tail_mean"),
+        // decimal-exact mean (graft.queries.Num.davg): float SUM is
+        // order-dependent and Spark's partial/final merge order is not
+        // deterministic — the exact sum makes the tail mean reproducible
+        // run-to-run AND engine-to-engine (the DuckDB oracle twin)
+        graft.queries.Num.davg(when(v <= col("q"), v)).as("tail_mean"),
         count(v).as("n"))
       .collect()(0)
 
