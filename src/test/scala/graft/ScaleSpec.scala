@@ -80,6 +80,59 @@ class ScaleSpec extends SparkSpec {
     assert(scanned.exists(_ <= 2), s"numFiles=$scanned of $totalBuckets buckets")
   }
 
+  test("partitioned rolling windows shard the frame and match the global result") {
+    // the scale path for the rolling gas-p90 / rolling-VaR windows: a
+    // partition column keeps the window out of Exchange SinglePartition,
+    // and within each partition the frames (rolling restarts per shard)
+    // must equal a global window run on that shard alone
+    import graft.etl.{EventEnvelopes, Ingest, TransactionFeatureEngineer}
+    val tx = Ingest.parseRaw(
+        EventEnvelopes.txEnvelopes(Tables.events(spark, "/root/testdata/sf0.001")))
+      .filter(col("event_type") === "transaction")
+      .select(col("payload.*"), col("block_number"),
+        col("block_timestamp"), col("chain_id"))
+      // time-bucket shard (block_timestamp is epoch seconds here); hours,
+      // so the sf0.001 feed (spanning ~3.6 h) still yields several shards
+      .withColumn("day", (col("block_timestamp") / 3600).cast("long"))
+    val sharded = TransactionFeatureEngineer.engineer(tx,
+      partitionCols = Seq("day"))
+    sharded.collect()
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
+    // per-shard equality with a global window restricted to the shard
+    val days = tx.select("day").distinct().collect().map(_.getLong(0))
+    assert(days.length > 1, "fixture must span multiple day shards")
+    val d0 = days.min
+    val globalOnShard = TransactionFeatureEngineer
+      .engineer(tx.filter(col("day") === d0))
+      .select("block_number", "nonce", "gas_p90", "is_high_priority")
+      .orderBy("block_number", "nonce").collect()
+    val shardRows = sharded.filter(col("day") === d0)
+      .select("block_number", "nonce", "gas_p90", "is_high_priority")
+      .orderBy("block_number", "nonce").collect()
+    assert(shardRows.toSeq == globalOnShard.toSeq)
+
+    // same for rollingVar: partitioned run == global run per shard
+    import spark.implicits._
+    val returns = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("idx"), (col("value") / 300.0 - 0.5).as("r"),
+        pmod(col("event_id"), lit(4)).as("shard"))
+    val m = new graft.model.HistoricalVaR(returns, "r")
+    val part = m.rollingVar(window = 10, partitionCols = Seq("shard"))
+    part.collect()
+    val pplan = part.queryExecution.executedPlan.toString
+    assert(!pplan.contains("Exchange SinglePartition"), pplan)
+    val s0 = new graft.model.HistoricalVaR(
+      returns.filter(col("shard") === 0), "r")
+      .rollingVar(window = 10)
+      .select("idx", "rolling_var").orderBy("idx").collect()
+    val p0 = part.filter(col("shard") === 0)
+      .select("idx", "rolling_var").orderBy("idx").collect()
+    assert(p0.toSeq == s0.toSeq)
+  }
+
   test("salting spreads a skewed key across subkeys and recombines exactly") {
     import spark.implicits._
     // heavily skewed: 90% of rows share key 0
