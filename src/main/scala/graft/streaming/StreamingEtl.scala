@@ -95,10 +95,25 @@ object StreamingEtl {
 
   /** Streaming exact dedup: state-backed dropDuplicates on the content
     * hash — only the 16-byte digest is held in state, never the document.
-    * In production add `withWatermark` + `dropDuplicatesWithinWatermark`
-    * to bound state; unbounded here mirrors a global exact pass. */
+    * State is unbounded (a global exact pass); the 100 TB always-on form
+    * is [[dedupedByContentBounded]]. */
   def dedupedByContent(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("h", md5(col(textCol))).dropDuplicates("h").drop("h")
+
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` on the
+    * content digest. State for a digest is evicted once the watermark passes
+    * its event time + `delay`, so an always-on pipeline holds only the
+    * recent window of digests — the trade: a duplicate arriving after its
+    * original's state expired is emitted again (exactly the semantics of
+    * every production streaming dedup; the batch exact pass catches
+    * long-range dupes). */
+  def dedupedByContentBounded(docs: DataFrame, tsCol: String,
+                              delay: String = "10 minutes",
+                              textCol: String = "text"): DataFrame =
+    docs.withColumn("h", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h")
 
   /** Running per-contract totals via keyed state (mapGroupsWithState):
     * bounded state per contract, update-mode output — the pattern for

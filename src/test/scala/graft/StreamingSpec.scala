@@ -109,6 +109,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded dedup drops dupes inside the watermark, re-emits after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = stream.toDS().toDF("doc_id", "ts", "text")
+    val out = StreamingEtl.dedupedByContentBounded(docs, "ts", "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bounded_dedup_out").start()
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    try {
+      // duplicate within the 10 s delay → dropped
+      stream.addData((1L, ts(0), "alpha"), (2L, ts(5), "alpha"))
+      q.processAllAvailable()
+      // advance the watermark far past alpha's expiry (state evicted)
+      stream.addData((3L, ts(600), "flush"))
+      q.processAllAvailable()
+      // late re-occurrence after expiry → emitted AGAIN (bounded-state trade)
+      stream.addData((4L, ts(601), "alpha"))
+      q.processAllAvailable()
+      val texts = spark.table("bounded_dedup_out").select("text")
+        .collect().map(_.getString(0)).toSeq.sorted
+      assert(texts == Seq("alpha", "alpha", "flush"),
+        s"got $texts: want alpha once per watermark era, not globally unique")
+    } finally q.stop()
+  }
+
   test("keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
