@@ -52,6 +52,29 @@ class ApiSpec extends SparkSpec {
     })
   }
 
+  test("http server serves the reference's five routes as JSON in-process") {
+    val srv = new graft.api.ApiServer(spark, port = 0)
+    srv.start()
+    try {
+      def get(path: String): String = {
+        val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(conn.getResponseCode == 200, s"$path -> ${conn.getResponseCode}")
+        assert(conn.getContentType == "application/json")
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        conn.disconnect(); body
+      }
+      assert(get("/api/health").contains("\"ok\""))
+      val varJson = get("/api/var")
+      assert(varJson.contains("\"points\"") && varJson.contains("\"varUsd\""))
+      assert(get("/api/il").contains("\"keyPoints\""))
+      val mevJson = get("/api/mev")
+      assert(mevJson.contains("\"band\"") && mevJson.contains("\"summary\""))
+      assert(get("/api/transfers").contains("\"topContracts\""))
+    } finally srv.stop()
+  }
+
   test("backfill walks a block range as partitioned batch work") {
     val msgs = Fixtures.syntheticTxMessages(60) ++
       Fixtures.syntheticTransferMessages(60)
