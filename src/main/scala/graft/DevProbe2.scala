@@ -18,6 +18,15 @@ object DevProbe2 {
     val events = Tables.events(spark, sfDir)
     events.count() // warm
 
+    if (args.contains("explain")) {
+      val tx = Ingest.parseRaw(EventEnvelopes.txEnvelopes(events))
+        .filter(col("event_type") === "transaction")
+        .select(col("payload.gas_price"), col("block_number"))
+      println("=== narrow tx projection, optimized ===")
+      println(tx.queryExecution.optimizedPlan.toString.take(4000))
+      spark.stop(); return
+    }
+
     def time(name: String)(f: => Long): Unit = {
       (0 until 3).foreach { i =>
         val t0 = System.nanoTime()

@@ -455,6 +455,46 @@ object Extensions {
     rerankSql(candCte)
   }
 
+  // -------------------------------------------------------------- sketches
+  /** KMV distinct sketch (custom TypedImperativeAggregate) — the
+    * determinism-friendly approx-distinct: unlike HLL++ the estimate is
+    * bit-reproducible by any engine with md5, so this one gets a hash-exact
+    * oracle (q_approx_distinct stays rows-only as the HLL comparison). */
+  private val kmvDistinct: Q = (s, dir) => {
+    graft.functions.KmvFunctions.register(s)
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.KmvFunctions
+        .kmvDistinct(col("event_id").cast("string")).as("distinct_est"))
+      .orderBy("event_type")
+  }
+
+  private val kmvDistinctSql = {
+    val k = graft.functions.KmvFunctions.DefaultK
+    // prefix48(h): 12 hex digits as an exact-in-double integer, built from
+    // per-digit powers (every partial sum < 2^53, so float addition never
+    // rounds and the value is engine-exact)
+    val v = "list_sum(list_transform(range(1, 13), i -> " +
+      "(strpos('0123456789abcdef', substr(h, CAST(i AS INTEGER), 1)) - 1) " +
+      "* power(16, 12 - i)))"
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_type, md5(CAST(event_id AS VARCHAR)) AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM d
+       |)
+       |SELECT event_type,
+       |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |       ELSE ${(k - 1).toDouble} * ${graft.functions.KmvFunctions.FracScale}
+       |            / NULLIF($v, 0.0) END AS distinct_est
+       |FROM r
+       |WHERE rn = CASE WHEN nd < $k THEN 1 ELSE $k END
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ------------------------------------------------------------ multimodal
   /** Binary-column pipeline with stubbed codec — rows-only check. The
     * library API keeps `hist` as array<bigint>; the CONTRACT projection
@@ -485,6 +525,7 @@ object Extensions {
     "sim_cosine_topk"     -> simTopK,
     "sim_ann_topk"        -> simAnnTopK,
     "sim_ivf_topk"        -> simIvfTopK,
+    "q_kmv_distinct"      -> kmvDistinct,
     "mm_features"         -> mmFeatures,
   )
 
@@ -511,5 +552,6 @@ object Extensions {
     "sim_cosine_topk"     -> simTopKSql,
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,
+    "q_kmv_distinct"      -> kmvDistinctSql,
   )
 }

@@ -56,6 +56,25 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("KMV sketch: exact below k, ~6% above k, partitioning-invariant") {
+    import spark.implicits._
+    graft.functions.KmvFunctions.register(spark)
+    def est(df: org.apache.spark.sql.DataFrame, k: Int): Double =
+      df.agg(graft.functions.KmvFunctions.kmvDistinct(col("x"), k).as("e"))
+        .collect()(0).getDouble(0)
+    val small = (1 to 100).map(_.toString).toDF("x")
+    assert(est(small, 256) == 100.0) // below k: exact count
+    val big = (1 to 50000).map(i => s"v$i").toDF("x")
+    val e = est(big, 256)
+    assert(math.abs(e - 50000) / 50000 < 0.2, s"estimate $e for 50000")
+    // merge path: the sketch is set-union + truncate, so any partitioning
+    // (and thus any partial-aggregation order) yields the identical value
+    assert(est(big.repartition(17), 256) == e)
+    assert(est(big.coalesce(1), 256) == e)
+    // duplicates don't move the estimate (distinct semantics)
+    assert(est(big.union(big).repartition(5), 256) == e)
+  }
+
   test("Managed variants release every persisted frame on close()") {
     spark.catalog.clearCache()
     def cacheEmpty = spark.sharedState.cacheManager.isEmpty
