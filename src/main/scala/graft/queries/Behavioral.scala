@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.EventAnalytics
+
+/** Behavioral-analytics contract queries over the events/documents tables —
+  * sessionization, funnel, retention cohorts, deterministic corpus split.
+  * Every output is count/min/max/string-exact, so all four oracles are
+  * hash-exact (no float leniency anywhere). */
+object Behavioral {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sessionize: Q = (s, dir) =>
+    EventAnalytics.sessionize(Tables.events(s, dir))
+
+  private val sessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+      |), m AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), sget AS (
+      |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM m
+      |)
+      |SELECT user_id, session_id,
+      |  min(ts) AS session_start,
+      |  max(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  (max(us) - min(us)) // 1000000 AS duration_sec
+      |FROM sget GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private val funnel: Q = (s, dir) =>
+    EventAnalytics.funnel(Tables.events(s, dir),
+      Seq("view", "click", "purchase"))
+
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view'
+      |       GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND us > s1.t GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(us) AS t FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND us > s2.t GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s1) AS stage_1_users,
+      |       (SELECT COUNT(*) FROM s2) AS stage_2_users,
+      |       (SELECT COUNT(*) FROM s3) AS stage_3_users""".stripMargin
+
+  private val retention: Q = (s, dir) =>
+    EventAnalytics.retention(Tables.events(s, dir))
+
+  private val retentionSql =
+    """WITH cohorts AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      |  FROM events GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+      |)
+      |SELECT cohort_date,
+      |  CAST(date_diff('day', cohort_date, active_date) AS INTEGER) AS day_offset,
+      |  COUNT(*) AS active_users
+      |FROM active JOIN cohorts USING (user_id)
+      |WHERE date_diff('day', cohort_date, active_date) BETWEEN 0 AND 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val hashSplit: Q = (s, dir) =>
+    EventAnalytics.hashSplit(Tables.documents(s, dir), col("doc_id"))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  private val hashSplitSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       |         < '${EventAnalytics.TrainBoundary}' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       |         < '${EventAnalytics.ValBoundary}' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_sessionize" -> sessionize,
+    "q_funnel"     -> funnel,
+    "q_retention"  -> retention,
+    "q_hash_split" -> hashSplit,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    "q_funnel"     -> funnelSql,
+    "q_retention"  -> retentionSql,
+    "q_hash_split" -> hashSplitSql,
+  )
+}

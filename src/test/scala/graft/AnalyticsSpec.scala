@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.analytics.EventAnalytics
+
+/** Behavioral analytics semantics the oracle can't isolate: exact gap
+  * boundaries, strict funnel ordering, split stability. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("sessionize splits strictly after the gap, not at it") {
+    val events = Seq(
+      (1L, 0L, ts(0)),
+      (1L, 1L, ts(1800)),   // exactly the gap -> SAME session
+      (1L, 2L, ts(3601)),   // 1801 s later -> new session
+      (2L, 3L, ts(0))
+    ).toDF("user_id", "event_id", "ts")
+    val out = EventAnalytics.sessionize(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 1L, 2L, 1800L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
+
+  test("funnel requires strictly increasing timestamps per stage") {
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "view", ts(0)), (2L, "click", ts(0)),  // tie -> click NOT after view
+      (3L, "click", ts(0)), (3L, "view", ts(10))  // wrong order
+    ).toDF("user_id", "event_type", "ts")
+    val r = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 1L)))
+  }
+
+  test("hash split is ~80/10/10, keyed only by id, stable under repartition") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+    val counts = EventAnalytics.hashSplit(docs, col("doc_id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.06, counts)
+    assert(math.abs(counts("val") / n - 0.1) < 0.05, counts)
+    // same ids -> same assignment regardless of partitioning or other cols
+    val a = EventAnalytics.hashSplit(docs, col("doc_id"))
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    val b = EventAnalytics.hashSplit(docs.repartition(13).drop("text"),
+      col("doc_id")).select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
