@@ -35,11 +35,23 @@ object Dedup {
   val MinhashK = 16
   val LshBands = 4 // 4 bands × 4 rows
 
+  /** Spread a narrow input across the cluster when the source has fewer
+    * partitions than cores: the tokenize→shingle→digest stage is ~100× the
+    * scan cost, and a single small parquet file would otherwise pin it to
+    * one task (shuffling the raw docs once is far cheaper than running the
+    * digest stage serially). At real scale the input has >> cores
+    * partitions and this is a no-op — the body is never shuffled there. */
+  private def spread(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** Per-doc exploded distinct shingles: (doc_id, shingle), via the fused
     * codegen'd [[graft.functions.WordShinglesExpr]] (identical semantics to
     * the composable TextOps.shingles form — see its scaladoc for why the
     * HOF route was 8× slower even with materialized tokens). */
-  def shingled(docs: DataFrame, n: Int = 3): DataFrame =
+  def shingled(docsRaw: DataFrame, n: Int = 3): DataFrame = {
+    val docs = spread(docsRaw)
     if (n == 3) {
       graft.functions.WordShingleFunctions.register(docs.sparkSession)
       docs.select(col("doc_id"),
@@ -53,6 +65,7 @@ object Dedup {
         .select(col("doc_id"),
           explode(TextOps.shingles(col("toks"), n)).as("shingle"))
     }
+  }
 
   /** Hash windows per md5: each of the 16 minhash functions h_k is a
     * non-overlapping 8-hex-digit (32-bit) window of md5("(k/4)|"+shingle) —
@@ -249,7 +262,8 @@ object Dedup {
   /** 16-bit SimHash over tokens (with repeats): bit j votes +1 when the
     * high bit of hex digit j of md5(token) is set. Output is a '0'/'1'
     * string, engine-exact. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docsRaw: DataFrame): DataFrame = {
+    val docs = spread(docsRaw)
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("w"))
       .withColumn("h", md5(col("w")))
