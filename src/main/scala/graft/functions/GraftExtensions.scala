@@ -25,5 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("fixed_dot"),
       new ExpressionInfo(classOf[FixedDotExpr].getName, "fixed_dot"),
       exprs => FixedDotExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      exprs => WordShinglesExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      exprs => {
+        val k = exprs.lift(1).map(_.eval(null).asInstanceOf[Int])
+          .getOrElse(KmvFunctions.DefaultK)
+        KmvSketchAgg(exprs.head, k)
+      }))
   }
 }

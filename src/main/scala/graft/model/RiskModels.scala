@@ -45,6 +45,42 @@ class HistoricalVaR(returns: DataFrame, valueCol: String = "r",
       cvarPct * positionSize, row.getLong(2), "historical_simulation")
   }
 
+  /** Every (confidence, horizonDays) pair in ONE pass over the returns:
+    * `percentile(v, array(...))` evaluates all quantiles in a single
+    * aggregate, and all conditional tail means share one
+    * broadcast-quantile second aggregate — 2 jobs total regardless of how
+    * many specs, vs 2 per [[compute]] call. At 100 TB the returns scan is
+    * the cost; this reads it twice instead of 2·|specs| times. Values are
+    * bit-identical to per-spec [[compute]] calls (same quantile
+    * evaluation, same decimal-exact tail mean, same driver arithmetic). */
+  def computeAll(specs: Seq[(Double, Int)],
+                 scaleBySqrt: Boolean = true): Seq[VaRResult] = {
+    require(specs.nonEmpty)
+    val v = col(valueCol)
+    val ps = specs.map(s => 1 - s._1).distinct
+    val qdf = clean.agg(percentile(v, typedlit(ps)).as("qs"), count(v).as("n"))
+    val tails = ps.indices.map(i =>
+      graft.queries.Num.davg(when(v <= element_at(col("qs"), i + 1), v))
+        .as(s"t$i"))
+    val row = clean.crossJoin(broadcast(qdf))
+      .agg(first(col("qs")).as("qs"),
+        (first(col("n")).as("n") +: tails): _*)
+      .collect()(0)
+    val qs = row.getSeq[Double](0)
+    val n = row.getLong(1)
+    specs.map { case (conf, horizonDays) =>
+      val i = ps.indexOf(1 - conf)
+      var varPct = -qs(i)
+      var cvarPct = -row.getDouble(2 + i)
+      if (scaleBySqrt && horizonDays > 1) {
+        val s = math.sqrt(horizonDays.toDouble)
+        varPct *= s; cvarPct *= s
+      }
+      VaRResult(conf, horizonDays, varPct * positionSize,
+        cvarPct * positionSize, n, "historical_simulation")
+    }
+  }
+
   /** Rolling 1-day VaR (risk_models.py:110-122): window `window`,
     * min_periods = window/2 (pandas semantics: null below the threshold),
     * exact interpolated quantile. Pass partitionCols to shard the window at

@@ -268,7 +268,7 @@ object Domain {
     // ROUND(4): Spark interpolates the quantile as (h−pos)·l + (pos−l)·h,
     // DuckDB as l + frac·(h−l) — up to 1 ulp apart, ×1e6 position size ≈
     // 6e-11 USD; a 0.1-cent grid absorbs it on both sides
-    Seq(m.compute(0.95), m.compute(0.99), m.compute(0.95, horizonDays = 10))
+    m.computeAll(Seq((0.95, 1), (0.99, 1), (0.95, 10)))
       .toDF()
       .withColumn("varUsd", round(col("varUsd"), 4))
       .withColumn("cvarUsd", round(col("cvarUsd"), 4))

@@ -37,6 +37,14 @@ class HistoricalVaRSpec extends SparkSpec {
     assert(math.abs(r10.varUsd - r1.varUsd * math.sqrt(10)) < 1e-6)
   }
 
+  test("computeAll: one pass, bit-identical to per-spec compute calls") {
+    val m = new HistoricalVaR(returnsDf(), "r", 1000000.0)
+    val specs = Seq((0.95, 1), (0.99, 1), (0.95, 10))
+    val all = m.computeAll(specs)
+    val each = specs.map { case (c, h) => m.compute(c, h) }
+    assert(all == each) // exact equality, doubles included
+  }
+
   test("rolling var preserves series length and gates min_periods") {
     val model = new HistoricalVaR(returnsDf(100), "r")
     val rolling = model.rollingVar(window = 30).orderBy("idx")
