@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side machinery — schema, partition-parallel batch processing
   * via `mapPartitions` over a typed Dataset (the Scala analogue of
   * PySpark's `mapInPandas` batch UDF), output schema, and the
-  * queries-surface wiring — is real and tested. The image and audio codecs
-  * are REAL pure-JVM parsers for the two classic header-described formats
-  * (uncompressed 24-bit BMP, PCM WAV), so the decode stage exercises a
-  * genuine byte-level parse; the video path stays a clearly-marked
-  * deterministic stub (no container/codec library ships in this sandbox).
-  * Swapping richer codecs changes only [[Codecs.decode]]'s dispatch; every
+  * queries-surface wiring — is real and tested. All three codecs are REAL
+  * pure-JVM parsers for classic header-described formats: uncompressed
+  * 24-bit BMP (image), PCM WAV (audio), and uncompressed RIFF AVI with DIB
+  * frames (video) — so every decode stage exercises a genuine byte-level
+  * container parse. Compressed codecs (JPEG/H.264/…) would slot into the
+  * same dispatch via a library; swapping them changes only
+  * [[Codecs.decode]]; every
   * distributed concern (no driver collect, per-partition batching, binary
   * columns never shuffled except by explicit repartition) stays as-is.
   */
@@ -109,21 +110,82 @@ object Codecs {
     }
   }
 
-  /** STUB — deterministic fake decode for formats without a pure-JVM parser
-    * here (the video path): interprets content bytes as the decoded sample
-    * stream. A real implementation would call a container/codec library;
-    * everything downstream only sees the returned array, so the contract is
-    * identical. */
+  /** Uncompressed AVI ('DIB ' vids stream) → concatenated per-frame pixel
+    * channel bytes, frames in stream order, row padding stripped. Walks the
+    * public RIFF/AVI layout: 'RIFF…AVI ', LIST 'hdrl' → 'avih' main header
+    * (frame width/height at +32/+36), LIST 'movi' → '##db'/'##dc' frame
+    * chunks whose payload is a bottom-up DIB pixel array (rows padded to 4
+    * bytes, like BMP). Returns None when the container or stream is not
+    * parseable uncompressed video. Same hostile-input posture as the other
+    * codecs: Long arithmetic + monotonic chunk walk, never a crash/hang. */
+  def decodeAvi(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 24) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    var width = -1; var height = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def chunkId(p: Int) = new String(b.slice(p, p + 4), "US-ASCII")
+    def walk(from: Long, until: Long): Boolean = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val p = pos.toInt
+        val id = chunkId(p)
+        val size = u32le(b, p + 4).toLong & 0xffffffffL
+        if (pos + 8 + size > until) return false // hostile/truncated size
+        if (id == "LIST" && size >= 4) {
+          val sub = chunkId(p + 8)
+          if (sub == "hdrl" || sub == "movi" || sub == "strl")
+            if (!walk(pos + 12, pos + 8 + size)) return false
+        } else if (id == "avih" && size >= 40) {
+          width = u32le(b, p + 8 + 32)
+          height = u32le(b, p + 8 + 36)
+        } else if (id.length == 4 && id.substring(2).matches("d[bc]")) {
+          frames += ((p + 8, size.toInt))
+        }
+        pos += 8 + size + (size & 1) // word-aligned, monotonic
+      }
+      true
+    }
+    val riffSize = u32le(b, 4).toLong & 0xffffffffL
+    if (!walk(12, math.min(8 + riffSize, b.length.toLong))) return None
+    if (width <= 0 || height <= 0 || frames.isEmpty) return None
+    val rowBytesL = width.toLong * 3
+    val strideL = (rowBytesL + 3) / 4 * 4
+    if (strideL * height > Int.MaxValue ||
+        rowBytesL * height * frames.length > Int.MaxValue) return None
+    val rowBytes = rowBytesL.toInt; val stride = strideL.toInt
+    if (frames.exists { case (_, n) => n < stride * height }) return None
+    val perFrame = rowBytes * height
+    val out = new Array[Int](perFrame * frames.length)
+    var f = 0
+    while (f < frames.length) {
+      val (off, _) = frames(f)
+      var r = 0
+      while (r < height) {
+        var i = 0
+        while (i < rowBytes) {
+          out(f * perFrame + r * rowBytes + i) = b(off + r * stride + i) & 0xff
+          i += 1
+        }
+        r += 1
+      }
+      f += 1
+    }
+    Some(out)
+  }
+
+  /** Deterministic fallback decode for unknown formats / corrupt headers:
+    * interprets content bytes as the decoded sample stream, so decode
+    * failures are data, not crashes, in a 100 TB pipeline. */
   def decodeStub(content: Array[Byte], meta: MediaMeta): Array[Int] =
     content.map(b => b & 0xff)
 
-  /** Format dispatch: real parse for bmp/wav, stub otherwise; a corrupt
-    * header degrades to the stub rather than dropping the row (decode
-    * failures are data, not crashes, in a 100 TB pipeline). */
+  /** Format dispatch: real parse for bmp/wav/avi, fallback otherwise. */
   def decode(content: Array[Byte], meta: MediaMeta): Array[Int] =
     meta.format match {
       case "bmp" => decodeBmp(content).getOrElse(decodeStub(content, meta))
       case "wav" => decodeWav(content).getOrElse(decodeStub(content, meta))
+      case "avi" => decodeAvi(content).getOrElse(decodeStub(content, meta))
       case _     => decodeStub(content, meta)
     }
 
@@ -183,18 +245,71 @@ object Codecs {
     bytes.foreach(b => out.putShort((((b & 0xff) - 128) << 8).toShort))
     out.array()
   }
+  /** Minimal uncompressed AVI ('DIB ' vids stream) around raw channel
+    * bytes: frames of `width`×`height` 24-bpp DIBs, zero-padded to whole
+    * frames. Decodes back (frame-concatenated, padding stripped) via
+    * [[decodeAvi]]. */
+  def encodeAvi(channels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    val perFrameRaw = rowBytes * height
+    val frameBytes = stride * height
+    val nFrames = math.max(1, (channels.length + perFrameRaw - 1) / perFrameRaw)
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String) = out.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); out.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); out.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); out.putInt(56)
+    out.putInt(33333).putInt(0).putInt(0).putInt(0).putInt(nFrames)
+      .putInt(0).putInt(1).putInt(frameBytes).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); out.putInt(strlSize); fourcc("strl")
+    fourcc("strh"); out.putInt(56)
+    fourcc("vids"); fourcc("DIB "); out.putInt(0).putShort(0).putShort(0)
+      .putInt(0).putInt(1).putInt(30).putInt(0).putInt(nFrames)
+      .putInt(frameBytes).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    fourcc("strf"); out.putInt(40)
+    out.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); out.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); out.putInt(frameBytes)
+      var r = 0
+      while (r < height) {
+        var i = 0
+        while (i < stride) {
+          val src = f * perFrameRaw + r * rowBytes + i
+          out.put(if (i < rowBytes && src < channels.length) channels(src)
+                  else 0.toByte)
+          i += 1
+        }
+        r += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
 }
 
 object Multimodal {
 
   val ImageWidth = 16
+  val VideoWidth = 8
+  val VideoHeight = 4
 
   /** Deterministic synthetic media corpus derived from the documents table:
     * the document's UTF-8 bytes become REAL media payloads — a 24-bpp BMP
     * (pixel channels = text bytes) for images, a PCM16 WAV (samples = text
-    * bytes, recoverable exactly by the normalized decode) for audio, and a
-    * stub blob for video. Partitioning follows the source scan — binary
-    * blobs are never shuffled. */
+    * bytes, recoverable exactly by the normalized decode) for audio, and an
+    * uncompressed AVI (8×4 24-bpp DIB frames) for video. Partitioning
+    * follows the source scan — binary blobs are never shuffled. */
   def syntheticMedia(docs: DataFrame): Dataset[MediaFile] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -205,10 +320,11 @@ object Multimodal {
         val (content, format) = kind match {
           case "image" => (Codecs.encodeBmp(raw, ImageWidth), "bmp")
           case "audio" => (Codecs.encodeWav(raw, 16000), "wav")
-          case _       => (raw, "mp4-stub")
+          case _       => (Codecs.encodeAvi(raw, VideoWidth, VideoHeight), "avi")
         }
         MediaFile(id, kind, content,
-          MediaMeta(width = ImageWidth, height = 480,
+          MediaMeta(width = if (kind == "video") VideoWidth else ImageWidth,
+            height = if (kind == "video") VideoHeight else 480,
             sampleRate = 16000, durationMs = nChars * 10, format = format))
       }
   }

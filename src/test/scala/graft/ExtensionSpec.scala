@@ -272,6 +272,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.decodeWav("RIFFjunk".getBytes).isEmpty)
   }
 
+  test("AVI codec round-trips frame bytes through a real RIFF walk") {
+    val raw = Array.tabulate(250)(i => (i * 7 % 256).toByte) // 2.6 frames of 96
+    val avi = Codecs.encodeAvi(raw, Multimodal.VideoWidth, Multimodal.VideoHeight)
+    val decoded = Codecs.decodeAvi(avi).get
+    assert(decoded.length == 3 * 96) // 3 whole frames, last zero-padded
+    assert(decoded.take(250).toSeq == raw.map(_ & 0xff).toSeq)
+    assert(decoded.drop(250).forall(_ == 0))
+    assert(Codecs.decodeAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+    // hostile frame-chunk size must end the parse as None, not crash
+    val evil = avi.clone()
+    val moviFrame = { // first '00db' chunk size field
+      val idx = evil.indexOfSlice("00db".getBytes("US-ASCII"))
+      evil(idx + 4) = 0xff.toByte; evil(idx + 5) = 0xff.toByte
+      evil(idx + 6) = 0xff.toByte; evil(idx + 7) = 0x7f.toByte
+      evil
+    }
+    assert(Codecs.decodeAvi(moviFrame).isEmpty)
+  }
+
   test("corrupt media degrades to the stub decode, not a crash") {
     val meta = MediaMeta(16, 480, 16000, 0L, "bmp")
     val junk = Array.tabulate(100)(_.toByte)
