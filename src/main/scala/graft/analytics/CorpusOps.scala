@@ -1,0 +1,57 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines: deterministic
+  * stratified sampling and sequence packing. Like [[EventAnalytics]], both
+  * are window/aggregate compositions whose outputs are integer- and
+  * string-exact — hash-exact oracle twins, no float leniency. */
+object CorpusOps {
+
+  /** Deterministic stratified sample: the `n` smallest md5(id) per stratum.
+    * Hash order is uniform and content-free, so this is an unbiased
+    * per-stratum sample that is stable under reruns, repartitioning, and
+    * corpus growth restricted to other ids — `rank` makes the draw
+    * reproducible and auditable. One partitioned window, no shuffle beyond
+    * the stratum exchange; at scale strata shard naturally. */
+  def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(idCol.cast("string")), idCol)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
+  /** Greedy sequence packing: walk documents in `orderCol` order, assign
+    * each to the bin its running token count starts in —
+    * `bin_id = (cumsum − tokens) div binTokens`. Contiguous documents land
+    * in the same bin until the budget spills (a document straddling the
+    * boundary is attributed to the bin it starts in, the standard
+    * streaming-packing convention). One window + one aggregate; partition
+    * the window by a shard column at scale (packing is per-shard there,
+    * which is also what a distributed trainer wants). Returns per-bin
+    * (bin_id, n_docs, total_tokens, first_id, last_id). */
+  def packSequences(df: DataFrame, idCol: Column, tokensCol: Column,
+                    binTokens: Long,
+                    partitionCols: Seq[String] = Nil): DataFrame = {
+    val base = if (partitionCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(partitionCols.map(col): _*)
+    val w = base.orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keys = partitionCols.map(col) :+ col("bin_id")
+    df.select((partitionCols.map(col) :+ idCol.as("__id") :+
+        tokensCol.cast("long").as("__tok")): _*)
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      // integer floor division (`div`), not double `/`: token cumsums at
+      // corpus scale exceed double's exact-integer range
+      .withColumn("bin_id", expr(s"(__cum - __tok) div $binTokens"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        min(col("__id")).as("first_id"),
+        max(col("__id")).as("last_id"))
+      .orderBy(keys: _*)
+  }
+}

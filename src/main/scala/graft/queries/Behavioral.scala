@@ -81,17 +81,64 @@ object Behavioral {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val stratifiedSample: Q = (s, dir) =>
+    graft.analytics.CorpusOps.stratifiedSample(
+        Tables.documents(s, dir), col("doc_id"), col("lang"), n = 5)
+      .select("lang", "rank", "doc_id")
+      .orderBy("lang", "rank")
+
+  private val stratifiedSampleSql =
+    """SELECT lang, rank, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rank
+      |  FROM documents)
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
+  /** Packed per language shard — the scale form (no global window; packing
+    * is per-shard, which is also what a distributed trainer consumes). */
+  private val packSequences: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.analytics.CorpusOps.packSequences(
+      docs, col("doc_id"), col("n_tokens"), binTokens = 2048,
+      partitionCols = Seq("lang"))
+  }
+
+  private val packSequencesSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, doc_id, tok,
+      |    SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d
+      |)
+      |SELECT lang, (cum - tok) // 2048 AS bin_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_id,
+      |  max(doc_id) AS last_id
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q_sessionize" -> sessionize,
-    "q_funnel"     -> funnel,
-    "q_retention"  -> retention,
-    "q_hash_split" -> hashSplit,
+    "q_sessionize"        -> sessionize,
+    "q_funnel"            -> funnel,
+    "q_retention"         -> retention,
+    "q_hash_split"        -> hashSplit,
+    "q_stratified_sample" -> stratifiedSample,
+    "q_pack_sequences"    -> packSequences,
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_sessionize" -> sessionizeSql,
-    "q_funnel"     -> funnelSql,
-    "q_retention"  -> retentionSql,
-    "q_hash_split" -> hashSplitSql,
+    "q_sessionize"        -> sessionizeSql,
+    "q_funnel"            -> funnelSql,
+    "q_retention"         -> retentionSql,
+    "q_hash_split"        -> hashSplitSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_pack_sequences"    -> packSequencesSql,
   )
 }

@@ -35,6 +35,30 @@ class AnalyticsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 1L)))
   }
 
+  test("stratified sample draws n per stratum, deterministically") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+    val s1 = graft.analytics.CorpusOps
+      .stratifiedSample(docs, col("doc_id"), col("lang"), 5)
+      .select("lang", "rank", "doc_id").orderBy("lang", "rank").collect().toSeq
+    assert(s1.groupBy(_.getString(0)).forall(_._2.length == 5))
+    val s2 = graft.analytics.CorpusOps
+      .stratifiedSample(docs.repartition(11), col("doc_id"), col("lang"), 5)
+      .select("lang", "rank", "doc_id").orderBy("lang", "rank").collect().toSeq
+    assert(s1 == s2)
+  }
+
+  test("sequence packing respects the token budget per bin (straddle rule)") {
+    import spark.implicits._
+    val docs = Seq((1L, 1000L), (2L, 1000L), (3L, 100L), (4L, 2000L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val bins = graft.analytics.CorpusOps
+      .packSequences(docs, col("doc_id"), col("n_tokens"), binTokens = 2048)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cum: 1000,2000,2100,4100,4110 → start offsets 0,1000,2000,2100,4100
+    // → bins 0,0,0,1,2: a doc STARTING inside the budget joins the bin
+    assert(bins == Seq((0L, 3L, 2100L), (1L, 1L, 2000L), (2L, 1L, 10L)))
+  }
+
   test("hash split is ~80/10/10, keyed only by id, stable under repartition") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
     val counts = EventAnalytics.hashSplit(docs, col("doc_id"))
