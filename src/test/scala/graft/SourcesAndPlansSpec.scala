@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().toSeq == expected.toSeq)
   }
 
+  test("behavioral windows stay sharded: no single-partition exchanges") {
+    // sessionize, stratified sampling, and sequence packing all use
+    // partitioned windows — none may compile to Exchange SinglePartition
+    Seq("q_sessionize", "q_stratified_sample", "q_pack_sequences").foreach { q =>
+      val plan = graft.queries.Behavioral.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"), s"$q:\n$plan")
+    }
+  }
+
   test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     val ivf = graft.sim.VectorOps.ivfTopK(emb, 0L, 10)
