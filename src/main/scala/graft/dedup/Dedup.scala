@@ -257,6 +257,63 @@ object Dedup {
     (df, Seq(sh, cand) ++ inner)
   }
 
+  /** Consolidate near-dup PAIRS into clusters: connected components by
+    * iterative min-label propagation (each round, every node takes the
+    * smallest label among itself and its neighbors; fixpoint = components).
+    * Each iteration is one distributed join + aggregate; rounds needed =
+    * graph diameter, which for near-dup clusters is tiny (they are cliques
+    * or near-cliques — LSH+verify emits most intra-cluster pairs). A
+    * giant-diameter graph would want the large-star/small-star variant; for
+    * dedup consolidation this simple form is the right cost. Returns
+    * (doc_id, rep_id = min doc_id of the component) for every doc that
+    * appears in a pair — downstream keeps rep_id rows and drops the rest.
+    *
+    * The returned frame reads the final iteration's persisted labels
+    * (unpersisting them would force a recompute through the whole iteration
+    * lineage); one-shot harnesses end with `clearCache()`, long-lived
+    * callers use [[connectedComponentsManaged]]. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithCaches(pairs, maxIter)._1
+
+  /** [[connectedComponents]] with a cache-releasing handle. */
+  def connectedComponentsManaged(pairs: DataFrame,
+                                 maxIter: Int = 20): graft.CachedResult = {
+    val (df, cached) = connectedComponentsWithCaches(pairs, maxIter)
+    new graft.CachedResult(df, cached)
+  }
+
+  private def connectedComponentsWithCaches(pairs: DataFrame,
+      maxIter: Int): (DataFrame, Seq[DataFrame]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist(lvl)
+    var labels = edges.select(col("a")).distinct()
+      .withColumn("rep", col("a")).persist(lvl)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("a").as("b"), col("rep").as("nrep")), "b")
+        .groupBy("a").agg(min(col("nrep")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("a"), "left")
+        .select(col("a"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .persist(lvl)
+      changed = next
+        .join(labels.withColumnRenamed("rep", "old"), "a")
+        .filter(col("rep") =!= col("old")).count()
+      // `changed` just materialized `next`, so the previous iteration's
+      // cache can go — the final labels stay cached for the caller
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    val out = labels.select(col("a").as("doc_id"), col("rep").as("rep_id"))
+      .orderBy("doc_id")
+    (out, Seq(edges, labels))
+  }
+
   val SimhashBits = 16
 
   /** 16-bit SimHash over tokens (with repeats): bit j votes +1 when the

@@ -241,6 +241,37 @@ object Extensions {
   private val dedupNearDup: Q = (s, dir) =>
     Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)
 
+  /** Near-dup pairs consolidated into clusters (connected components, min
+    * doc_id as representative) — what a pipeline actually keys its "keep
+    * one copy" pass on. */
+  private val dedupClusters: Q = (s, dir) =>
+    Dedup.connectedComponents(
+      Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold))
+
+  /** DuckDB twin: the exhaustive jaccard pairs (same precondition as
+    * dedup_near_dup — complete LSH recall on this corpus) closed
+    * transitively with a recursive CTE, min label per component. */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $shinglesCte, sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), jp AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |    FROM sh a JOIN sh b
+       |      ON md5(a.shingle) = md5(b.shingle) AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2
+       |  ) p JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       |), edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp
+       |), reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+       |)
+       |SELECT a AS doc_id, min(b) AS rep_id
+       |FROM reach GROUP BY a ORDER BY a""".stripMargin
+
   // ------------------------------------------------------------ similarity
   val CosineThreshold = 0.3
 
@@ -520,6 +551,7 @@ object Extensions {
     "dedup_jaccard_rare"  -> dedupJaccardRare,
     "dedup_simhash"       -> dedupSimhash,
     "dedup_near_dup"      -> dedupNearDup,
+    "dedup_clusters"      -> dedupClusters,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
     "sim_cosine_topk"     -> simTopK,
@@ -546,6 +578,7 @@ object Extensions {
     // a true near-dup pair misses every band, a mismatch here means lost
     // RECALL, not a wrong engine answer — re-check recall before debugging.
     "dedup_near_dup"      -> dedupJaccardSql,
+    "dedup_clusters"      -> dedupClustersSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "emb_lsh_pairs"       -> embLshPairsSql,

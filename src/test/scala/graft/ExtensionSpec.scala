@@ -75,6 +75,18 @@ class DedupSpec extends SparkSpec {
     assert(est(big.union(big).repartition(5), 256) == e)
   }
 
+  test("connected components consolidate pairs into min-label clusters") {
+    import spark.implicits._
+    // path 1-2-3 (never a direct 1-3 pair), separate pair 7-8, chain 4-5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (5L, 6L), (4L, 5L))
+      .toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(comp == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 4L, 7L -> 7L, 8L -> 7L))
+    spark.catalog.clearCache()
+  }
+
   test("Managed variants release every persisted frame on close()") {
     spark.catalog.clearCache()
     def cacheEmpty = spark.sharedState.cacheManager.isEmpty
@@ -83,6 +95,10 @@ class DedupSpec extends SparkSpec {
       Dedup.jaccardPairsManaged(docs, 0.5),
       Dedup.jaccardPairsRareManaged(docs, 0.5, maxDf = 10),
       Dedup.nearDuplicatesManaged(docs, 0.5),
+      Dedup.connectedComponentsManaged {
+        import spark.implicits._
+        Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+      },
       VectorOps.cosinePairsLshManaged(emb, 0.3))
     handles.foreach { h =>
       assert(h.collectAndClose().nonEmpty)
