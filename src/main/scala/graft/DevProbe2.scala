@@ -90,3 +90,27 @@ object DevProbe2 {
     spark.stop()
   }
 }
+// appended: cluster loop instrumentation
+object DevProbe3 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.queries.Tables.documents(spark, sfDir)
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.Dedup.nearDuplicates(docs, 0.5)
+    val n = pairs.count()
+    println(f"pairs rows=$n  ${(System.nanoTime()-t0)/1e9}%.1f s")
+    val t1 = System.nanoTime()
+    val comp = graft.dedup.Dedup.connectedComponents(pairs)
+    println(f"components build ${(System.nanoTime()-t1)/1e9}%.1f s")
+    val t2 = System.nanoTime()
+    println("rows=" + comp.count())
+    println(f"materialize ${(System.nanoTime()-t2)/1e9}%.1f s  iters=" + graft.dedup.Dedup.lastComponentIterations)
+    spark.stop()
+  }
+}

@@ -154,12 +154,20 @@ object Dedup {
     * dropping them bounds join fan-out by maxDf per shingle while near-dup
     * pairs (whose shared shingles are rare by definition) keep their
     * overlap. */
-  def rareShingled(docs: DataFrame, maxDf: Int, n: Int = 3): DataFrame = {
+  def rareShingled(docs: DataFrame, maxDf: Int, n: Int = 3): DataFrame =
+    rareShingledWithCaches(docs, maxDf, n)._1
+
+  /** The shingle frame feeds BOTH the document-frequency aggregate and the
+    * semi-join's probe side — without a persist the tokenize→shingle DAG
+    * executes twice inside the one job that materializes the filtered set. */
+  private def rareShingledWithCaches(docs: DataFrame, maxDf: Int,
+      n: Int = 3): (DataFrame, Seq[DataFrame]) = {
     val sh = shingled(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
-    sh.join(rare, Seq("shingle"), "left_semi")
+    (sh.join(rare, Seq("shingle"), "left_semi"), Seq(sh))
   }
 
   /** Exact n-gram Jaccard over all colliding pairs (shingle equi-join).
@@ -176,14 +184,17 @@ object Dedup {
   }
 
   /** Jaccard over the DF-filtered shingle set — the 100 TB exact pass. */
-  def jaccardPairsRare(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame =
-    jaccardOverShingles(rareShingled(docs, maxDf), threshold)._1
+  def jaccardPairsRare(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val (rare, _) = rareShingledWithCaches(docs, maxDf)
+    jaccardOverShingles(rare, threshold)._1
+  }
 
   /** [[jaccardPairsRare]] with a cache-releasing handle. */
   def jaccardPairsRareManaged(docs: DataFrame, threshold: Double,
                               maxDf: Int): graft.CachedResult = {
-    val (df, cached) = jaccardOverShingles(rareShingled(docs, maxDf), threshold)
-    new graft.CachedResult(df, cached)
+    val (rare, rareCaches) = rareShingledWithCaches(docs, maxDf)
+    val (df, cached) = jaccardOverShingles(rare, threshold)
+    new graft.CachedResult(df, rareCaches ++ cached)
   }
 
   private def jaccardOverShingles(shRaw: DataFrame,
@@ -282,36 +293,58 @@ object Dedup {
     new graft.CachedResult(df, cached)
   }
 
+  /** Iterations the last [[connectedComponents]] call took (diagnostics). */
+  @volatile private[graft] var lastComponentIterations: Int = 0
+
   private def connectedComponentsWithCaches(pairs: DataFrame,
       maxIter: Int): (DataFrame, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // persist the pair input FIRST: the symmetric union references it in
+    // two branches, and `pairs` is typically the whole LSH+verify DAG
+    val p = pairs.persist(lvl)
+    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+      .union(p.select(col("d2").as("a"), col("d1").as("b")))
       .persist(lvl)
     var labels = edges.select(col("a")).distinct()
       .withColumn("rep", col("a")).persist(lvl)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // one job per iteration: `old` rides along in next, so the
+      // convergence count is a filter over the frame being cached — no
+      // extra join against the previous labels
       val neighborMin = edges
         .join(labels.select(col("a").as("b"), col("rep").as("nrep")), "b")
         .groupBy("a").agg(min(col("nrep")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("a"), "left")
+      val stepped = labels.join(neighborMin, Seq("a"), "left")
         .select(col("a"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-        .persist(lvl)
-      changed = next
-        .join(labels.withColumnRenamed("rep", "old"), "a")
-        .filter(col("rep") =!= col("old")).count()
-      // `changed` just materialized `next`, so the previous iteration's
-      // cache can go — the final labels stay cached for the caller
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("t"),
+          col("rep").as("old"))
+      // pointer jumping: follow the tentative rep one more hop
+      // (rep(rep(x))) so label distance doubles per iteration — chains
+      // converge in O(log diameter) rounds instead of O(diameter)
+      // localCheckpoint (eager), NOT persist: labels appears twice in each
+      // iteration's plan (neighbor join + jump self-join), so without
+      // lineage truncation the LOGICAL plan doubles per round and Catalyst
+      // re-analysis goes exponential — the checkpoint pins the iteration to
+      // a materialized leaf (blocks are reclaimed by the context cleaner
+      // when the previous iteration's frame goes out of scope)
+      val next = stepped
+        .join(stepped.select(col("a").as("t"), col("t").as("jump")),
+          Seq("t"), "left")
+        .select(col("a"),
+          least(col("t"), coalesce(col("jump"), col("t"))).as("rep"),
+          col("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("rep") =!= col("old")).count()
       labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
+    lastComponentIterations = iter
     val out = labels.select(col("a").as("doc_id"), col("rep").as("rep_id"))
       .orderBy("doc_id")
-    (out, Seq(edges, labels))
+    (out, Seq(p, edges, labels))
   }
 
   val SimhashBits = 16
