@@ -197,6 +197,37 @@ object Dedup {
     new graft.CachedResult(df, rareCaches ++ cached)
   }
 
+  /** Asymmetric containment: |A∩B| / |A| (and /|B|) over shingle sets —
+    * catches subset/quote relationships Jaccard misses (a doc fully
+    * contained in a much larger one has low Jaccard but containment ≈ 1).
+    * Same digest equi-join skeleton as [[jaccardPairs]]; a pair is kept
+    * when EITHER direction clears `threshold`. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val (sh, _) = digested(shingled(docs))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
+      .withColumn("containment_a", col("common").cast("double") / col("na"))
+      .withColumn("containment_b", col("common").cast("double") / col("nb"))
+      .filter(col("containment_a") >= threshold ||
+        col("containment_b") >= threshold)
+      .select("d1", "d2", "common", "containment_a", "containment_b")
+      .orderBy("d1", "d2")
+  }
+
+  /** (digest frame persisted, caches) — shared by the pair generators. */
+  private def digested(shRaw: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val sh = shRaw
+      .select(col("doc_id"), unhex(md5(col("shingle"))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (sh, Seq(sh))
+  }
+
   private def jaccardOverShingles(shRaw: DataFrame,
       threshold: Double): (DataFrame, Seq[DataFrame]) = {
     // Join key: the 16-byte md5 digest instead of the raw shingle string —

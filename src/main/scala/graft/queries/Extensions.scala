@@ -214,6 +214,30 @@ object Extensions {
        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
        |ORDER BY d1, d2""".stripMargin
 
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric containment near-dups (|A∩B|/|A| or /|B| ≥ 0.8) — the
+    * subset/quote-detection dimension Jaccard misses. */
+  private val dedupContainment: Q = (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), ContainmentThreshold)
+
+  private val dedupContainmentSql =
+    s"""WITH $shinglesCte, sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM sh a JOIN sh b
+       |    ON md5(a.shingle) = md5(b.shingle) AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, common,
+       |  CAST(common AS DOUBLE) / sa.n AS containment_a,
+       |  CAST(common AS DOUBLE) / sb.n AS containment_b
+       |FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / sa.n >= $ContainmentThreshold
+       |   OR CAST(common AS DOUBLE) / sb.n >= $ContainmentThreshold
+       |ORDER BY d1, d2""".stripMargin
+
   private val dedupSimhash: Q = (s, dir) =>
     Dedup.simhash(Tables.documents(s, dir))
 
@@ -552,6 +576,7 @@ object Extensions {
     "dedup_simhash"       -> dedupSimhash,
     "dedup_near_dup"      -> dedupNearDup,
     "dedup_clusters"      -> dedupClusters,
+    "dedup_containment"   -> dedupContainment,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
     "sim_cosine_topk"     -> simTopK,
@@ -579,6 +604,7 @@ object Extensions {
     // RECALL, not a wrong engine answer — re-check recall before debugging.
     "dedup_near_dup"      -> dedupJaccardSql,
     "dedup_clusters"      -> dedupClustersSql,
+    "dedup_containment"   -> dedupContainmentSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "emb_lsh_pairs"       -> embLshPairsSql,
