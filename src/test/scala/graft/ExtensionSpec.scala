@@ -75,6 +75,21 @@ class DedupSpec extends SparkSpec {
     assert(est(big.union(big).repartition(5), 256) == e)
   }
 
+  test("containment flags a subset document that Jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 10).map(i => s"w$i").mkString(" ")       // 8 shingles
+    val book = (1 to 100).map(i => s"w$i").mkString(" ")       // 98 shingles
+    val docs = Seq((1L, quote), (2L, book)).toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairs(docs, 0.5).collect()
+    assert(jac.isEmpty) // 8/98 ≈ 0.08 — symmetric similarity misses it
+    val cont = Dedup.containmentPairs(docs, 0.8).collect()
+    assert(cont.length == 1)
+    val r = cont(0)
+    assert(r.getAs[Double]("containment_a") == 1.0) // quote fully contained
+    assert(r.getAs[Double]("containment_b") < 0.1)
+    spark.catalog.clearCache()
+  }
+
   test("connected components consolidate pairs into min-label clusters") {
     import spark.implicits._
     // path 1-2-3 (never a direct 1-3 pair), separate pair 7-8, chain 4-5-6
