@@ -24,6 +24,34 @@ object CorpusOps {
       .filter(col("rank") <= n)
   }
 
+  /** 12-hex-digit md5-prefix boundary for a keep-rate in [0,1]: a row is
+    * kept iff its digest prefix compares below the boundary STRING — no
+    * float arithmetic anywhere, so any engine with md5 draws the identical
+    * sample. Rates ≥ 1 map to "g" (lexicographically above every hex
+    * digit → keep all); quantization error below 2⁻⁴⁸. */
+  def rateBoundary(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else {
+      val v = math.max((rate * 281474976710656.0).toLong, 0L)
+      val s = java.lang.Long.toHexString(v)
+      ("0" * (12 - s.length)) + s
+    }
+
+  /** Weighted mixture sampling: downsample each source to its target rate
+    * (web 50%, wiki 100%, … — how a training mixture is actually built)
+    * with the same deterministic id-hash draw as [[hashSplit]]: stable
+    * under reruns and repartitioning, independent across sources, and a
+    * pure filter — no shuffle at all. Sources absent from `rates` are
+    * dropped (rate 0). */
+  def mixtureSample(df: DataFrame, idCol: Column, sourceCol: Column,
+                    rates: Map[String, Double]): DataFrame = {
+    val boundaries = rates.map { case (k, r) => k -> rateBoundary(r) }
+    df.withColumn("__b", element_at(typedlit(boundaries), sourceCol))
+      .filter(col("__b").isNotNull &&
+        substring(md5(idCol.cast("string")), 1, 12) < col("__b"))
+      .drop("__b")
+  }
+
   /** Greedy sequence packing: walk documents in `orderCol` order, assign
     * each to the bin its running token count starts in —
     * `bin_id = (cumsum − tokens) div binTokens`. Contiguous documents land

@@ -124,6 +124,30 @@ object Behavioral {
       |  max(doc_id) AS last_id
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Mixture rates for the fixture's 20 sources: full/half/quarter/tenth
+    * by source index — a stand-in for the web/wiki/books/code weighting of
+    * a real training mixture. */
+  private val MixtureRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4)).toMap
+
+  private val mixtureSample: Q = (s, dir) =>
+    graft.analytics.CorpusOps.mixtureSample(
+        Tables.documents(s, dir), col("doc_id"), col("source"), MixtureRates)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  private val mixtureSampleSql = {
+    val cases = MixtureRates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN '$src' THEN '${graft.analytics.CorpusOps.rateBoundary(r)}'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
+       |  CASE source
+       |    $cases
+       |  END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -131,6 +155,7 @@ object Behavioral {
     "q_hash_split"        -> hashSplit,
     "q_stratified_sample" -> stratifiedSample,
     "q_pack_sequences"    -> packSequences,
+    "q_mixture_sample"    -> mixtureSample,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,5 +165,6 @@ object Behavioral {
     "q_hash_split"        -> hashSplitSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_pack_sequences"    -> packSequencesSql,
+    "q_mixture_sample"    -> mixtureSampleSql,
   )
 }

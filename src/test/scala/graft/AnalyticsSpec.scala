@@ -59,6 +59,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(bins == Seq((0L, 3L, 2100L), (1L, 1L, 2000L), (2L, 1L, 10L)))
   }
 
+  test("mixture sampling downsamples each source toward its rate") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.1")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1)
+    val kept = graft.analytics.CorpusOps
+      .mixtureSample(docs, col("doc_id"), col("source"), rates)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == totals("src0")) // rate 1.0 keeps everything
+    assert(math.abs(kept("src1").toDouble / totals("src1") - 0.5) < 0.15)
+    assert(math.abs(kept("src2").toDouble / totals("src2") - 0.1) < 0.08)
+    assert(!kept.contains("src3")) // absent from rates -> dropped
+    // the draw is per-id: rerunning with a superset of rates keeps the
+    // same src1 documents (sample stability under mixture changes)
+    val a = graft.analytics.CorpusOps
+      .mixtureSample(docs, col("doc_id"), col("source"), rates)
+      .filter(col("source") === "src1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.analytics.CorpusOps
+      .mixtureSample(docs, col("doc_id"), col("source"),
+        rates + ("src9" -> 0.3))
+      .filter(col("source") === "src1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("hash split is ~80/10/10, keyed only by id, stable under repartition") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
     val counts = EventAnalytics.hashSplit(docs, col("doc_id"))
