@@ -201,9 +201,21 @@ object Dedup {
     * catches subset/quote relationships Jaccard misses (a doc fully
     * contained in a much larger one has low Jaccard but containment ≈ 1).
     * Same digest equi-join skeleton as [[jaccardPairs]]; a pair is kept
-    * when EITHER direction clears `threshold`. */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val (sh, _) = digested(shingled(docs))
+    * when EITHER direction clears `threshold`. Session-caches the digest
+    * frame — long-lived callers use [[containmentPairsManaged]]. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame =
+    containmentPairsWithCaches(docs, threshold)._1
+
+  /** [[containmentPairs]] with a cache-releasing handle. */
+  def containmentPairsManaged(docs: DataFrame,
+                              threshold: Double): graft.CachedResult = {
+    val (df, cached) = containmentPairsWithCaches(docs, threshold)
+    new graft.CachedResult(df, cached)
+  }
+
+  private def containmentPairsWithCaches(docs: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    val (sh, caches) = digested(shingled(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.shingle") === col("b.shingle") &&
@@ -217,7 +229,7 @@ object Dedup {
       .filter(col("containment_a") >= threshold ||
         col("containment_b") >= threshold)
       .select("d1", "d2", "common", "containment_a", "containment_b")
-      .orderBy("d1", "d2")
+      .orderBy("d1", "d2") -> caches
   }
 
   /** (digest frame persisted, caches) — shared by the pair generators. */
@@ -238,14 +250,11 @@ object Dedup {
     // engine-exactness holds by construction, not by luck.
     //
     // The digest frame feeds three plan branches (sizes + both sides of
-    // the self-join); cache it so the tokenize→shingle(→df filter)→digest
-    // DAG isn't re-executed per branch. persist (not localCheckpoint):
-    // blocks are evictable under memory pressure with recompute fallback,
-    // and no job runs at construction time. Session-scoped; a long-lived
-    // caller can unpersist the inputs when done.
-    val sh = shRaw
-      .select(col("doc_id"), unhex(md5(col("shingle"))).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the self-join); [[digested]] caches it so the tokenize→shingle(→df
+    // filter)→digest DAG isn't re-executed per branch. persist (not
+    // localCheckpoint): blocks are evictable under memory pressure with
+    // recompute fallback, and no job runs at construction time.
+    val (sh, caches) = digested(shRaw)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle") &&
@@ -262,7 +271,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "common", "jaccard")
       .orderBy("d1", "d2")
-    (result, Seq(sh))
+    (result, caches)
   }
 
   /** MinHash+LSH near-dup pipeline: LSH candidates verified with exact
@@ -347,10 +356,14 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("a").as("b"), col("rep").as("nrep")), "b")
         .groupBy("a").agg(min(col("nrep")).as("nmin"))
+      // checkpoint before the self-join: stepped appears on BOTH sides, so
+      // without materialization the neighbor-min shuffle aggregate (the
+      // dominant per-round cost) would execute twice
       val stepped = labels.join(neighborMin, Seq("a"), "left")
         .select(col("a"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("t"),
           col("rep").as("old"))
+        .localCheckpoint(true)
       // pointer jumping: follow the tentative rep one more hop
       // (rep(rep(x))) so label distance doubles per iteration — chains
       // converge in O(log diameter) rounds instead of O(diameter)

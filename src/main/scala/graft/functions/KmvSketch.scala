@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -37,11 +37,16 @@ case class KmvSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[String]]
+  with ImplicitCastInputTypes {
 
   require(k >= 2, "kmv sketch needs k >= 2")
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time coercion to string (md5 hashes the string form, like the
+  // oracle's md5(CAST(x AS VARCHAR))) — without this a bigint column would
+  // pass analysis and then ClassCastException per task at runtime
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "kmv_sketch"

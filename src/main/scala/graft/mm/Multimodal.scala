@@ -148,13 +148,18 @@ object Codecs {
     }
     val riffSize = u32le(b, 4).toLong & 0xffffffffL
     if (!walk(12, math.min(8 + riffSize, b.length.toLong))) return None
-    if (width <= 0 || height <= 0 || frames.isEmpty) return None
+    // cap dimensions BEFORE any product: with width/height ≤ 65535 every
+    // Long product below is ≤ ~3.5e18 and cannot wrap (a hostile
+    // 0x7fffffff×0x7fffffff header would otherwise overflow the guards
+    // themselves and crash the copy loop)
+    if (width <= 0 || height <= 0 || width > 0xffff || height > 0xffff ||
+        frames.isEmpty) return None
     val rowBytesL = width.toLong * 3
     val strideL = (rowBytesL + 3) / 4 * 4
     if (strideL * height > Int.MaxValue ||
         rowBytesL * height * frames.length > Int.MaxValue) return None
     val rowBytes = rowBytesL.toInt; val stride = strideL.toInt
-    if (frames.exists { case (_, n) => n < stride * height }) return None
+    if (frames.exists { case (_, n) => n.toLong < strideL * height }) return None
     val perFrame = rowBytes * height
     val out = new Array[Int](perFrame * frames.length)
     var f = 0

@@ -21,29 +21,8 @@ class HistoricalVaR(returns: DataFrame, valueCol: String = "r",
   require(!clean.isEmpty, "Returns series cannot be empty.")
 
   def compute(confidence: Double = 0.95, horizonDays: Int = 1,
-              scaleBySqrt: Boolean = true): VaRResult = {
-    val v = col(valueCol)
-    val qdf = clean.agg(percentile(v, lit(1 - confidence)).as("q"))
-    val row = clean.crossJoin(broadcast(qdf))
-      .agg(
-        first(col("q")).as("q"),
-        // decimal-exact mean (graft.queries.Num.davg): float SUM is
-        // order-dependent and Spark's partial/final merge order is not
-        // deterministic — the exact sum makes the tail mean reproducible
-        // run-to-run AND engine-to-engine (the DuckDB oracle twin)
-        graft.queries.Num.davg(when(v <= col("q"), v)).as("tail_mean"),
-        count(v).as("n"))
-      .collect()(0)
-
-    var varPct = -row.getDouble(0)
-    var cvarPct = -row.getDouble(1)
-    if (scaleBySqrt && horizonDays > 1) {
-      val s = math.sqrt(horizonDays.toDouble)
-      varPct *= s; cvarPct *= s
-    }
-    VaRResult(confidence, horizonDays, varPct * positionSize,
-      cvarPct * positionSize, row.getLong(2), "historical_simulation")
-  }
+              scaleBySqrt: Boolean = true): VaRResult =
+    computeAll(Seq((confidence, horizonDays)), scaleBySqrt).head
 
   /** Every (confidence, horizonDays) pair in ONE pass over the returns:
     * `percentile(v, array(...))` evaluates all quantiles in a single

@@ -34,9 +34,12 @@ object DistributedRank {
   def withRank(df: DataFrame, bucket: Column,
                orderCols: Seq[Column]): (DataFrame, Long) = {
     val bucketed = df.withColumn("__bucket", bucket.cast("long"))
-    val counts = bucketed.groupBy("__bucket").count().collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
+    val rawCounts = bucketed.groupBy("__bucket").count().collect()
+    // a null bucket would alias into key 0 (getLong(null) == 0) and shift
+    // every higher bucket's offset — corrupt ranks, silently
+    require(rawCounts.forall(!_.isNullAt(0)),
+      "bucket expression must be non-null on every row")
+    val counts = rawCounts.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     if (counts.isEmpty)
       return (bucketed.drop("__bucket").withColumn("rank", lit(0L)), 0L)
     var below = 0L

@@ -110,6 +110,7 @@ class DedupSpec extends SparkSpec {
       Dedup.jaccardPairsManaged(docs, 0.5),
       Dedup.jaccardPairsRareManaged(docs, 0.5, maxDf = 10),
       Dedup.nearDuplicatesManaged(docs, 0.5),
+      Dedup.containmentPairsManaged(docs, 0.2),
       Dedup.connectedComponentsManaged {
         import spark.implicits._
         Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
