@@ -5,10 +5,19 @@ Usage: python3 dev/compare.py <sfDir> <verifyOutDir>
 
 Reads oracle_sql.json from the verify output dir, registers each parquet
 table in DuckDB as a view named after the table, runs each oracle SQL, loads
-the corresponding Spark parquet result, sorts columns by name, and compares
-values (exact where possible; reports max abs diff for floats).
+the corresponding Spark parquet result, sorts columns by name, and compares:
+
+  1. column names (sorted) must match
+  2. pandas dtypes must match exactly — a Spark Decimal (object) against a
+     DuckDB HUGEINT (float64) is a FAIL here, not a warning; this is exactly
+     the class of divergence the driver's canonical-string hash catches
+     while value comparison does not (round-3 lesson: "73/75 local" vs
+     "69/75 driver")
+  3. values must match exactly (float: bitwise ==, NaN==NaN)
+  4. a canonical-string hash (str() of every cell, columns sorted by name,
+     row-major) must match — the driver-style representation check
 """
-import sys, json, glob, os
+import sys, json, glob, os, hashlib
 import duckdb
 import pandas as pd
 import numpy as np
@@ -19,6 +28,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
+
+def canonical_hash(df):
+    h = hashlib.md5()
+    for _, row in df.iterrows():
+        for v in row:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                h.update(b"\x00null")
+            else:
+                h.update(str(v).encode())
+            h.update(b"\x01")
+    return h.hexdigest()
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -42,13 +62,15 @@ def main(sf_dir, out_dir):
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols got={list(got.columns)} want={list(want.columns)}")
             n_fail += 1; continue
+        ok = True
         for c in got.columns:
             if str(got[c].dtype) != str(want[c].dtype):
-                print(f"  DTYPE {name}.{c}: spark={got[c].dtype} oracle={want[c].dtype}")
+                print(f"FAIL {name}: DTYPE {c}: spark={got[c].dtype} "
+                      f"oracle={want[c].dtype}")
+                ok = False
         if len(got) != len(want):
             print(f"FAIL {name}: rows got={len(got)} want={len(want)}")
             n_fail += 1; continue
-        ok = True
         for c in got.columns:
             g, w = got[c], want[c]
             if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
@@ -67,6 +89,12 @@ def main(sf_dir, out_dir):
                     print(f"FAIL {name}: col {c} {int(bad.sum())} rows differ; "
                           f"first at {i}: got={gs.values[i]!r} want={ws.values[i]!r}")
                     ok = False
+        if ok:
+            hg, hw = canonical_hash(got), canonical_hash(want)
+            if hg != hw:
+                print(f"FAIL {name}: canonical hash {hg} != {hw} "
+                      f"(representation divergence)")
+                ok = False
         if ok:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         else:

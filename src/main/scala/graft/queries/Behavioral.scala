@@ -117,7 +117,7 @@ object Behavioral {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM d
       |)
-      |SELECT lang, (cum - tok) // 2048 AS bin_id,
+      |SELECT lang, CAST((cum - tok) // 2048 AS BIGINT) AS bin_id,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
       |  min(doc_id) AS first_id,

@@ -121,8 +121,20 @@ object Domain {
       |)""".stripMargin
 
   // --------------------------------------------------------------- queries
+  // Contract-layer representation rule: uint256 columns cross the contract
+  // boundary as canonical decimal STRINGS ("1000"), exactly like the
+  // reference carries big ints as strings on the wire
+  // (/root/reference/src/ingestion/kafka_producer.py:187-191). Inside the
+  // engine they stay DECIMAL(38,0) (CanonicalQueries sums them exactly);
+  // the string cast happens only here because DECIMAL(38,0)/HUGEINT render
+  // as float64 through DuckDB's pandas bridge ("1000.0") while Spark parquet
+  // yields Decimal ("1000") — value-equal, hash-divergent. The float
+  // `amount`/`price` semantics are untouched.
   private val decodeTransfers: Q = (s, dir) =>
-    transfers(s, dir).orderBy("block_number", "tx_hash")
+    transfers(s, dir)
+      .withColumn("token_id", col("token_id").cast("string"))
+      .withColumn("amount_raw", col("amount_raw").cast("string"))
+      .orderBy("block_number", "tx_hash")
 
   private val decodeTransfersSql =
     s"""WITH $transfersCte
@@ -131,10 +143,10 @@ object Domain {
        |  $contractCase AS contract,
        |  ${addrCase("user_id % 16", 'a')} AS "from",
        |  ${addrCase("(user_id // 16) % 16", 'b')} AS "to",
-       |  CASE WHEN is_nft THEN CAST(event_id AS DECIMAL(38,0)) END AS token_id,
+       |  CASE WHEN is_nft THEN CAST(event_id AS VARCHAR) END AS token_id,
        |  CASE WHEN is_nft THEN printf('%x', event_id) END AS token_id_hex,
-       |  CASE WHEN is_nft THEN CAST(1 AS DECIMAL(38,0))
-       |    ELSE CAST(amount_wei AS DECIMAL(38,0)) END AS amount_raw,
+       |  CASE WHEN is_nft THEN '1'
+       |    ELSE CAST(amount_wei AS VARCHAR) END AS amount_raw,
        |  block_number,
        |  make_timestamp(ts_sec * 1000000) AS block_timestamp,
        |  '0x' || md5('tx' || CAST(event_id AS VARCHAR)) AS tx_hash,
@@ -144,16 +156,21 @@ object Domain {
        |FROM t ORDER BY block_number, tx_hash""".stripMargin
 
   private val parseSwaps: Q = (s, dir) =>
-    swaps(s, dir).orderBy("block_number", "tx_hash")
+    swaps(s, dir)
+      .withColumn("amount0_in",  col("amount0_in").cast("string"))
+      .withColumn("amount1_in",  col("amount1_in").cast("string"))
+      .withColumn("amount0_out", col("amount0_out").cast("string"))
+      .withColumn("amount1_out", col("amount1_out").cast("string"))
+      .orderBy("block_number", "tx_hash")
 
   private val parseSwapsSql =
     s"""WITH $swapsCte
        |SELECT 'uniswap_v2' AS protocol,
        |  '0x' || repeat('e', 39) || printf('%x', user_id % 4) AS pool,
-       |  CAST(a0in AS DECIMAL(38,0)) AS amount0_in,
-       |  CAST(0 AS DECIMAL(38,0)) AS amount1_in,
-       |  CAST(0 AS DECIMAL(38,0)) AS amount0_out,
-       |  CAST(a1out AS DECIMAL(38,0)) AS amount1_out,
+       |  CAST(a0in AS VARCHAR) AS amount0_in,
+       |  '0' AS amount1_in,
+       |  '0' AS amount0_out,
+       |  CAST(a1out AS VARCHAR) AS amount1_out,
        |  CAST(a1out AS DOUBLE) / CAST(a0in AS DOUBLE) AS price,
        |  block_number,
        |  make_timestamp(ts_sec * 1000000) AS block_timestamp,
@@ -227,6 +244,8 @@ object Domain {
     CanonicalQueries.swapPriceImpact(swaps(s, dir), feedNow)
       .withColumn("avg_price", round(col("avg_price"), 6))
       .withColumn("price_volatility", round(col("price_volatility"), 6))
+      // exact decimal sum inside, canonical string across the contract
+      .withColumn("total_volume_token0", col("total_volume_token0").cast("string"))
       .orderBy("pool")
 
   private val swapPriceImpactSql =
@@ -238,7 +257,7 @@ object Domain {
        |  ROUND(AVG(CAST(a1out AS DOUBLE) / CAST(a0in AS DOUBLE)), 6) AS avg_price,
        |  ROUND(STDDEV_SAMP(CAST(a1out AS DOUBLE) / CAST(a0in AS DOUBLE)), 6)
        |    AS price_volatility,
-       |  SUM(CAST(a0in AS DECIMAL(38,0))) AS total_volume_token0,
+       |  CAST(SUM(CAST(a0in AS DECIMAL(38,0))) AS VARCHAR) AS total_volume_token0,
        |  COUNT(*) AS swap_count
        |FROM s GROUP BY 1, 2, 3 HAVING COUNT(*) > 5
        |ORDER BY pool""".stripMargin
