@@ -114,3 +114,30 @@ object DevProbe3 {
     spark.stop()
   }
 }
+
+/** Dev-only: CC cost breakdown with the pair input pre-materialized, so the
+  * per-round constant shows up separately from the near-dup DAG. */
+object DevProbe4 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.queries.Tables.documents(spark, sfDir)
+    val t0 = System.nanoTime()
+    val pairs = graft.dedup.Dedup.nearDuplicates(docs, 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(f"pairs materialized rows=${pairs.count()}  ${(System.nanoTime()-t0)/1e9}%.1f s")
+    for (run <- 0 to 2) {
+      val t1 = System.nanoTime()
+      val comp = graft.dedup.Dedup.connectedComponents(pairs)
+      val n = comp.count()
+      println(f"run$run CC rows=$n  ${(System.nanoTime()-t1)/1e9}%.2f s  iters=" +
+        graft.dedup.Dedup.lastComponentIterations)
+    }
+    spark.stop()
+  }
+}

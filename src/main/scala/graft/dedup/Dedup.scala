@@ -336,56 +336,85 @@ object Dedup {
   /** Iterations the last [[connectedComponents]] call took (diagnostics). */
   @volatile private[graft] var lastComponentIterations: Int = 0
 
+  /** Rounds whose convergence count came from the piggybacked `observe`
+    * metric (vs the fallback scan of the checkpointed frame) — diagnostics
+    * so a Spark-internals change that silently stops populating
+    * `observedMetrics` under RDD-action materialization shows up in tests. */
+  @volatile private[graft] var lastObservedRounds: Int = 0
+
   private def connectedComponentsWithCaches(pairs: DataFrame,
       maxIter: Int): (DataFrame, Seq[DataFrame]) = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist the pair input FIRST: the symmetric union references it in
-    // two branches, and `pairs` is typically the whole LSH+verify DAG
-    val p = pairs.persist(lvl)
+    // localCheckpoint the pair input FIRST, not persist: persist caches the
+    // PHYSICAL result but the LOGICAL plan still carries the whole
+    // LSH+verify DAG, the symmetric union then doubles it, and every round
+    // references edges once and labels three times — Catalyst would
+    // re-analyze ~10 copies of the giant input plan per round (measured:
+    // seconds of driver CPU per round on a 256-pair graph). The checkpoint
+    // analyzes and executes the input DAG exactly once — the
+    // materialization that has to happen anyway — and everything downstream
+    // plans over tiny leaves.
+    val p = pairs.localCheckpoint(true)
     val edges = p.select(col("d1").as("a"), col("d2").as("b"))
       .union(p.select(col("d2").as("a"), col("d1").as("b")))
-      .persist(lvl)
+      .localCheckpoint(true)
     var labels = edges.select(col("a")).distinct()
-      .withColumn("rep", col("a")).persist(lvl)
+      .withColumn("rep", col("a")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
+    lastObservedRounds = 0
     while (changed > 0 && iter < maxIter) {
-      // one job per iteration: `old` rides along in next, so the
-      // convergence count is a filter over the frame being cached — no
-      // extra join against the previous labels
+      // ONE plan, ONE eager materialization per round. `labels` is already
+      // a materialized leaf (persist in round 0, localCheckpoint after), so
+      // it can appear on three sides — neighbor join, step, jump — without
+      // re-executing anything.
       val neighborMin = edges
         .join(labels.select(col("a").as("b"), col("rep").as("nrep")), "b")
         .groupBy("a").agg(min(col("nrep")).as("nmin"))
-      // checkpoint before the self-join: stepped appears on BOTH sides, so
-      // without materialization the neighbor-min shuffle aggregate (the
-      // dominant per-round cost) would execute twice
+      // t = min(own rep, neighbor reps); then pointer-jump THROUGH THE
+      // PREVIOUS round's labels (rep(t) one more hop) — label distance
+      // still doubles per round (radius r → 2r+1 on a chain, O(log
+      // diameter) rounds), but unlike jumping through `t` itself the jump
+      // side is a materialized leaf, so the round needs no intermediate
+      // checkpoint. The eager localCheckpoint (NOT persist) truncates
+      // lineage: labels appears several times per round, and without
+      // truncation the LOGICAL plan doubles per round and Catalyst
+      // re-analysis goes exponential (blocks are reclaimed by the context
+      // cleaner when the previous round's frame goes out of scope).
       val stepped = labels.join(neighborMin, Seq("a"), "left")
         .select(col("a"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("t"),
           col("rep").as("old"))
-        .localCheckpoint(true)
-      // pointer jumping: follow the tentative rep one more hop
-      // (rep(rep(x))) so label distance doubles per iteration — chains
-      // converge in O(log diameter) rounds instead of O(diameter)
-      // localCheckpoint (eager), NOT persist: labels appears twice in each
-      // iteration's plan (neighbor join + jump self-join), so without
-      // lineage truncation the LOGICAL plan doubles per round and Catalyst
-      // re-analysis goes exponential — the checkpoint pins the iteration to
-      // a materialized leaf (blocks are reclaimed by the context cleaner
-      // when the previous iteration's frame goes out of scope)
-      val next = stepped
-        .join(stepped.select(col("a").as("t"), col("t").as("jump")),
+      val metric = s"cc_changed_$iter"
+      val observed = stepped
+        .join(labels.select(col("a").as("t"), col("rep").as("jump")),
           Seq("t"), "left")
         .select(col("a"),
           least(col("t"), coalesce(col("jump"), col("t"))).as("rep"),
           col("old"))
-        .localCheckpoint(true)
-      changed = next.filter(col("rep") =!= col("old")).count()
+        // piggyback the convergence count on the checkpoint job: the
+        // CollectMetrics accumulator fills while the round materializes,
+        // so no separate aggregation job runs per round
+        .observe(metric, sum(when(col("rep") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+      val next = observed.localCheckpoint(true)
+      changed = observed.queryExecution.observedMetrics.get(metric) match {
+        case Some(row) if !row.isNullAt(row.fieldIndex("changed")) =>
+          lastObservedRounds += 1
+          row.getAs[Long]("changed")
+        case _ =>
+          // fallback: scan of the just-checkpointed blocks — cheap, but
+          // an extra job; tracked via lastObservedRounds
+          next.filter(col("rep") =!= col("old")).count()
+      }
       labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
     lastComponentIterations = iter
+    // silent wrong answers are worse than a loud stop: unconverged labels
+    // are NOT components (ADVICE r3)
+    require(changed == 0,
+      s"connected components did not converge in $maxIter iterations")
     val out = labels.select(col("a").as("doc_id"), col("rep").as("rep_id"))
       .orderBy("doc_id")
     (out, Seq(p, edges, labels))

@@ -99,6 +99,11 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(comp == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
       6L -> 4L, 7L -> 7L, 8L -> 7L))
+    // the convergence count must ride the checkpoint job (observe), not a
+    // separate per-round aggregation job
+    assert(Dedup.lastObservedRounds == Dedup.lastComponentIterations,
+      s"observe() piggyback missed: ${Dedup.lastObservedRounds} of " +
+        s"${Dedup.lastComponentIterations} rounds used the metric")
     spark.catalog.clearCache()
   }
 
