@@ -44,14 +44,21 @@ object Bench {
       (name, samples.map(_._1).min, ok)
     }
     // a crashed query must not read as a healthy timing: report -1 for it
-    // and list it under "failed"
+    // and list it under "failed". Times are 3-decimal (ms grain): the
+    // driver's output tail-capture is byte-budgeted and a 75-query line of
+    // 17-digit doubles overflowed it in round 3, losing the total and the
+    // late-alphabet entries.
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v else -1.0)
+      s"\"" + k + "\":" + (if (ok) fmt(v) else -1)
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$RUNS,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // a second, minimal line LAST: even if the big line's head falls outside
+    // the tail capture, the headline number survives
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -420,6 +420,111 @@ object Dedup {
     (out, Seq(p, edges, labels))
   }
 
+  /** Iterations the last [[connectedComponentsStars]] call took. */
+  @volatile private[graft] var lastStarIterations: Int = 0
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the alternate strategy for graphs where min-label +
+    * pointer jumping ([[connectedComponents]]) is the wrong shape:
+    *
+    *  - LARGE diameter: a chain needs O(log n) jump rounds too, but each
+    *    jump round keys a join on the CURRENT representative, so late
+    *    rounds hash every node of a giant component onto one reducer key.
+    *  - SKEW: large-star/small-star only ever groups by a node over its
+    *    direct neighborhood and provably shrinks the edge set toward
+    *    per-component stars in O(log n) alternations, with per-key fan-out
+    *    bounded by the neighborhood rewrite — no single hot key grows with
+    *    component size.
+    *
+    * Edge invariant: every edge is kept as (hi, lo) with hi > lo.
+    *  - large-star: for each node u with neighborhood N(u), connect every
+    *    LARGER neighbor v > u to m = min(N(u) ∪ {u}).
+    *  - small-star: for each node u over its SMALLER neighbors N⁻(u),
+    *    connect every v ∈ N⁻(u) ∪ {u} (except m itself) to m = min(N⁻(u)).
+    *
+    * Convergence = the (count, bit_xor of xxhash64) signature of the edge
+    * set repeating — both ride the round's checkpoint job via `observe`,
+    * so a round is exactly two small jobs (large-star, small-star) over
+    * leaf plans. At the fixpoint the edges are per-component stars
+    * (v → component min), which is exactly the (doc_id, rep_id) answer.
+    *
+    * Same contract as [[connectedComponents]]: returns (doc_id, rep_id =
+    * component-min doc_id) for every doc that appears in a pair. */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsStarsWithCaches(pairs, maxIter)._1
+
+  /** [[connectedComponentsStars]] with a cache-releasing handle. */
+  def connectedComponentsStarsManaged(pairs: DataFrame,
+                                      maxIter: Int = 50): graft.CachedResult = {
+    val (df, cached) = connectedComponentsStarsWithCaches(pairs, maxIter)
+    new graft.CachedResult(df, cached)
+  }
+
+  private def connectedComponentsStarsWithCaches(pairs: DataFrame,
+      maxIter: Int): (DataFrame, Seq[DataFrame]) = {
+    // one analysis + one execution of the (possibly giant) input DAG — see
+    // connectedComponentsWithCaches for why checkpoint, not persist
+    val p = pairs.filter(col("d1") =!= col("d2")).localCheckpoint(true)
+    var edges = p.select(greatest(col("d1"), col("d2")).as("hi"),
+        least(col("d1"), col("d2")).as("lo"))
+      .distinct().localCheckpoint(true)
+    val nodes = edges.select(col("hi").as("v"))
+      .union(edges.select(col("lo").as("v")))
+      .distinct().localCheckpoint(true)
+    var prev = (-1L, 0L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric view
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("nm"))
+        .select(col("u"), least(col("u"), col("nm")).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint(true) // (hi, lo): v > u ≥ m
+      // small-star: key = the larger endpoint, rewrite its smaller fringe
+      val ssMin = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val metric = s"lss_sig_$iter"
+      val observed = ls.join(ssMin, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(ssMin.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        // fixpoint signature rides the checkpoint job — no extra pass
+        .observe(metric, count(lit(1)).as("cnt"),
+          expr("bit_xor(xxhash64(hi, lo))").as("sig"))
+      val next = observed.localCheckpoint(true)
+      val stats = observed.queryExecution.observedMetrics.get(metric) match {
+        case Some(row) if !row.isNullAt(row.fieldIndex("cnt")) =>
+          (row.getAs[Long]("cnt"),
+            Option(row.getAs[java.lang.Long]("sig")).fold(0L)(_.longValue))
+        case _ => // empty edge set or metric miss: scan the tiny leaf
+          (next.count(),
+            Option(next.agg(expr("bit_xor(xxhash64(hi, lo))")).collect()(0)
+              .getAs[java.lang.Long](0)).fold(0L)(_.longValue))
+      }
+      converged = stats == prev
+      prev = stats
+      edges = next
+      iter += 1
+    }
+    lastStarIterations = iter
+    require(converged,
+      s"large-star/small-star did not converge in $maxIter iterations")
+    // the fixpoint is a star per component: each non-representative node
+    // has exactly one edge, to the component min (min() is a defensive
+    // no-op there); representatives have none and map to themselves
+    val stars = edges.groupBy("hi").agg(min(col("lo")).as("rep"))
+    val out = nodes
+      .join(stars.withColumnRenamed("hi", "v"), Seq("v"), "left")
+      .select(col("v").as("doc_id"),
+        coalesce(col("rep"), col("v")).as("rep_id"))
+      .orderBy("doc_id")
+    (out, Seq(p, edges, nodes))
+  }
+
   val SimhashBits = 16
 
   /** 16-bit SimHash over tokens (with repeats): bit j votes +1 when the

@@ -296,6 +296,36 @@ object Extensions {
        |SELECT a AS doc_id, min(b) AS rep_id
        |FROM reach GROUP BY a ORDER BY a""".stripMargin
 
+  /** Large-star/small-star connected components on a CHAIN-shaped edge set
+    * (consecutive doc_ids in runs of 50) — the adversarial large-diameter /
+    * skew case the min-label+jump strategy is wrong for at scale; see
+    * [[graft.dedup.Dedup.connectedComponentsStars]]. The fixture derives
+    * edges, not similarities, so the oracle is the pure transitive-closure
+    * twin of the same derivation. */
+  private val dedupClustersChain: Q = (s, dir) => {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val chainPairs = ids.as("x")
+      .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .filter(col("x.doc_id") % 50 =!= 49)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    Dedup.connectedComponentsStars(chainPairs)
+  }
+
+  private val dedupClustersChainSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 50 <> 49
+      |), edges AS (
+      |  SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e
+      |), reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT e2.a, r.b FROM edges e2 JOIN reach r ON e2.b = r.a
+      |)
+      |SELECT a AS doc_id, min(b) AS rep_id
+      |FROM reach GROUP BY a ORDER BY a""".stripMargin
+
   // ------------------------------------------------------------ similarity
   val CosineThreshold = 0.3
 
@@ -576,6 +606,7 @@ object Extensions {
     "dedup_simhash"       -> dedupSimhash,
     "dedup_near_dup"      -> dedupNearDup,
     "dedup_clusters"      -> dedupClusters,
+    "dedup_clusters_lss"  -> dedupClustersChain,
     "dedup_containment"   -> dedupContainment,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
@@ -604,6 +635,7 @@ object Extensions {
     // RECALL, not a wrong engine answer — re-check recall before debugging.
     "dedup_near_dup"      -> dedupJaccardSql,
     "dedup_clusters"      -> dedupClustersSql,
+    "dedup_clusters_lss"  -> dedupClustersChainSql,
     "dedup_containment"   -> dedupContainmentSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,

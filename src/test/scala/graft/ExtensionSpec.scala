@@ -107,6 +107,42 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("large-star/small-star: 1k-node chain converges logarithmically") {
+    import spark.implicits._
+    // a path is the adversarial diameter case: 1-2-3-...-1000
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = Dedup.connectedComponentsStars(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == 1000)
+    assert(comp.forall(_._2 == 1L), "every chain node must label to the min")
+    // O(log n) alternations, not O(n) propagation rounds
+    assert(Dedup.lastStarIterations <= 15,
+      s"chain took ${Dedup.lastStarIterations} rounds; expected O(log n)")
+    spark.catalog.clearCache()
+  }
+
+  test("large-star/small-star: skewed hub + chain + pair, same as min-label") {
+    import spark.implicits._
+    // one giant star (hub 5000, spokes hash to ONE key in a rep-keyed
+    // join; LS/SS only ever groups a node over its direct neighborhood),
+    // one chain, one isolated pair
+    val hub = (5001L to 7000L).map(i => (5000L, i))
+    val chain = (1L until 100L).map(i => (i, i + 1))
+    val pair = Seq((9001L, 9002L))
+    val pairs = (hub ++ chain ++ pair).toDF("d1", "d2")
+    val stars = Dedup.connectedComponentsStars(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stars(7000L) == 5000L && stars(5000L) == 5000L)
+    assert(stars(100L) == 1L && stars(9002L) == 9001L)
+    assert(Dedup.lastStarIterations <= 8,
+      s"near-star graph took ${Dedup.lastStarIterations} rounds")
+    // both strategies are exact — they must agree everywhere
+    val minLabel = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stars == minLabel)
+    spark.catalog.clearCache()
+  }
+
   test("Managed variants release every persisted frame on close()") {
     spark.catalog.clearCache()
     def cacheEmpty = spark.sharedState.cacheManager.isEmpty
