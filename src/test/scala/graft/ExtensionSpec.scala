@@ -233,6 +233,22 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ivf).size >= 3, s"overlap=${(exact & ivf).size}")
   }
 
+  test("IVF recall vs nprobe: monotone, exhaustive at nprobe = nCells") {
+    val exact = VectorOps.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recalls = Seq(1, 4, 16).map { p =>
+      val got = VectorOps.ivfTopK(emb, 0L, 10, nCells = 16, nprobe = p)
+        .collect().map(_.getLong(0)).toSet
+      p -> (exact & got).size / 10.0
+    }
+    info(recalls.map { case (p, r) => s"nprobe=$p recall=$r" }.mkString(", "))
+    // nprobe is the recall lever: wider probes can only add candidates
+    assert(recalls.sliding(2).forall { case Seq((_, lo), (_, hi)) => lo <= hi },
+      s"recall not monotone in nprobe: $recalls")
+    // probing every cell = the candidate set is the whole corpus = exact
+    assert(recalls.last._2 == 1.0,
+      s"full probe must equal brute force, got ${recalls.last}")
+  }
+
   test("LSH-bucketed cosine pairs == exhaustive pairs sharing a bucket") {
     val lshPairs = VectorOps.cosinePairsLsh(emb, 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
