@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.etl.{Ingest, TokenTransferDecoder}
+import graft.etl.{DeFiSwapParser, Ingest, TokenTransferDecoder}
 
 /** Structured Streaming slice (SURVEY.md §2.9): the reference's ingestion is
   * a 2-second poll loop feeding micro-batches
@@ -92,6 +92,36 @@ object StreamingEtl {
         col("transfer_count"), col("volume_normalized"),
         col("unique_senders"), col("unique_receivers"))
   }
+
+  /** Decode a streaming Dataset of raw envelope JSON into DeFi swaps —
+    * identical transform as batch ([[DeFiSwapParser.parse]]). */
+  def parseSwaps(raw: Dataset[String]): DataFrame =
+    DeFiSwapParser.parse(Ingest.parseRaw(raw))
+
+  /** Incremental swap price impact — the streaming twin of the canonical
+    * SWAP_PRICE_IMPACT query (A3): per-pool 1-hour tumbling window with
+    * sample stddev and the `HAVING COUNT(*) > 5` cut applied to each closed
+    * window. avg/stddev are declarative aggregates with partial buffers, so
+    * state per (window, pool) is a constant-size moment sketch — bounded by
+    * the watermark like any windowed agg. Where the batch form selects "the
+    * hour before :now", the streaming form emits each (hour, pool) row once
+    * the watermark passes the window end (append mode). */
+  def hourlySwapPriceImpact(swaps: DataFrame,
+                            watermark: String = "10 minutes"): DataFrame =
+    swaps
+      .withWatermark("block_timestamp", watermark)
+      .groupBy(window(col("block_timestamp"), "1 hour").as("hour_window"),
+        col("pool"), col("protocol"), col("chain_id"))
+      .agg(
+        avg(col("price")).as("avg_price"),
+        stddev_samp(col("price")).as("price_volatility"),
+        sum(col("amount0_in") + col("amount0_out")).as("total_volume_token0"),
+        count(lit(1)).as("swap_count"))
+      .filter(col("swap_count") > 5) // the HAVING cut, post-aggregation
+      .select(col("hour_window.start").as("hour_bucket"), col("pool"),
+        col("protocol"), col("chain_id"), col("avg_price"),
+        col("price_volatility"), col("total_volume_token0"),
+        col("swap_count"))
 
   /** Streaming exact dedup: state-backed dropDuplicates on the content
     * hash — only the 16-byte digest is held in state, never the document.

@@ -91,6 +91,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming swap price impact matches batch, including the HAVING cut") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val out = StreamingEtl.hourlySwapPriceImpact(
+      StreamingEtl.parseSwaps(stream.toDS()), watermark = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("swap_impact_out").start()
+    try {
+      // two pools × two hours with deliberate counts around the HAVING
+      // threshold: (A, h0)=8 and (B, h0)=6 pass COUNT(*) > 5; (A, h1)=3
+      // and (B, h1)=2 must be cut on BOTH engines
+      val base = 1700000000L - (1700000000L % 3600)
+      val poolA = "0x" + "a" * 40
+      val poolB = "0x" + "b" * 40
+      def swaps(pool: String, hour: Int, n: Int): Seq[String] =
+        (0 until n).map { i =>
+          Fixtures.swapMessage(pool = pool,
+            amount0In = BigInt(1000000) + i * 7919, // price varies in-group
+            amount1Out = BigInt(2500000) + i * 104729,
+            blockNumber = 18000000L + hour * 1000L + i,
+            ts = base + hour * 3600L + i * 60L)
+        }
+      val msgs = swaps(poolA, 0, 8) ++ swaps(poolB, 0, 6) ++
+        swaps(poolA, 1, 3) ++ swaps(poolB, 1, 2)
+      val maxTs = new java.sql.Timestamp((base + 1 * 3600L + 2 * 60L) * 1000L)
+      stream.addData(msgs: _*)
+      q.processAllAvailable()
+      // advance the watermark past every real window (append-mode rows
+      // emit only once the watermark passes their window end)
+      stream.addData(Fixtures.swapMessage(amount0In = BigInt(1),
+        amount1Out = BigInt(1), blockNumber = 99000001L, ts = base + 4 * 3600))
+      q.processAllAvailable()
+      stream.addData(Fixtures.swapMessage(amount0In = BigInt(1),
+        amount1Out = BigInt(1), blockNumber = 99000002L, ts = base + 8 * 3600))
+      q.processAllAvailable()
+
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("hour_bucket"), col("pool"), col("swap_count"),
+          // stddev/avg partial-buffer merge order differs between the
+          // incremental and batch plans — last-ulp only; 6dp pins it
+          round(col("avg_price"), 6).as("avg_price"),
+          round(col("price_volatility"), 6).as("price_volatility"),
+          col("total_volume_token0").cast("string").as("vol"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getString(5))).toSet
+
+      val streamed = shape(spark.table("swap_impact_out")
+        .filter(col("hour_bucket") <= maxTs))
+
+      val batchSwaps = graft.etl.DeFiSwapParser.parse(
+        Ingest.parseRaw(spark, msgs))
+      val expected = shape(batchSwaps
+        .groupBy(date_trunc("hour", col("block_timestamp")).as("hour_bucket"),
+          col("pool"), col("protocol"), col("chain_id"))
+        .agg(avg(col("price")).as("avg_price"),
+          stddev_samp(col("price")).as("price_volatility"),
+          sum(col("amount0_in") + col("amount0_out")).as("total_volume_token0"),
+          count(lit(1)).as("swap_count"))
+        .filter(col("swap_count") > 5))
+
+      assert(streamed == expected)
+      assert(streamed.size == 2, s"HAVING must keep exactly (A,h0) and (B,h0): $streamed")
+      assert(streamed.forall(_._3 > 5))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops repeated content across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
