@@ -18,11 +18,15 @@ import org.apache.spark.sql.SparkSession
   * request is a Spark job; real deployments would cache or pre-materialize
   * (the reference recomputes per request too, data_service.py).
   */
-class ApiServer(spark: SparkSession, port: Int = 0) {
+class ApiServer(spark: SparkSession, port: Int = 0,
+                host: String = "127.0.0.1") {
 
   private val service = new DataService(spark)
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // loopback by default: every GET triggers a Spark job, so binding a
+  // non-loopback interface is an explicit opt-in (`host = "0.0.0.0"`), not
+  // a default — same posture as the reference's Flask dev server
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   private def route(path: String)(body: () => Any): Unit =
     server.createContext(path, (exchange: HttpExchange) => {
@@ -46,18 +50,36 @@ class ApiServer(spark: SparkSession, port: Int = 0) {
   route("/api/mev")(() => service.mevData())
   route("/api/transfers")(() => service.transferData())
 
+  // the dashboard: one static page over the four data routes (the "/"
+  // context also catches unknown paths — prefix routing — which get the
+  // page too; the JSON routes above are longer prefixes and win)
+  server.createContext("/", (exchange: HttpExchange) => {
+    val payload = Dashboard.Html.getBytes("UTF-8")
+    try {
+      exchange.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      exchange.sendResponseHeaders(200, payload.length)
+      exchange.getResponseBody.write(payload)
+    } finally exchange.close()
+  })
+
   def start(): Unit = server.start()
 
   /** The actual bound port (useful with port = 0 in tests). */
   def boundPort: Int = server.getAddress.getPort
 
+  /** The interface actually bound (loopback unless explicitly overridden). */
+  def boundAddress: java.net.InetAddress = server.getAddress.getAddress
+
   def stop(): Unit = server.stop(0)
 }
 
 object ApiServer {
-  /** `graft.api.ApiServer <port>` — stand-alone entry point. */
+  /** `graft.api.ApiServer <port> [--external]` — stand-alone entry point.
+    * Binds loopback unless `--external` is passed explicitly. */
   def main(args: Array[String]): Unit = {
-    val port = args.headOption.map(_.toInt).getOrElse(5000)
+    val port = args.filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(5000)
+    val host = if (args.contains("--external")) "0.0.0.0" else "127.0.0.1"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-api")
@@ -67,9 +89,9 @@ object ApiServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val srv = new ApiServer(spark, port)
+    val srv = new ApiServer(spark, port, host)
     srv.start()
-    println(s"graft api listening on :${srv.boundPort}")
+    println(s"graft api listening on $host:${srv.boundPort}")
     Thread.currentThread().join()
   }
 }

@@ -125,7 +125,12 @@ object Codecs {
     var width = -1; var height = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def chunkId(p: Int) = new String(b.slice(p, p + 4), "US-ASCII")
-    def walk(from: Long, until: Long): Boolean = {
+    def walk(from: Long, until: Long, depth: Int = 0): Boolean = {
+      // legit AVI nests 3 LIST levels (RIFF → hdrl/movi → strl); a hostile
+      // file can nest one per 12 bytes, and unbounded recursion would be a
+      // StackOverflowError — an Error, so it ESCAPES the Option fallback
+      // and kills the task, unlike the iterative BMP/WAV walks
+      if (depth > 16) return false
       var pos = from
       while (pos + 8 <= until) {
         val p = pos.toInt
@@ -135,7 +140,7 @@ object Codecs {
         if (id == "LIST" && size >= 4) {
           val sub = chunkId(p + 8)
           if (sub == "hdrl" || sub == "movi" || sub == "strl")
-            if (!walk(pos + 12, pos + 8 + size)) return false
+            if (!walk(pos + 12, pos + 8 + size, depth + 1)) return false
         } else if (id == "avih" && size >= 40) {
           width = u32le(b, p + 8 + 32)
           height = u32le(b, p + 8 + 36)

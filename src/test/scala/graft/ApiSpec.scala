@@ -75,6 +75,26 @@ class ApiSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("dashboard: / serves a page wired to the four data routes, loopback-bound") {
+    val srv = new graft.api.ApiServer(spark, port = 0)
+    srv.start()
+    try {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}/")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/html"))
+      val page = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      conn.disconnect()
+      Seq("/api/var", "/api/il", "/api/mev", "/api/transfers").foreach { r =>
+        assert(page.contains(r), s"dashboard must reference $r")
+      }
+      // compute-triggering endpoints must not bind beyond loopback by default
+      assert(srv.boundAddress.isLoopbackAddress,
+        s"default bind must be loopback, got ${srv.boundAddress}")
+    } finally srv.stop()
+  }
+
   test("backfill walks a block range as partitioned batch work") {
     val msgs = Fixtures.syntheticTxMessages(60) ++
       Fixtures.syntheticTransferMessages(60)

@@ -378,6 +378,19 @@ class MultimodalSpec extends SparkSpec {
       evil
     }
     assert(Codecs.decodeAvi(moviFrame).isEmpty)
+    // deeply nested LIST hdrl chunks (12 bytes per level) would be a
+    // StackOverflowError — an Error escapes the Option fallback and kills
+    // the task — so the walk is depth-bounded and parses to None instead
+    val levels = 4096
+    val deep = java.nio.ByteBuffer.allocate(12 + 12 * levels)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    deep.put("RIFF".getBytes); deep.putInt(4 + 12 * levels)
+    deep.put("AVI ".getBytes)
+    for (l <- (levels - 1) to 0 by -1) {
+      deep.put("LIST".getBytes); deep.putInt(4 + 12 * l)
+      deep.put("hdrl".getBytes)
+    }
+    assert(Codecs.decodeAvi(deep.array()).isEmpty)
   }
 
   test("corrupt media degrades to the stub decode, not a crash") {
