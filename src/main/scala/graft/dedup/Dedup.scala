@@ -43,7 +43,11 @@ object Dedup {
     * partitions and this is a no-op — the body is never shuffled there. */
   private def spread(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    // toRdd, not .rdd: the partition count only needs the physical plan;
+    // .rdd would additionally build the row-deserializing conversion RDD
+    // on every invocation
+    val parts = docs.queryExecution.toRdd.getNumPartitions
+    if (parts < target) docs.repartition(target) else docs
   }
 
   /** Per-doc exploded distinct shingles: (doc_id, shingle), via the fused
