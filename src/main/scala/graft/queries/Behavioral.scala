@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.analytics.EventAnalytics
+import graft.analytics.{AsOfJoin, EventAnalytics}
 
 /** Behavioral-analytics contract queries over the events/documents tables —
   * sessionization, funnel, retention cohorts, deterministic corpus split.
@@ -124,6 +125,44 @@ object Behavioral {
       |  max(doc_id) AS last_id
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** As-of join: every click/view event gets the user's latest prior (or
+    * simultaneous) purchase — the point-in-time feature lookup. The right
+    * side is deduped per (user, ts) keeping the max event_id so both
+    * engines resolve exact-timestamp ties identically; DuckDB's native
+    * ASOF LEFT JOIN is the oracle. */
+  private val asofJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type").isin("click", "view"))
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "ts", "value")
+    AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts", "ts",
+        payload = Seq("value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("value_r").as("last_purchase_value"),
+        (unix_micros(col("ts")) - unix_micros(col("ts_r"))).as("staleness_us"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinSql =
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type IN ('click', 'view')
+      |), p0 AS (
+      |  SELECT user_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |      ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'
+      |), p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1)
+      |SELECT c.event_id, c.user_id, c.value,
+      |  p.value AS last_purchase_value,
+      |  epoch_us(c.ts) - epoch_us(p.ts) AS staleness_us
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   /** Mixture rates for the fixture's 20 sources: full/half/quarter/tenth
     * by source index — a stand-in for the web/wiki/books/code weighting of
     * a real training mixture. */
@@ -156,6 +195,7 @@ object Behavioral {
     "q_stratified_sample" -> stratifiedSample,
     "q_pack_sequences"    -> packSequences,
     "q_mixture_sample"    -> mixtureSample,
+    "q_asof_join"         -> asofJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -166,5 +206,6 @@ object Behavioral {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_pack_sequences"    -> packSequencesSql,
     "q_mixture_sample"    -> mixtureSampleSql,
+    "q_asof_join"         -> asofJoinSql,
   )
 }

@@ -86,6 +86,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("as-of join: backward inclusive, per-key, deterministic ties, tolerance") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val trades = Seq(
+      (1L, 1L, ts(10)),  // after k1's first quote
+      (2L, 1L, ts(20)),  // exactly at a quote ts -> inclusive match
+      (3L, 1L, ts(5)),   // before any quote -> null
+      (4L, 2L, ts(50)),  // other key: must not see k1 quotes
+      (5L, 3L, ts(10))   // key with no quotes at all -> null
+    ).toDF("trade_id", "k", "t")
+    val quotes = Seq(
+      (1L, ts(8), 100.0),
+      (1L, ts(20), 200.0),
+      (1L, ts(20), 150.0), // same (key, ts): struct-greatest (200.0) wins
+      (2L, ts(49), 300.0)
+    ).toDF("k", "qt", "px")
+    val out = graft.analytics.AsOfJoin
+      .backward(trades, quotes, Seq("k"), "t", "qt", Seq("px"))
+      .orderBy("trade_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.sql.Timestamp]("qt_r")),
+        Option(r.getAs[Any]("px_r")).map(_.asInstanceOf[Double])))
+    assert(out(0) == ((1L, Some(ts(8)), Some(100.0))))
+    assert(out(1) == ((2L, Some(ts(20)), Some(200.0)))) // inclusive + max tie
+    assert(out(2) == ((3L, None, None)))
+    assert(out(3) == ((4L, Some(ts(49)), Some(300.0))))
+    assert(out(4) == ((5L, None, None)))
+    // tolerance: the 2 s staleness cap voids the 10-8=2 s edge? no — cap is
+    // inclusive (<=); a 1 s cap voids it while keeping the exact-ts match
+    val tight = graft.analytics.AsOfJoin
+      .backward(trades, quotes, Seq("k"), "t", "qt", Seq("px"),
+        toleranceUs = Some(1000000L))
+      .orderBy("trade_id").collect()
+      .map(r => Option(r.getAs[Any]("px_r")))
+    assert(tight(0).isEmpty)  // 2 s stale > 1 s cap
+    assert(tight(1).contains(200.0)) // 0 s stale
+  }
+
   test("hash split is ~80/10/10, keyed only by id, stable under repartition") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
     val counts = EventAnalytics.hashSplit(docs, col("doc_id"))

@@ -113,9 +113,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("behavioral windows stay sharded: no single-partition exchanges") {
-    // sessionize, stratified sampling, and sequence packing all use
-    // partitioned windows — none may compile to Exchange SinglePartition
-    Seq("q_sessionize", "q_stratified_sample", "q_pack_sequences").foreach { q =>
+    // sessionize, stratified sampling, sequence packing and the as-of join
+    // all use partitioned windows — none may compile to Exchange
+    // SinglePartition (the as-of union-merge must key on user, not global)
+    Seq("q_sessionize", "q_stratified_sample", "q_pack_sequences",
+        "q_asof_join").foreach { q =>
       val plan = graft.queries.Behavioral.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange SinglePartition"), s"$q:\n$plan")
