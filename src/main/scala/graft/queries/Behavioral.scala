@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.analytics.{AsOfJoin, EventAnalytics}
+import graft.analytics.{AsOfJoin, EventAnalytics, RangeJoin}
 
 /** Behavioral-analytics contract queries over the events/documents tables —
   * sessionization, funnel, retention cohorts, deterministic corpus split.
@@ -163,6 +163,42 @@ object Behavioral {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** Range join: every view event attributed to every ±2 h "campaign
+    * window" around a sampled set of purchases — the point-in-interval
+    * join. Bucketed on 1-h epoch buckets so the plan is an equi-join
+    * (never a nested loop); the DuckDB twin is the plain BETWEEN join. */
+  private val rangeJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "ts")
+    val iv = ev.filter(col("event_type") === "purchase" &&
+        col("event_id") % 41 === 0)
+      .select(col("event_id").as("interval_id"),
+        (col("ts") - expr("INTERVAL 2 HOURS")).as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    RangeJoin.pointInInterval(views, iv, keys = Nil,
+        pointTs = "ts", startTs = "start_ts", endTs = "end_ts",
+        bucketWidthUs = 3600L * 1000000L)
+      .select(col("interval_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("start_ts")))
+          .as("offset_us"))
+      .orderBy("interval_id", "event_id")
+  }
+
+  private val rangeJoinSql =
+    """WITH iv AS (
+      |  SELECT event_id AS interval_id,
+      |    ts - INTERVAL 2 HOUR AS start_ts,
+      |    ts + INTERVAL 2 HOUR AS end_ts
+      |  FROM events WHERE event_type = 'purchase' AND event_id % 41 = 0
+      |)
+      |SELECT iv.interval_id, e.event_id,
+      |  epoch_us(e.ts) - epoch_us(iv.start_ts) AS offset_us
+      |FROM events e JOIN iv
+      |  ON e.ts BETWEEN iv.start_ts AND iv.end_ts
+      |WHERE e.event_type = 'view'
+      |ORDER BY interval_id, event_id""".stripMargin
+
   /** Mixture rates for the fixture's 20 sources: full/half/quarter/tenth
     * by source index — a stand-in for the web/wiki/books/code weighting of
     * a real training mixture. */
@@ -196,6 +232,7 @@ object Behavioral {
     "q_pack_sequences"    -> packSequences,
     "q_mixture_sample"    -> mixtureSample,
     "q_asof_join"         -> asofJoin,
+    "q_range_join"        -> rangeJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -207,5 +244,6 @@ object Behavioral {
     "q_pack_sequences"    -> packSequencesSql,
     "q_mixture_sample"    -> mixtureSampleSql,
     "q_asof_join"         -> asofJoinSql,
+    "q_range_join"        -> rangeJoinSql,
   )
 }

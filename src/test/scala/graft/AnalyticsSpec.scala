@@ -139,4 +139,32 @@ class AnalyticsSpec extends SparkSpec {
       col("doc_id")).select("doc_id", "split").orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("range join: inclusive bounds, multi-bucket spans, key scoping") {
+    val points = Seq(
+      (1L, "a", ts(0)),    // == start of iv 10 -> match (inclusive)
+      (2L, "a", ts(600)),  // == end of iv 10 -> match (inclusive)
+      (3L, "a", ts(601)),  // 1 s past end -> no match
+      (4L, "a", ts(5000)), // inside the 3-bucket iv 11 (bucket width 1 h)
+      (5L, "b", ts(100))   // right time, wrong key -> no match
+    ).toDF("point_id", "k", "ts")
+    val ivs = Seq(
+      (10L, "a", ts(0), ts(600)),
+      (11L, "a", ts(3000), ts(9000)) // spans 3 one-hour buckets
+    ).toDF("interval_id", "k", "start_ts", "end_ts")
+    val out = graft.analytics.RangeJoin.pointInInterval(
+        points, ivs, Seq("k"), "ts", "start_ts", "end_ts",
+        bucketWidthUs = 3600L * 1000000L)
+      .select("point_id", "interval_id").orderBy("point_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 10L), (2L, 10L), (4L, 11L)))
+    // a pair meets in exactly one bucket even when the interval covers many
+    assert(out.distinct == out)
+    // non-key name collisions are a loud error, not silent ambiguity
+    val clash = ivs.withColumnRenamed("interval_id", "point_id")
+    assertThrows[IllegalArgumentException] {
+      graft.analytics.RangeJoin.pointInInterval(
+        points, clash, Seq("k"), "ts", "start_ts", "end_ts", 3600000000L)
+    }
+  }
 }

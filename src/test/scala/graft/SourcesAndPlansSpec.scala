@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join plans as an equi-join, never a nested loop") {
+    val plan = graft.queries.Behavioral.queries("q_range_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     val ivf = graft.sim.VectorOps.ivfTopK(emb, 0L, 10)
