@@ -124,6 +124,125 @@ object Extensions {
        |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Gopher-style repetition filters at token granularity: top-bigram
+    * coverage, duplicate-trigram fraction, duplicate-token fraction — the
+    * quality signals that catch boilerplate/looping text before training. */
+  private val textRepetition: Q = (s, dir) => {
+    val (b, t, k) = TextOps.repetitionStats(col("toks"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        b.as("top_bigram_frac"), t.as("dup_trigram_frac"),
+        k.as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val textRepetitionSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS l FROM documents
+       |), g AS (
+       |  SELECT doc_id, l,
+       |    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bg,
+       |    list_transform(range(1, len(l) - 1),
+       |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS tg
+       |  FROM t
+       |)
+       |SELECT doc_id, len(l) AS n_tokens,
+       |  CAST(list_max(list_transform(list_distinct(bg),
+       |    x -> len(list_filter(bg, y -> y = x)))) * 2 AS DOUBLE)
+       |    / NULLIF(len(l), 0) AS top_bigram_frac,
+       |  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+       |    / NULLIF(len(tg), 0) AS dup_trigram_frac,
+       |  CAST(len(l) - len(list_distinct(l)) AS DOUBLE)
+       |    / NULLIF(len(l), 0) AS dup_token_frac
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** PII redaction. The driver corpus is PII-free by construction, so the
+    * query plants deterministic synthetic PII derived from doc_id (email
+    * always, wallet on doc_id%3=0, phone on doc_id%5=0) and then proves
+    * the scrubber finds and replaces exactly those spans on both engines. */
+  private val textRedact: Q = (s, dir) => {
+    val planted = Tables.documents(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact u"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0, concat(lit(" wallet 0x"),
+        md5(col("doc_id").cast("string")),
+        substring(md5(col("doc_id").cast("string")), 1, 8))).otherwise(""),
+      when(col("doc_id") % 5 === 0, concat(lit(" call +1 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise("")
+    ).as("text"))
+    planted.select(col("doc_id"),
+        regexp_count(col("text"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(TextOps.WalletRe)).cast("long").as("n_wallets"),
+        regexp_count(col("text"), lit(TextOps.PhoneRe)).cast("long").as("n_phones"),
+        md5(TextOps.redactPii(col("text"))).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val textRedactSql = {
+    val (em, wa, ph) = (TextOps.EmailRe, TextOps.WalletRe, TextOps.PhoneRe)
+    s"""WITH planted AS (
+       |  SELECT doc_id, text
+       |    || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' wallet 0x'
+       |         || md5(CAST(doc_id AS VARCHAR))
+       |         || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$em')) AS n_emails,
+       |  len(regexp_extract_all(text, '$wa')) AS n_wallets,
+       |  len(regexp_extract_all(text, '$ph')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '<EMAIL>', 'g'),
+       |    '$wa', '<WALLET>', 'g'),
+       |    '$ph', '<PHONE>', 'g')) AS redacted_fp
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
+  /** BM25 keyword search: fixed 3-term query, top-20. The oracle carries
+    * the identical float expression tree over identical integer inputs;
+    * the LN goes through DECIMAL(38,12) on both engines (cumprod pattern). */
+  private val Bm25Terms = Seq("spark", "vector", "stream")
+
+  private val textBm25: Q = (s, dir) =>
+    graft.text.KeywordSearch.bm25TopK(
+      Tables.documents(s, dir), col("doc_id"),
+      TextOps.tokens(col("text")), Bm25Terms, k = 20)
+
+  private val textBm25Sql = {
+    val tfDefs = Bm25Terms.map(t =>
+      s"len(list_filter($toksSql, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
+    val dfDefs = Bm25Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
+    // every float literal is e0-suffixed: DuckDB parses plain decimals as
+    // DECIMAL (exact arithmetic, diverges from Spark's doubles) but 2.2e0
+    // as DOUBLE — and 1.2+1.0 == 2.2 bitwise, so lit(k1+1.0) matches 2.2e0
+    val wTerms = Bm25Terms.map(t =>
+      s"""CAST(CAST(LN(1.0e0 + (n_docs - df_$t + 0.5e0) / (df_$t + 0.5e0))
+         |      AS DECIMAL(38,12)) AS DOUBLE)
+         |    * (tf_$t * 2.2e0) / (tf_$t + 1.2e0 * (0.25e0
+         |      + 0.75e0 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))""".stripMargin)
+      .mkString("\n    + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, len($toksSql) AS dl,
+       |    $tfDefs
+       |  FROM documents
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    $dfDefs
+       |  FROM d
+       |)
+       |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |  ROUND($wTerms, 6) AS score
+       |FROM d, st
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ----------------------------------------------------------------- dedup
   private val dedupExact: Q = (s, dir) =>
     Dedup.exact(Tables.documents(s, dir))
@@ -598,6 +717,9 @@ object Extensions {
     "text_quality"        -> textQuality,
     "text_lang_id"        -> textLangId,
     "text_fingerprint"    -> textFingerprint,
+    "text_bm25"           -> textBm25,
+    "text_repetition"     -> textRepetition,
+    "text_redact"         -> textRedact,
     "dedup_exact"         -> dedupExact,
     "dedup_minhash_sigs"  -> dedupMinhash,
     "dedup_lsh_pairs"     -> dedupLshPairs,
@@ -622,6 +744,9 @@ object Extensions {
     "text_quality"        -> textQualitySql,
     "text_lang_id"        -> textLangIdSql,
     "text_fingerprint"    -> textFingerprintSql,
+    "text_bm25"           -> textBm25Sql,
+    "text_repetition"     -> textRepetitionSql,
+    "text_redact"         -> textRedactSql,
     "dedup_exact"         -> dedupExactSql,
     "dedup_minhash_sigs"  -> dedupMinhashSql,
     "dedup_lsh_pairs"     -> dedupLshPairsSql,

@@ -83,4 +83,55 @@ object TextOps {
     * single-space). Identical md5 on the DuckDB side. */
   def fingerprint(text: Column): Column =
     md5(lower(concat_ws(" ", tokens(text))))
+
+  /** Non-distinct word n-grams — the repetition-measure companion to the
+    * (distinct) [[shingles]]. Same materialized-token caveat. DuckDB twin:
+    * `list_transform(range(1, len(l) - n + 2), i -> l[i]||' '||…)`. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + lit(1))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Occurrence count of the most frequent element of `arr` (null on empty).
+    * O(distinct·n) per row — fine at document granularity, stays inside
+    * codegen. Tie-safe: only the max COUNT is used, never which element
+    * attains it. DuckDB twin:
+    * `list_max(list_transform(list_distinct(a), g -> len(list_filter(a, x -> x = g))))`. */
+  def topCount(arr: Column): Column =
+    array_max(transform(array_distinct(arr),
+      g => size(filter(arr, x => x === g))))
+
+  /** Gopher-style repetition signals (Rae et al. 2112.11446 §A1.1, adapted
+    * to token granularity): fraction of tokens covered by the single most
+    * frequent bigram, and fraction of trigram slots occupied by repeats.
+    * All outputs derive from integer counts → oracle hash-exact. */
+  def repetitionStats(toks: Column): (Column, Column, Column) = {
+    val bg = ngrams(toks, 2)
+    val tg = ngrams(toks, 3)
+    val topBigramFrac = (topCount(bg) * lit(2)).cast("double") / size(toks)
+    val dupTrigramFrac = when(size(tg) > 0,
+      (size(tg) - size(array_distinct(tg))).cast("double") / size(tg))
+    val dupTokenFrac =
+      (size(toks) - size(array_distinct(toks))).cast("double") / size(toks)
+    (topBigramFrac, dupTrigramFrac, dupTokenFrac)
+  }
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common subset so the
+    * Spark and DuckDB engines match the same spans. */
+  val EmailRe  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val WalletRe = "0x[a-fA-F0-9]{40}"
+  val PhoneRe  = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+  /** Scrub PII spans, innermost-first (wallets before emails would not
+    * matter here, but a fixed order makes the output reproducible).
+    * DuckDB twin needs the 'g' flag — its regexp_replace is first-match
+    * by default where Spark's replaces all. */
+  def redactPii(text: Column): Column = {
+    val passes = Seq(EmailRe -> "<EMAIL>", WalletRe -> "<WALLET>",
+      PhoneRe -> "<PHONE>")
+    passes.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+  }
 }

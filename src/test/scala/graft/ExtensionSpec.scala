@@ -327,6 +327,65 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("q") < 0 || col("q") > 1).count()
     assert(bad == 0)
   }
+
+  test("repetition stats: looping text scores high, varied text low") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),   // one bigram dominates
+      (2L, "a b c d e f g h"),                   // all distinct
+      (3L, "x y")                                // too short for trigrams
+    ).toDF("doc_id", "text")
+    val (b, t, k) = TextOps.repetitionStats(col("toks"))
+    val got = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), b.as("bg"), t.as("tg"), k.as("tok"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // doc 1: "buy now" occurs 4 of 7 bigrams -> covers 8/8 tokens; all 6
+    // trigram slots are repeats of 2 distinct trigrams -> (6-2)/6
+    assert(got(1L)._1.contains(1.0), got)
+    assert(got(1L)._2.contains(4.0 / 6.0), got)
+    assert(got(1L)._3 == 6.0 / 8.0, got)
+    assert(got(2L)._1.contains(0.25) && got(2L)._2.contains(0.0)
+      && got(2L)._3 == 0.0, got)
+    assert(got(3L)._2.isEmpty, got) // no trigram slots -> null, not 0
+  }
+
+  test("pii redaction scrubs exactly the planted spans") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@test.org or x@y.io thanks"),
+      (2L, "wallet 0x" + "ab" * 20 + " pays +1 555-0199"),
+      (3L, "clean text, no pii; 0xdeadbeef is too short")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at <EMAIL> or <EMAIL> thanks", got)
+    assert(got(2L) == "wallet <WALLET> pays <PHONE>", got)
+    assert(got(3L) == "clean text, no pii; 0xdeadbeef is too short", got)
+  }
+
+  test("bm25: tf raises score with saturation, rarity raises idf weight") {
+    val docs = Seq(
+      (1L, "rare common filler filler"),
+      (2L, "common common filler filler"),   // same tf mass on a common term
+      (3L, "common filler filler filler"),
+      (4L, "filler filler filler filler"),
+      (5L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = graft.text.KeywordSearch.bm25TopK(docs, col("doc_id"),
+        TextOps.tokens(col("text")), Seq("rare", "common"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    // df(rare)=1 < df(common)=3 -> doc 1's single rare hit outweighs
+    // doc 2's doubled common hit; no hits -> score 0
+    assert(got(1L) > got(2L), got)
+    assert(got(2L) > got(3L), got)
+    assert(got(4L) == 0.0 && got(5L) == 0.0, got)
+    // equal docs tie exactly -> deterministic doc_id tiebreak holds
+    val order = graft.text.KeywordSearch.bm25TopK(docs, col("doc_id"),
+        TextOps.tokens(col("text")), Seq("rare", "common"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
