@@ -52,6 +52,21 @@ object CorpusOps {
       .drop("__b")
   }
 
+  /** Bottom-k hash sample: the `k` rows with globally smallest md5(id) —
+    * the KMV construction applied to whole rows. A deterministic uniform
+    * sample that is mergeable (union two samples, keep the k smallest) and
+    * partitioning-invariant, which makes any downstream statistic a
+    * *sketch* with those properties: [[graft.queries.Extensions]] derives a
+    * distributed quantile estimate this way, the scale path for exact
+    * `percentile` when the column has billions of rows. Compiles to
+    * TakeOrderedAndProject — per-partition size-k heaps merged on the
+    * driver, no global sort, no full shuffle. */
+  def hashSample(df: DataFrame, idCol: Column, k: Int): DataFrame =
+    df.withColumn("__h", md5(idCol.cast("string")))
+      .orderBy(col("__h"), idCol)
+      .limit(k)
+      .drop("__h")
+
   /** Greedy sequence packing: walk documents in `orderCol` order, assign
     * each to the bin its running token count starts in —
     * `bin_id = (cumsum − tokens) div binTokens`. Contiguous documents land

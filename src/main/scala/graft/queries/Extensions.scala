@@ -664,6 +664,42 @@ object Extensions {
     * determinism-friendly approx-distinct: unlike HLL++ the estimate is
     * bit-reproducible by any engine with md5, so this one gets a hash-exact
     * oracle (q_approx_distinct stays rows-only as the HLL comparison). */
+  /** Distributed quantile sketch: exact interpolated percentiles over the
+    * bottom-1024 hash sample ([[graft.analytics.CorpusOps.hashSample]]).
+    * Mergeable and partitioning-invariant like the KMV distinct sketch;
+    * the exact full-data p50 rides along so the one output row shows the
+    * estimate against its target. */
+  private val kmvQuantile: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select("event_id", "value")
+    val sample = graft.analytics.CorpusOps
+      .hashSample(ev, col("event_id"), k = 1024)
+    val est = sample.agg(
+      count(lit(1)).as("n_sample"),
+      round(expr("percentile(value, 0.5)"), 6).as("p50_est"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95_est"))
+    val exact = ev.agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95_exact"))
+    est.crossJoin(exact)
+  }
+
+  private val kmvQuantileSql =
+    """WITH s AS (
+      |  SELECT value FROM events
+      |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 1024
+      |), est AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+      |    ROUND(quantile_cont(value, 0.5), 6) AS p50_est,
+      |    ROUND(quantile_cont(value, 0.95), 6) AS p95_est
+      |  FROM s
+      |), ex AS (
+      |  SELECT ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+      |    ROUND(quantile_cont(value, 0.95), 6) AS p95_exact
+      |  FROM events
+      |)
+      |SELECT n_sample, p50_est, p95_est, p50_exact, p95_exact
+      |FROM est, ex""".stripMargin
+
   private val kmvDistinct: Q = (s, dir) => {
     graft.functions.KmvFunctions.register(s)
     Tables.events(s, dir)
@@ -736,6 +772,7 @@ object Extensions {
     "sim_ann_topk"        -> simAnnTopK,
     "sim_ivf_topk"        -> simIvfTopK,
     "q_kmv_distinct"      -> kmvDistinct,
+    "q_kmv_quantile"      -> kmvQuantile,
     "mm_features"         -> mmFeatures,
   )
 
@@ -769,5 +806,6 @@ object Extensions {
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,
     "q_kmv_distinct"      -> kmvDistinctSql,
+    "q_kmv_quantile"      -> kmvQuantileSql,
   )
 }

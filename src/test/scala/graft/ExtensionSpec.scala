@@ -75,6 +75,29 @@ class DedupSpec extends SparkSpec {
     assert(est(big.union(big).repartition(5), 256) == e)
   }
 
+  test("hash-sample quantile: invariant to partitioning, close to exact") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    def p50(d: org.apache.spark.sql.DataFrame): (Double, Seq[Long]) = {
+      val s = graft.analytics.CorpusOps.hashSample(d, col("id"), 1024)
+      (s.agg(expr("percentile(v, 0.5)")).collect()(0).getDouble(0),
+        s.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    }
+    val (e1, ids1) = p50(df)
+    val (e2, ids2) = p50(df.repartition(23))
+    assert(ids1 == ids2 && e1 == e2)     // identical SAMPLE, not just value
+    assert(math.abs(e1 - 10000.5) / 10000.5 < 0.1, s"p50 est $e1")
+    // mergeable: bottom-k of a union == bottom-k of union of bottom-ks
+    val half1 = df.filter(col("id") % 2 === 0)
+    val half2 = df.filter(col("id") % 2 === 1)
+    val merged = graft.analytics.CorpusOps.hashSample(
+      graft.analytics.CorpusOps.hashSample(half1, col("id"), 1024)
+        .union(graft.analytics.CorpusOps.hashSample(half2, col("id"), 1024)),
+      col("id"), 1024)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(merged == ids1)
+  }
+
   test("containment flags a subset document that Jaccard misses") {
     import spark.implicits._
     val quote = (1 to 10).map(i => s"w$i").mkString(" ")       // 8 shingles
