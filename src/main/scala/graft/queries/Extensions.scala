@@ -664,6 +664,63 @@ object Extensions {
     * determinism-friendly approx-distinct: unlike HLL++ the estimate is
     * bit-reproducible by any engine with md5, so this one gets a hash-exact
     * oracle (q_approx_distinct stays rows-only as the HLL comparison). */
+  /** Distributed k-means: 2 full Lloyd rounds from the first-8 seed
+    * codebook, final assignment as output. The oracle UNROLLS both rounds
+    * in SQL — every assign (fixed-point integer argmin) and every update
+    * (fixed-point dimension means, Float32-quantized) is recomputed by
+    * DuckDB from the same seeds, so the driver check verifies the whole
+    * iterative loop, not just the last projection. */
+  private val KmeansK = 8
+  private val KmeansIters = 2
+
+  private val simKmeans: Q = (s, dir) =>
+    graft.sim.KMeans.lloyd(Tables.embeddings(s, dir), KmeansK, KmeansIters)
+      .select("vec_id", "cell")
+      .orderBy("vec_id")
+
+  private val simKmeansSql = {
+    // centroid relations c<n> are (cell, i, cx): cx is float-valued but
+    // carried as DOUBLE, mirroring Spark's Float32 storage + exact
+    // widening inside the fixed-point dot
+    def assignCtes(n: Int) =
+      s"""d$n AS (
+         |  SELECT v.vec_id, c.cell,
+         |    SUM(CAST(ROUND(v.x * c.cx * 1e12, 0) AS BIGINT)) AS dot
+         |  FROM v JOIN c$n c ON v.i = c.i GROUP BY 1, 2
+         |), s$n AS (
+         |  SELECT cell, SUM(CAST(ROUND(cx * cx * 1e12, 0) AS BIGINT)) AS self
+         |  FROM c$n GROUP BY 1
+         |), a$n AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT d.vec_id, d.cell,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY s.self - 2 * d.dot, d.cell) AS rn
+         |    FROM d$n d JOIN s$n s USING (cell)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def updateCtes(n: Int) =
+      s"""u$n AS (
+         |  SELECT a.cell, v.i,
+         |    CAST(CAST(CAST(SUM(CAST(ROUND(v.x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+         |      / 1e12 / COUNT(*) AS REAL) AS DOUBLE) AS cx
+         |  FROM a${n - 1} a JOIN v USING (vec_id) GROUP BY 1, 2
+         |), c$n AS (SELECT cell, i, cx FROM u$n)""".stripMargin
+    val rounds = (1 to KmeansIters)
+      .map(n => updateCtes(n) + ",\n" + assignCtes(n)).mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cell, CAST(unnest(embedding) AS DOUBLE) AS cx,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id < $KmeansK
+       |),
+       |${assignCtes(0)},
+       |$rounds
+       |SELECT vec_id, cell FROM a$KmeansIters ORDER BY vec_id""".stripMargin
+  }
+
   /** Distributed quantile sketch: exact interpolated percentiles over the
     * bottom-1024 hash sample ([[graft.analytics.CorpusOps.hashSample]]).
     * Mergeable and partitioning-invariant like the KMV distinct sketch;
@@ -773,6 +830,7 @@ object Extensions {
     "sim_ivf_topk"        -> simIvfTopK,
     "q_kmv_distinct"      -> kmvDistinct,
     "q_kmv_quantile"      -> kmvQuantile,
+    "sim_kmeans"          -> simKmeans,
     "mm_features"         -> mmFeatures,
   )
 
@@ -807,5 +865,6 @@ object Extensions {
     "sim_ivf_topk"        -> simIvfTopKSql,
     "q_kmv_distinct"      -> kmvDistinctSql,
     "q_kmv_quantile"      -> kmvQuantileSql,
+    "sim_kmeans"          -> simKmeansSql,
   )
 }

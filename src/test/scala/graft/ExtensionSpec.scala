@@ -313,6 +313,36 @@ class SimilaritySpec extends SparkSpec {
     val b2 = VectorOps.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(b1 == b2)
   }
+
+  test("kmeans recovers planted clusters; invariant to partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 tight blobs in 4-d; seed ids 0/1/2 are one member of each blob
+    val centers = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f))
+    val rows = centers.zipWithIndex.flatMap { case (ctr, b) =>
+      (0 until 30).map { i =>
+        val id = if (i == 0) b.toLong else b * 1000L + 100L + i
+        (id, ctr.zipWithIndex.map { case (c, d) => c + ((i * 7 + d) % 5) * 0.01f })
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.sim.KMeans.lloyd(df, k = 3, iters = 2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every blob maps to exactly one cell, and the three cells differ
+    def cellsOf(blob: Long) =
+      out.collect { case (id, c)
+        if (id < 3 && id == blob) || (id >= 100 && id / 1000 == blob) => c }.toSet
+    val (c0, c1, c2) = (cellsOf(0), cellsOf(1), cellsOf(2))
+    assert(c0.size == 1 && c1.size == 1 && c2.size == 1, out)
+    assert(Set(c0.head, c1.head, c2.head).size == 3)
+    // exact integer scores + fixed-point means -> partitioning-invariant
+    val out2 = graft.sim.KMeans.lloyd(df.repartition(13), k = 3, iters = 2)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
