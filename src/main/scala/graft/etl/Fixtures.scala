@@ -42,7 +42,8 @@ object Fixtures {
                       toAddr: String = "0x" + "b" * 64,
                       amount: BigInt = BigInt(10) * BigInt(10).pow(18),
                       logIndex: Long = 0L,
-                      tokenId: BigInt = BigInt(1)): String = {
+                      tokenId: BigInt = BigInt(1),
+                      txHash: String = "0x" + "c" * 64): String = {
     val base = Seq(Envelope.Erc20TransferTopic, fromAddr, toAddr)
     val idHex = tokenId.toString(16)
     val topics =
@@ -50,7 +51,7 @@ object Fixtures {
       else base
     val data = if (standard == "ERC-721") "0x" else "0x" + amount.toString(16)
     val payload =
-      s"""{"tx_hash": ${jstr("0x" + "c" * 64)}, "log_index": $logIndex,
+      s"""{"tx_hash": ${jstr(txHash)}, "log_index": $logIndex,
          | "contract": ${jstr(contract)},
          | "topics": [${topics.map(jstr).mkString(", ")}],
          | "data": ${jstr(data)}}""".stripMargin.replaceAll("\n", "")
@@ -79,11 +80,12 @@ object Fixtures {
                   amount0In: BigInt = BigInt(0), amount1In: BigInt = BigInt(0),
                   amount0Out: BigInt = BigInt(0), amount1Out: BigInt = BigInt(0),
                   blockNumber: Long = 18000000L,
-                  ts: Long = FixedNow): String = {
+                  ts: Long = FixedNow,
+                  txHash: String = "0x" + "f" * 64): String = {
     def word(v: BigInt): String = { val h = v.toString(16); "0" * (64 - h.length) + h }
     val data = "0x" + Seq(amount0In, amount1In, amount0Out, amount1Out).map(word).mkString
     val payload =
-      s"""{"tx_hash": ${jstr("0x" + "f" * 64)}, "log_index": 0,
+      s"""{"tx_hash": ${jstr(txHash)}, "log_index": 0,
          | "contract": ${jstr(pool)},
          | "topics": [${jstr(Envelope.UniswapV2SwapTopic)}],
          | "data": ${jstr(data)}}""".stripMargin.replaceAll("\n", "")

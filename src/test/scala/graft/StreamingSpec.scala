@@ -201,6 +201,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: swaps enriched by same-tx transfers in the lag") {
+    implicit val sqlCtx = spark.sqlContext
+    val swapStream = MemoryStream[String]
+    val transferStream = MemoryStream[String]
+    val out = StreamingEtl.swapsWithFundingTransfer(
+      StreamingEtl.parseSwaps(swapStream.toDS()),
+      StreamingEtl.decodeTransfers(transferStream.toDS()),
+      lag = "10 minutes", watermark = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join_out").start()
+    val t0 = Fixtures.FixedNow
+    def tx(i: Int) = "0x" + i.toString * 64
+    try {
+      // swap at t0 funded by a transfer 60 s earlier — joins;
+      // same-tx transfer 11 min earlier — outside the lag, must NOT join;
+      // different-tx transfer at the right time — must NOT join
+      transferStream.addData(
+        Fixtures.transferMessage(ts = t0 - 60, txHash = tx(1), logIndex = 1),
+        Fixtures.transferMessage(ts = t0 - 660, txHash = tx(1), logIndex = 2),
+        Fixtures.transferMessage(ts = t0 - 60, txHash = tx(2), logIndex = 3))
+      swapStream.addData(Fixtures.swapMessage(
+        amount0In = BigInt(10).pow(18), amount1Out = BigInt(2) * BigInt(10).pow(18),
+        ts = t0, txHash = tx(1)))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_out")
+        .select("tx_hash", "pool", "token", "amount").collect()
+      assert(rows.length == 1, rows.toSeq)
+      assert(rows(0).getString(0) == tx(1))
+      // both buffers are watermark-bounded: a second round still joins
+      transferStream.addData(
+        Fixtures.transferMessage(ts = t0 + 540, txHash = tx(3), logIndex = 4))
+      swapStream.addData(Fixtures.swapMessage(
+        amount0In = BigInt(10).pow(18), ts = t0 + 600, txHash = tx(3)))
+      q.processAllAvailable()
+      assert(spark.table("ss_join_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
