@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.analytics.{AsOfJoin, EventAnalytics, RangeJoin}
+import graft.analytics.{AsOfJoin, EventAnalytics, RangeJoin, SkewJoin}
 
 /** Behavioral-analytics contract queries over the events/documents tables —
   * sessionization, funnel, retention cohorts, deterministic corpus split.
@@ -199,6 +199,31 @@ object Behavioral {
       |WHERE e.event_type = 'view'
       |ORDER BY interval_id, event_id""".stripMargin
 
+  /** Salted skew join: events joined to their per-user cohort date through
+    * an 8-way salt — row-identical to the plain join (which is exactly
+    * what the oracle runs), with the hot keys spread over 8 reducers. */
+  private val skewJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val cohorts = ev.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    SkewJoin.salted(ev.select("event_id", "user_id", "event_type"), cohorts,
+        Seq("user_id"), r = 8)
+      .groupBy("cohort_date", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_date", "event_type")
+  }
+
+  private val skewJoinSql =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT cohort_date, event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Mixture rates for the fixture's 20 sources: full/half/quarter/tenth
     * by source index — a stand-in for the web/wiki/books/code weighting of
     * a real training mixture. */
@@ -233,6 +258,7 @@ object Behavioral {
     "q_mixture_sample"    -> mixtureSample,
     "q_asof_join"         -> asofJoin,
     "q_range_join"        -> rangeJoin,
+    "q_skew_join"         -> skewJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -245,5 +271,6 @@ object Behavioral {
     "q_mixture_sample"    -> mixtureSampleSql,
     "q_asof_join"         -> asofJoinSql,
     "q_range_join"        -> rangeJoinSql,
+    "q_skew_join"         -> skewJoinSql,
   )
 }

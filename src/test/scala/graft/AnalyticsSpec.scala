@@ -140,6 +140,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    import org.apache.spark.sql.functions.{spark_partition_id, col}
+    // 90% of rows share key 7 — the classic straggler shape
+    val left = spark.range(0, 2000)
+      .selectExpr("id AS row_id", "CASE WHEN id % 10 = 0 THEN id ELSE 7 END AS k")
+    val right = spark.range(0, 2000).selectExpr("id AS k", "id * 100 AS payload")
+    val plain = left.join(right, "k")
+      .select("row_id", "k", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val saltedDf = graft.analytics.SkewJoin.salted(left, right, Seq("k"), r = 8)
+    val salted = saltedDf.select("row_id", "k", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)           // row-identical rewrite
+    // the hot key's rows land in >1 shuffle partition after the join
+    val hotParts = saltedDf.filter(col("k") === 7)
+      .select(spark_partition_id()).distinct().count()
+    assert(hotParts > 1, s"hot key still on $hotParts partition(s)")
+  }
+
   test("range join: inclusive bounds, multi-bucket spans, key scoping") {
     val points = Seq(
       (1L, "a", ts(0)),    // == start of iv 10 -> match (inclusive)
