@@ -549,4 +549,54 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** Survivor selection — detection's other half: within each exact
+    * duplicate group (same token-normalized fingerprint) KEEP the
+    * highest-quality document, ties to the lowest doc_id. One hash
+    * aggregation; the argmax is an exact struct-min (no window, no
+    * second pass). Returns (fp, survivor_id, n_docs) per group. */
+  def canonicalByFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.qualityScore(col("text"), col("toks")).as("q"))
+      .groupBy("fp")
+      .agg(min(struct(negate(col("q")).as("nq"), col("doc_id").as("id")))
+        .as("m"), count(lit(1)).as("n_docs"))
+      .select(col("fp"), col("m.id").as("survivor_id"), col("n_docs"))
+      .orderBy("fp")
+
+  /** Survivor selection over NEAR-dup clusters: given a (doc_id, rep_id)
+    * cluster assignment (from [[connectedComponents]]), keep the
+    * highest-quality member per cluster, ties to the lowest doc_id —
+    * which copy of each near-duplicate family ships in the training set.
+    * Same single-aggregation struct-min as [[canonicalByFingerprint]]. */
+  def survivors(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text"), col("toks")).as("q"))
+      .join(clusters, "doc_id")
+      .groupBy("rep_id")
+      .agg(min(struct(negate(col("q")).as("nq"), col("doc_id").as("id")))
+        .as("m"), count(lit(1)).as("n_docs"))
+      .select(col("rep_id"), col("m.id").as("survivor_id"), col("n_docs"))
+      .orderBy("rep_id")
+
+  /** n-gram decontamination: for each corpus doc, the number of distinct
+    * `n`-gram shingles it shares with the (small) eval set — the standard
+    * train/test-leakage scan before training. The eval side reduces to
+    * distinct shingle DIGESTS and is broadcast, so the corpus-side shuffle
+    * never happens: one scan over corpus shingles, a broadcast-hash
+    * semi-ish join, one partial+final count per doc. */
+  def contaminationCounts(corpus: DataFrame, evalDocs: DataFrame,
+                          n: Int = 8): DataFrame = {
+    val corpusSh = shingled(corpus, n)
+      .select(col("doc_id"), md5(col("shingle")).as("d"))
+    val evalSh = shingled(evalDocs, n)
+      .select(md5(col("shingle")).as("d")).distinct()
+    corpusSh.join(broadcast(evalSh), Seq("d"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("d")).as("n_shared"))
+  }
 }

@@ -124,6 +124,59 @@ object Extensions {
        |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Vocabulary builder: top-30 tokens by document frequency (then term
+    * frequency, then token) — the tokenizer-training / stopword-mining
+    * pass. One explode + one partial/final agg + TakeOrdered. */
+  private val textVocab: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tf").desc, col("token"))
+      .limit(30)
+
+  private val textVocabSql =
+    s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+       |GROUP BY 1 ORDER BY df DESC, tf DESC, token LIMIT 30""".stripMargin
+
+  /** Decontamination scan: every non-eval doc with the count of distinct
+    * 8-gram shingles it shares with the eval slice (doc_id % 20 = 0 stands
+    * in for the benchmark set). Zero-overlap docs are kept in the output
+    * (n_shared = 0) so the clean/contaminated split is total. */
+  private val textDecontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val counts = Dedup.contaminationCounts(corpus, evalSet, n = 8)
+    corpus.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val textDecontaminateSql = {
+    val gram8 = (1 to 8).map(j => s"l[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS l FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(l) - 6), i -> $gram8))) AS s
+       |  FROM t
+       |), ev AS (
+       |  SELECT DISTINCT md5(s) AS d FROM sh WHERE doc_id % 20 = 0
+       |), c AS (
+       |  SELECT sh.doc_id, COUNT(DISTINCT md5(s)) AS n_shared
+       |  FROM sh JOIN ev ON md5(sh.s) = ev.d
+       |  WHERE sh.doc_id % 20 <> 0 GROUP BY 1
+       |)
+       |SELECT d.doc_id, COALESCE(c.n_shared, 0) AS n_shared,
+       |  COALESCE(c.n_shared, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN c USING (doc_id)
+       |WHERE d.doc_id % 20 <> 0 ORDER BY doc_id""".stripMargin
+  }
+
   /** Gopher-style repetition filters at token granularity: top-bigram
     * coverage, duplicate-trigram fraction, duplicate-token fraction — the
     * quality signals that catch boilerplate/looping text before training. */
@@ -447,6 +500,60 @@ object Extensions {
 
   // ------------------------------------------------------------ similarity
   val CosineThreshold = 0.3
+
+  /** Survivor selection over the near-dup clusters: per connected
+    * component, keep the highest-quality member (ties → lowest id).
+    * Detection says what is duplicated; this says which copy ships in the
+    * training set. The oracle composes the recursive-CTE transitive
+    * closure (dedup_clusters' twin) with the quality-score twin. */
+  private val dedupCanonical: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.survivors(docs,
+      Dedup.connectedComponents(Dedup.nearDuplicates(docs, JaccardThreshold)))
+  }
+
+  private val dedupCanonicalSql = {
+    // the quality score twin (same expression as text_quality)
+    val allStops = TextOps.LangStopwords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE $shinglesCte, sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+       |), jp AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |    FROM sh a JOIN sh b
+       |      ON md5(a.shingle) = md5(b.shingle) AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2
+       |  ) p JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       |), edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp
+       |), reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+       |), cl AS (
+       |  SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
+       |), q AS (
+       |  SELECT doc_id,
+       |    0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       |    + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE)
+       |             / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0))
+       |    + 0.3 * LEAST(1.0, CAST(len(list_filter($toksSql,
+       |        x -> list_contains([$allStops], x))) AS DOUBLE)
+       |             / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0) * 10.0) AS q
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT cl.rep_id, cl.doc_id,
+       |    row_number() OVER (PARTITION BY cl.rep_id
+       |      ORDER BY q.q DESC, cl.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cl.rep_id) AS n_docs
+       |  FROM cl JOIN q USING (doc_id)
+       |)
+       |SELECT rep_id, doc_id AS survivor_id, CAST(n_docs AS BIGINT) AS n_docs
+       |FROM ranked WHERE rn = 1 ORDER BY rep_id""".stripMargin
+  }
+
 
   private val embCosinePairs: Q = (s, dir) =>
     VectorOps.cosinePairs(Tables.embeddings(s, dir), CosineThreshold)
@@ -813,6 +920,9 @@ object Extensions {
     "text_bm25"           -> textBm25,
     "text_repetition"     -> textRepetition,
     "text_redact"         -> textRedact,
+    "text_vocab"          -> textVocab,
+    "text_decontaminate"  -> textDecontaminate,
+    "dedup_canonical"     -> dedupCanonical,
     "dedup_exact"         -> dedupExact,
     "dedup_minhash_sigs"  -> dedupMinhash,
     "dedup_lsh_pairs"     -> dedupLshPairs,
@@ -842,6 +952,9 @@ object Extensions {
     "text_bm25"           -> textBm25Sql,
     "text_repetition"     -> textRepetitionSql,
     "text_redact"         -> textRedactSql,
+    "text_vocab"          -> textVocabSql,
+    "text_decontaminate"  -> textDecontaminateSql,
+    "dedup_canonical"     -> dedupCanonicalSql,
     "dedup_exact"         -> dedupExactSql,
     "dedup_minhash_sigs"  -> dedupMinhashSql,
     "dedup_lsh_pairs"     -> dedupLshPairsSql,

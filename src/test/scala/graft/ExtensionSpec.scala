@@ -98,6 +98,25 @@ class DedupSpec extends SparkSpec {
     assert(merged == ids1)
   }
 
+  test("survivor selection keeps the highest-quality member, ties to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("alpha beta gamma " * 10).trim),   // same tokens as 2, shorter
+      (2L, ("alpha  beta  gamma " * 10).trim), // longer text -> higher quality
+      (3L, "alpha alpha"), // short AND repetitive -> lowest quality
+      (4L, "unrelated doc")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "rep_id")
+    val out = Dedup.survivors(docs, clusters).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 3L, out.toSeq)
+    // exact-fingerprint variant: 1 and 2 share a token-normalized
+    // fingerprint; 2 wins on quality (longer), 3 and 4 are singletons
+    val grp = graft.dedup.Dedup.canonicalByFingerprint(docs)
+      .filter(col("n_docs") > 1).collect()
+    assert(grp.length == 1 && grp(0).getLong(1) == 2L, grp.toSeq)
+  }
+
   test("containment flags a subset document that Jaccard misses") {
     import spark.implicits._
     val quote = (1 to 10).map(i => s"w$i").mkString(" ")       // 8 shingles
