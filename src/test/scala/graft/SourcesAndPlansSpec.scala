@@ -39,6 +39,35 @@ class SourcesSpec extends SparkSpec {
   * optimizations the 100 TB posture depends on — filter/column pushdown to
   * the parquet scan, broadcast joins for dims, partial aggregation, and
   * whole-stage codegen over the hot expressions. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables join with zero exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1 to 1000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "v")
+      val dims = (0 to 96).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      graft.sources.Bucketing.writeBucketed(facts, "bk_facts", "k", 8)
+      graft.sources.Bucketing.writeBucketed(dims, "bk_dims", "k", 8)
+      val joined = graft.sources.Bucketing.readBucketed(spark, "bk_facts")
+        .join(graft.sources.Bucketing.readBucketed(spark, "bk_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000)
+      // and the unbucketed baseline DOES shuffle — the bucket spec is the
+      // thing removing the exchanges, not some other plan accident
+      val flat = facts.join(dims, "k")
+      assert(flat.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bk_facts")
+      spark.sql("DROP TABLE IF EXISTS bk_dims")
+    }
+  }
+}
+
 class PlanSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 

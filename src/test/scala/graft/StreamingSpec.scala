@@ -239,6 +239,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink keeps the newest row per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.UpsertSink.start(
+      stream.toDS().toDF("k", "ver", "payload"),
+      s"$dir/state", s"$dir/ckpt", key = "k", tsCol = "ver")
+    try {
+      stream.addData((1L, 1L, "a1"), (2L, 1L, "b1"))
+      q.processAllAvailable()
+      // newer version for k=1, stale (older) arrival for k=2, new key 3
+      stream.addData((1L, 5L, "a5"), (2L, 0L, "b0"), (3L, 1L, "c1"))
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$dir/state")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      assert(state == Map(1L -> (5L, "a5"), 2L -> (1L, "b1"),
+        3L -> (1L, "c1")), state)
+    } finally q.stop()
+  }
+
   test("keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
