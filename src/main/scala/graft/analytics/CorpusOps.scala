@@ -67,6 +67,63 @@ object CorpusOps {
       .limit(k)
       .drop("__h")
 
+  /** Quality-decile binning: ntile(buckets) per stratum over the quality
+    * order (ties broken by id so the assignment is total and rerun-stable),
+    * summarized per (stratum, bucket). The standard first look at a corpus
+    * quality distribution before choosing filter thresholds. One partitioned
+    * window + one hash aggregate; strata shard naturally at scale. */
+  def qualityBins(df: DataFrame, strataCol: Column, qualityCol: Column,
+                  idCol: Column, buckets: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(qualityCol, idCol)
+    df.withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(strataCol, col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(qualityCol).as("min_quality"),
+        max(qualityCol).as("max_quality"))
+  }
+
+  /** Token-budget selection: walk each stratum best-quality-first and keep
+    * documents while the running token count stays within `budget` — how a
+    * fixed-size training corpus is actually cut from a larger pool. The
+    * order must be total (pass a tie-breaking id as the last `orderCols`
+    * entry) or the kept set is not deterministic. One partitioned window +
+    * a filter; the budget cut needs no second pass. */
+  def tokenBudget(df: DataFrame, tokensCol: Column, budget: Long,
+                  orderCols: Seq[Column],
+                  strataCols: Seq[Column]): DataFrame = {
+    val base = if (strataCols.isEmpty) Window.partitionBy()
+               else Window.partitionBy(strataCols: _*)
+    val w = base.orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokensCol.cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
+  /** Inverse-frequency ("flattening") mixture: downsample every group to
+    * the size of the smallest group — the α→0 limit of temperature-based
+    * mixture reweighting, used to stop a dominant source/language from
+    * swamping the mixture. Rates are derived FROM THE DATA (n_min/n_g per
+    * group) but applied through the same exact-integer hash thresholding as
+    * [[mixtureSample]]: the keep boundary is `(n_min·2²⁴) div n_g` rendered
+    * as a 6-hex-digit string, so both engines draw the identical sample
+    * with zero float arithmetic (quantization 2⁻²⁴; exact for n_min up to
+    * 2³⁹ — far beyond any per-group document count). Two tiny aggregates
+    * (#groups rows) + one broadcast join + a pure filter. */
+  def flattenedMixture(df: DataFrame, idCol: Column,
+                       groupCol: Column): DataFrame = {
+    val counts = df.groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val bounds = counts.crossJoin(broadcast(nmin))
+      .withColumn("__b", when(col("__n") === col("__nmin"), lit("g"))
+        .otherwise(lpad(lower(hex(
+          expr("(__nmin * 16777216) div __n"))), 6, "0")))
+      .select(col("__g"), col("__b"))
+    df.join(broadcast(bounds), groupCol === col("__g"))
+      .filter(substring(md5(idCol.cast("string")), 1, 6) < col("__b"))
+      .drop("__g", "__b")
+  }
+
   /** Greedy sequence packing: walk documents in `orderCol` order, assign
     * each to the bin its running token count starts in —
     * `bin_id = (cumsum − tokens) div binTokens`. Contiguous documents land

@@ -248,6 +248,121 @@ object Behavioral {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Quality deciles per language over n_chars — the corpus-distribution
+    * look that precedes threshold picking. ntile ties broken by doc_id so
+    * both engines bin identically. */
+  private val qualityNtile: Q = (s, dir) =>
+    graft.analytics.CorpusOps.qualityBins(
+        Tables.documents(s, dir), col("lang"), col("n_chars"),
+        col("doc_id"), buckets = 10)
+      .select(col("lang"), col("bucket"),
+        col("n_docs"), col("min_quality").as("min_chars"),
+        col("max_quality").as("max_chars"))
+      .orderBy("lang", "bucket")
+
+  private val qualityNtileSql =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    CAST(ntile(10) OVER (PARTITION BY lang
+      |      ORDER BY n_chars, doc_id) AS INTEGER) AS bucket
+      |  FROM documents)
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Token-budget cut: per language, keep the longest documents (n_chars
+    * desc as the quality proxy, doc_id tie-break) until 8k tokens are
+    * spent; report what the cut kept. */
+  private val tokenBudget: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+      col("n_chars"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    graft.analytics.CorpusOps.tokenBudget(docs, col("n_tokens"),
+        budget = 8000L,
+        orderCols = Seq(col("n_chars").desc, col("doc_id")),
+        strataCols = Seq(col("lang")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_id"))
+      .orderBy("lang")
+  }
+
+  private val tokenBudgetSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, doc_id, tok,
+      |    SUM(tok) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_id
+      |FROM c WHERE cum <= 8000 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Flattened (inverse-frequency) mixture over languages (the fixture's
+    * skewed dimension — en dominates): every language downsampled to the
+    * smallest language's size via data-derived exact integer boundaries —
+    * zero float math, so the oracle draws the identical sample. */
+  private val flatMixture: Q = (s, dir) =>
+    graft.analytics.CorpusOps.flattenedMixture(
+        Tables.documents(s, dir), col("doc_id"), col("lang"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private val flatMixtureSql =
+    """WITH n AS (
+      |  SELECT lang AS g, COUNT(*) AS n_g FROM documents GROUP BY 1
+      |), b AS (
+      |  SELECT g, CASE WHEN n_g = (SELECT min(n_g) FROM n) THEN 'g'
+      |    ELSE lpad(lower(to_hex(
+      |      ((SELECT min(n_g) FROM n) * 16777216) // n_g)), 6, '0')
+      |  END AS bound FROM n
+      |)
+      |SELECT doc_id, lang FROM documents d JOIN b ON d.lang = b.g
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < b.bound
+      |ORDER BY doc_id""".stripMargin
+
+  /** SCD-2 history: compact each user's last-value-per-day snapshot series
+    * into validity intervals — one row per change, valid_to null while
+    * current. The warehouse-side complement of the streaming upsert sink. */
+  private val scd2: Q = (s, dir) => {
+    val snap = Tables.events(s, dir)
+      .withColumn("snap_date", to_date(col("ts")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "snap_date")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "snap_date", "value")
+    graft.analytics.Scd.compactHistory(snap, Seq("user_id"), "snap_date",
+        Seq("value"))
+      .select("user_id", "valid_from", "valid_to", "value")
+      .orderBy("user_id", "valid_from")
+  }
+
+  private val scd2Sql =
+    """WITH s0 AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS snap_date, value,
+      |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |), s AS (SELECT user_id, snap_date, value FROM s0 WHERE rn = 1),
+      |m AS (
+      |  SELECT *, (value IS DISTINCT FROM lag(value) OVER w
+      |    OR lag(snap_date) OVER w IS NULL) AS chg
+      |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY snap_date)
+      |), k AS (SELECT user_id, snap_date, value FROM m WHERE chg)
+      |SELECT user_id, snap_date AS valid_from,
+      |  lead(snap_date) OVER (PARTITION BY user_id ORDER BY snap_date)
+      |    AS valid_to,
+      |  value
+      |FROM k ORDER BY user_id, valid_from""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -259,6 +374,10 @@ object Behavioral {
     "q_asof_join"         -> asofJoin,
     "q_range_join"        -> rangeJoin,
     "q_skew_join"         -> skewJoin,
+    "q_quality_ntile"     -> qualityNtile,
+    "q_token_budget"      -> tokenBudget,
+    "q_flat_mixture"      -> flatMixture,
+    "q_scd2"              -> scd2,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -272,5 +391,9 @@ object Behavioral {
     "q_asof_join"         -> asofJoinSql,
     "q_range_join"        -> rangeJoinSql,
     "q_skew_join"         -> skewJoinSql,
+    "q_quality_ntile"     -> qualityNtileSql,
+    "q_token_budget"      -> tokenBudgetSql,
+    "q_flat_mixture"      -> flatMixtureSql,
+    "q_scd2"              -> scd2Sql,
   )
 }

@@ -86,6 +86,83 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("token budget keeps best-quality docs, inclusive at the boundary") {
+    val docs = Seq(
+      ("en", 1L, 90L, 3000L), ("en", 2L, 80L, 3000L), ("en", 3L, 70L, 2000L),
+      ("en", 4L, 60L, 1L),    // over budget once cum hits 8001
+      ("de", 5L, 10L, 8000L), // exactly the budget -> kept
+      ("de", 6L, 5L, 1L)
+    ).toDF("lang", "doc_id", "quality", "n_tokens")
+    val kept = graft.analytics.CorpusOps.tokenBudget(docs, col("n_tokens"),
+        budget = 8000L,
+        orderCols = Seq(col("quality").desc, col("doc_id")),
+        strataCols = Seq(col("lang")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("quality bins are equal-sized and cover the stratum") {
+    val docs = (1 to 100).map(i => ("en", i.toLong, i.toLong * 3))
+      .toDF("lang", "doc_id", "n_chars")
+    val bins = graft.analytics.CorpusOps
+      .qualityBins(docs, col("lang"), col("n_chars"), col("doc_id"), 10)
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(bins.length == 10)
+    assert(bins.forall(_._2 == 10L))
+    // deciles tile the quality range: each min is the previous max + step
+    assert(bins.map(b => (b._3, b._4)).toSeq ==
+      (0 until 10).map(i => (i * 30L + 3L, i * 30L + 30L)))
+  }
+
+  test("flattened mixture levels groups to ~n_min and is rerun-stable") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    assert(counts.values.max > nMin * 2, "fixture lost its lang skew")
+    val kept = graft.analytics.CorpusOps
+      .flattenedMixture(docs, col("doc_id"), col("lang"))
+    val keptCounts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest group survives whole; every group lands near n_min (the
+    // draw is a hash sample, so allow binomial slack around the target)
+    val minSrc = counts.minBy(_._2)._1
+    assert(keptCounts(minSrc) == nMin)
+    keptCounts.foreach { case (src, n) =>
+      assert(math.abs(n - nMin) <= math.max(8L, nMin / 2),
+        s"$src kept $n, target $nMin")
+    }
+    // deterministic under repartitioning
+    val again = graft.analytics.CorpusOps
+      .flattenedMixture(docs.repartition(13), col("doc_id"), col("lang"))
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(again == kept.select("doc_id").orderBy("doc_id").collect().toSeq)
+  }
+
+  test("SCD2 compaction keeps change rows and chains validity intervals") {
+    val snaps = Seq(
+      (1L, 1, Some(10.0)), (1L, 2, Some(10.0)), // no change -> collapsed
+      (1L, 3, Some(20.0)),                      // change
+      (1L, 4, None),                            // value -> null IS a change
+      (1L, 5, None),                            // still null -> collapsed
+      (2L, 1, Some(5.0))
+    ).toDF("user_id", "day", "value")
+    val hist = graft.analytics.Scd
+      .compactHistory(snaps, Seq("user_id"), "day", Seq("value"))
+      .select("user_id", "valid_from", "valid_to", "value")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(hist.toSeq == Seq(
+      (1L, 1, Some(3), Some(10.0)),
+      (1L, 3, Some(4), Some(20.0)),
+      (1L, 4, None, None),
+      (2L, 1, None, Some(5.0))))
+  }
+
   test("as-of join: backward inclusive, per-key, deterministic ties, tolerance") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
