@@ -911,6 +911,23 @@ object Extensions {
       .withColumn("hist", concat_ws(",", col("hist")))
       .orderBy("media_id")
 
+  /** Per-label embedding centroids — class prototypes / drift monitors /
+    * IVF seed codebook. Fixed-point element sums make the per-dimension
+    * means bit-identical to the oracle. */
+  private val embCentroids: Q = (s, dir) =>
+    VectorOps.centroids(Tables.embeddings(s, dir))
+
+  private val embCentroidsSql =
+    """WITH v AS (
+      |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(i AS INTEGER) AS dim, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |    / 1e12 / COUNT(*) AS centroid_x
+      |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_stats"          -> textStats,
@@ -935,6 +952,7 @@ object Extensions {
     "dedup_containment"   -> dedupContainment,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
+    "emb_centroids"       -> embCentroids,
     "sim_cosine_topk"     -> simTopK,
     "sim_ann_topk"        -> simAnnTopK,
     "sim_ivf_topk"        -> simIvfTopK,
@@ -973,6 +991,7 @@ object Extensions {
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "emb_lsh_pairs"       -> embLshPairsSql,
+    "emb_centroids"       -> embCentroidsSql,
     "sim_cosine_topk"     -> simTopKSql,
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,

@@ -302,6 +302,26 @@ object VectorOps {
     topKVsQuery(candidates, qe, k)
   }
 
+  /** Per-label mean embedding (centroid), one row per (label, dimension).
+    * The reduction every embedding-space summary starts from: class
+    * prototypes for nearest-centroid classification, cluster centers for
+    * drift monitoring, the seed codebook for IVF. explode → one hash
+    * aggregate keyed on (label, dim): partial aggregation absorbs the
+    * dim-fanout map-side, so the shuffle carries ≤ |labels|·dims rows no
+    * matter the corpus size. Element sums use the same ×1e12 fixed-point
+    * longs as [[cosinePairs]] — long addition is associative, so the mean
+    * is bit-identical across engines and partitionings. */
+  def centroids(emb: DataFrame, labelCol: String = "label"): DataFrame =
+    emb.select(col(labelCol), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("cast(round(cast(x as double) * 1e12, 0) as bigint)"))
+          .as("__s"))
+      .withColumn("centroid_x",
+        col("__s").cast("double") / lit(1e12) / col("n_vecs"))
+      .drop("__s")
+      .orderBy(col(labelCol), col("dim"))
+
   /** ANN top-k: candidates are vectors whose LSH bucket is within
     * `maxHamming` bits of the query's, reranked exactly. maxHamming = 0 is
     * a pure bucket-equality probe (with a pre-bucketed table, the 100 TB

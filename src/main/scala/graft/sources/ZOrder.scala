@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — multi-dimensional data skipping
+  * for the scan layer. Parquet row-group pruning works off per-file
+  * min/max stats, so a layout sorted linearly on (x, y) only ever prunes
+  * on the leading column: a filter on y alone scans everything. Z-order
+  * interleaves the bits of both coordinates into one sort key, giving
+  * every file a tight bounding box in BOTH dimensions — a predicate on
+  * either column (or a 2-D box) skips most files from footer stats
+  * alone. This is the classic warehouse layout trick (Delta/Iceberg
+  * OPTIMIZE ZORDER BY) built from Spark primitives: a pure bitwise
+  * codegen'd sort-key expression + repartitionByRange + within-partition
+  * sort. At 100 TB the same call shapes the nightly compaction write;
+  * nothing about it is driver-bound (the range partitioner samples, the
+  * interleave is per-row arithmetic).
+  *
+  * The skipping claim is asserted in SourcesAndPlansSpec: on a 256×256
+  * grid written both ways, a y-only filter scans every row of the linear
+  * layout and under half (in practice ~a quarter) of the z-ordered one.
+  */
+object ZOrder {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * bucketed coordinates: x occupies even bit positions, y odd. Callers
+    * bucket raw values into [0, 2^bits) first (range-rank or fixed-width
+    * buckets); 16 bits per dimension distinguishes 65k buckets — ample
+    * for file-level skipping. Pure long arithmetic, stays inside
+    * whole-stage codegen. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(
+          shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(
+          shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` into `nFiles` parquet files range-partitioned and sorted
+    * by the Morton key of (`xCol`, `yCol`) — each file gets a tight 2-D
+    * bounding box for footer-stats skipping on either column. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    nFiles: Int, bits: Int = 16): Unit = {
+    val z = zValue(col(xCol), col(yCol), bits)
+    df.repartitionByRange(nFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -152,6 +152,23 @@ object StreamingEtl {
       .drop("transfer_tx_hash")
   }
 
+  /** Event-time session windows: per-user sessions closed by `gap` of
+    * inactivity — the streaming twin of the batch sessionize operator
+    * ([[graft.analytics.EventAnalytics.sessionize]]). `session_window`
+    * grows/merges variable-width windows as events arrive; state per
+    * (user, open session) is one window + counters, and a session closes —
+    * and emits, append-mode — once the watermark passes its end. The same
+    * transform runs in batch (session_window is batch-capable), which is
+    * exactly how StreamingSpec asserts micro-batch == batch. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Streaming exact dedup: state-backed dropDuplicates on the content
     * hash — only the 16-byte digest is held in state, never the document.
     * State is unbounded (a global exact pass); the 100 TB always-on form

@@ -240,6 +240,23 @@ class SimilaritySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private lazy val emb = Tables.embeddings(spark, dir)
 
+  test("centroids average per (label, dim), partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 2f), 0), (2L, Array(3f, 6f), 0), // label 0: mean (2, 4)
+      (3L, Array(10f, 0f), 1)                         // label 1: itself
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.sim.VectorOps.centroids(df).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map((0, 1) -> (2L, 2.0), (0, 2) -> (2L, 4.0),
+      (1, 1) -> (1L, 10.0), (1, 2) -> (1L, 0.0)))
+    val out2 = graft.sim.VectorOps.centroids(df.repartition(7)).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out2 == out)
+  }
+
   test("brute-force topk: query vector itself ranks first with cosine 1") {
     val top = VectorOps.cosineTopK(emb, 0L, 10).collect()
     assert(top.length == 10)

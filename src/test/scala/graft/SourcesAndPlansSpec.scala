@@ -21,6 +21,49 @@ class SourcesSpec extends SparkSpec {
       TokenTransferDecoder.decode(direct).count())
   }
 
+  test("jsonl source splits parse failures into quarantine, keeps drift") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "guten tag"}""",          // missing field: OK
+      """{"doc_id": 3, "text": "truncat""",              // cut mid-string
+      """not json at all""",
+      "",                                                // blank: skipped
+      """{"doc_id": 4, "text": "bonjour", "lang": "fr", "extra": 9}""")
+    spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+      .write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val (good, bad) = graft.sources.JsonlCorpus.read(spark, dir, schema)
+    val goodRows = good.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(goodRows == Set(
+      (1L, "hello world", Some("en")),
+      (2L, "guten tag", None),          // schema drift -> null, not corrupt
+      (4L, "bonjour", Some("fr"))))     // extra field ignored
+    val quarantined = bad.collect().map(_.getString(0)).toSet
+    assert(quarantined == Set("""{"doc_id": 3, "text": "truncat""",
+      "not json at all"))
+  }
+
+  test("compaction writes ceil(rows/target) files and round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // 1000 rows arriving in 100 tiny partitions (the small-files shape)
+    val df = spark.range(1000).repartition(100)
+      .select(col("id"), (col("id") % 7).as("k"))
+    val files = graft.sources.Compaction
+      .writeCompacted(df, s"$dir/out", targetRows = 300)
+    assert(files == 4) // ceil(1000/300)
+    val written = new java.io.File(s"$dir/out").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(written == 4, s"expected 4 parquet files, found $written")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 1000)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) == 499500L)
+  }
+
   test("decoded transfers round-trip through parquet and csv sinks") {
     val out = Files.createTempDirectory("graft_sink").toString
     val transfers = TokenTransferDecoder.decode(
@@ -65,6 +108,51 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bk_facts")
       spark.sql("DROP TABLE IF EXISTS bk_dims")
     }
+  }
+}
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton key interleaves bits exactly") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+      .select(graft.sources.ZOrder.zValue(col("x"), col("y"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def ref(x: Long, y: Long) = (0 until 8).foldLeft(0L) { (a, i) =>
+      a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+    assert(rows == Seq(ref(0, 0), ref(1, 0), ref(0, 1), ref(3, 5),
+      ref(255, 255)))
+    assert(ref(3, 5) == 39L) // x=011, y=101 -> interleaved 100111
+  }
+
+  test("z-order layout prunes row groups on the trailing dimension") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val n = 256
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).as("x"), expr(s"id div $n").as("y"))
+    graft.sources.ZOrder.writeZOrdered(grid, s"$dir/z", "x", "y",
+      nFiles = 16, bits = 8)
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    // rows surviving footer-stats pruning = the scan node's output rows
+    // (the exact predicate is re-applied by the Filter above the scan)
+    def scanned(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(col("y") < 16)
+      val result = df.collect().length.toLong
+      val scanRows = df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      (result, scanRows)
+    }
+    val (zResult, zScan) = scanned(s"$dir/z")
+    val (linResult, linScan) = scanned(s"$dir/linear")
+    assert(zResult == 16L * n && linResult == 16L * n) // same answer
+    // linear layout: every file spans all y -> zero pruning
+    assert(linScan == n.toLong * n, s"linear scanned $linScan")
+    // z-order: the y-filter skips most files from footer stats alone
+    assert(zScan * 2 <= linScan, s"z=$zScan linear=$linScan")
   }
 }
 

@@ -239,6 +239,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows match the batch session_window after flush") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingEtl.sessionWindows(
+      stream.toDS().toDF("user_id", "ts"),
+      gap = "30 minutes", watermark = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_out").start()
+    val data = Seq(
+      (1L, ts(0)), (1L, ts(600)),  // within gap -> one session
+      (1L, ts(3000)),              // 2400 s after -> new session
+      (2L, ts(100)))
+    try {
+      stream.addData(data: _*)
+      q.processAllAvailable()
+      // sessions emit append-mode only once the watermark passes their
+      // end; two far-future flush events advance it across micro-batches
+      stream.addData((99L, ts(100000)))
+      q.processAllAvailable()
+      stream.addData((99L, ts(200000)))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .filter(col("user_id") =!= 99L)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      // identical transform in batch mode is the semantic oracle
+      val batch = StreamingEtl.sessionWindows(data.toDF("user_id", "ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+      // session bounds: [first event, last event + gap)
+      val s1 = streamed.find(s => s._1 == 1L && s._2 == ts(0)).get
+      assert(s1._3 == ts(600 + 1800) && s1._4 == 2L)
+    } finally q.stop()
+  }
+
   test("upsert sink keeps the newest row per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
