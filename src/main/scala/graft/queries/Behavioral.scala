@@ -363,6 +363,64 @@ object Behavioral {
       |  value
       |FROM k ORDER BY user_id, valid_from""".stripMargin
 
+  /** Batch MERGE (SCD1 upsert): a synthetic update set (every 10th doc's
+    * n_chars bumped, every 50th re-inserted under a shifted id) merged
+    * into the documents dimension — whole-row replace on match, insert on
+    * miss, via one full-outer key join. */
+  private val mergeUpsert: Q = (s, dir) => {
+    val target = Tables.documents(s, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+    val updates = target.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(target.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("source", lit("new")))
+    graft.sources.Merge.upsert(target, updates, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val mergeUpsertSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source, n_chars FROM documents
+      |), u AS (
+      |  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+      |  FROM t WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, 'new', n_chars
+      |  FROM t WHERE doc_id % 50 = 0
+      |)
+      |SELECT
+      |  CASE WHEN u.doc_id IS NOT NULL THEN u.doc_id ELSE t.doc_id END
+      |    AS doc_id,
+      |  CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE t.lang END AS lang,
+      |  CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE t.source END
+      |    AS source,
+      |  CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars ELSE t.n_chars END
+      |    AS n_chars
+      |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Latest event per user through the upsert sink's compaction transform
+    * ([[graft.streaming.UpsertSink.latestPerKey]]) with an explicit
+    * event_id tie-break — the same newest-row-wins semantics the
+    * streaming sink applies per micro-batch, oracle-checked in batch. */
+  private val latestPerKey: Q = (s, dir) =>
+    graft.streaming.UpsertSink.latestPerKey(
+        Tables.events(s, dir)
+          .select("user_id", "ts", "event_id", "event_type", "value"),
+        key = "user_id", tsCol = "ts", tieBreak = Seq(col("event_id")))
+      .select("user_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+
+  private val latestPerKeySql =
+    """SELECT user_id, date_trunc('microseconds', ts) AS ts, event_type,
+      |  value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -378,6 +436,8 @@ object Behavioral {
     "q_token_budget"      -> tokenBudget,
     "q_flat_mixture"      -> flatMixture,
     "q_scd2"              -> scd2,
+    "q_merge_upsert"      -> mergeUpsert,
+    "q_latest_per_key"    -> latestPerKey,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -395,5 +455,7 @@ object Behavioral {
     "q_token_budget"      -> tokenBudgetSql,
     "q_flat_mixture"      -> flatMixtureSql,
     "q_scd2"              -> scd2Sql,
+    "q_merge_upsert"      -> mergeUpsertSql,
+    "q_latest_per_key"    -> latestPerKeySql,
   )
 }

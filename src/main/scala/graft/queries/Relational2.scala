@@ -192,6 +192,37 @@ object Relational2 {
         approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Unpivot (melt) — the inverse reshape of [[pivotTypes]]: the four
+    * lineitem measures to long form, the layout a generic metric pipeline
+    * consumes. Spark's native `unpivot` plans as an Expand projection —
+    * zero shuffle, row fan-out only. */
+  private val unpivotMeasures: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  private val unpivotMeasuresSql =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    'l_quantity' AS metric, l_quantity AS value
+      |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey % 97 = 0
+      |)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_json_extract"    -> jsonExtract,
     "q_map_lookup"      -> mapLookup,
@@ -203,6 +234,7 @@ object Relational2 {
     "q_latest_hours"    -> latestHours,
     "q_cumprod"         -> cumprod,
     "q_approx_distinct" -> approxDistinct,
+    "q_unpivot"         -> unpivotMeasures,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,5 +247,6 @@ object Relational2 {
     "q_union_all"    -> unionAllSql,
     "q_latest_hours" -> latestHoursSql,
     "q_cumprod"      -> cumprodSql,
+    "q_unpivot"      -> unpivotMeasuresSql,
   )
 }

@@ -26,12 +26,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object UpsertSink {
 
-  /** Newest row per key; equal-timestamp ties break on a content hash of
-    * the whole row — deterministic under any partitioning (a physical row
-    * id would not be). */
-  def latestPerKey(df: DataFrame, key: String, tsCol: String): DataFrame = {
+  /** Newest row per key; equal-timestamp ties break on the caller's
+    * `tieBreak` columns (descending) when given, else on a content hash
+    * of the whole row — deterministic under any partitioning either way
+    * (a physical row id would not be). */
+  def latestPerKey(df: DataFrame, key: String, tsCol: String,
+                   tieBreak: Seq[org.apache.spark.sql.Column] = Nil)
+      : DataFrame = {
+    val tie = if (tieBreak.nonEmpty) tieBreak.map(_.desc)
+              else Seq(xxhash64(df.columns.map(col): _*).asc)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol).desc, xxhash64(df.columns.map(col): _*))
+      .orderBy((col(tsCol).desc +: tie): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

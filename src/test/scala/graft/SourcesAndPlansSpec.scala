@@ -64,6 +64,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).collect()(0).getLong(0) == 499500L)
   }
 
+  test("merge upsert: whole-row replace on match (nulls win), insert on miss") {
+    val target = Seq((1L, Some("a"), 10), (2L, Some("b"), 20),
+      (3L, Some("c"), 30)).toDF("k", "s", "v")
+    val updates = Seq((2L, None: Option[String], 99), // null REPLACES "b"
+      (9L, Some("z"), 1)).toDF("k", "s", "v")
+    val merged = graft.sources.Merge.upsert(target, updates, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSeq
+    assert(merged == Seq((1L, Some("a"), 10), (2L, None, 99),
+      (3L, Some("c"), 30), (9L, Some("z"), 1)))
+  }
+
   test("decoded transfers round-trip through parquet and csv sinks") {
     val out = Files.createTempDirectory("graft_sink").toString
     val transfers = TokenTransferDecoder.decode(
