@@ -421,6 +421,43 @@ object Behavioral {
       |  FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Z-score anomaly flags per event type: the monitoring query every
+    * ingestion pipeline runs over its metrics. Mean/std come from
+    * decimal-exact sums ([[Num]]), so the float z and the |z| > 3 cut are
+    * bit-identical across engines; the per-type stats broadcast to the
+    * scan (4 rows), one aggregate + one map-side join total. */
+  private val anomalyZscore: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy("event_type")
+      .agg(Num.dsum(col("value")).as("sum_v"),
+        Num.dsum(col("value") * col("value")).as("sum_vv"),
+        count(col("value")).as("n"))
+      .withColumn("mean", col("sum_v") / col("n"))
+      .withColumn("std",
+        Num.dstddev(col("sum_v"), col("sum_vv"), col("n")))
+      .select("event_type", "mean", "std")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  private val anomalyZscoreSql =
+    """WITH st AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+      |    COUNT(value) AS n
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT event_id, event_type, value,
+      |  ROUND((value - s / n) / SQRT((ss - s * s / n) / (n - 1)), 6) AS z
+      |FROM events JOIN st USING (event_type)
+      |WHERE ABS((value - s / n) / SQRT((ss - s * s / n) / (n - 1))) > 3
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -438,6 +475,7 @@ object Behavioral {
     "q_scd2"              -> scd2,
     "q_merge_upsert"      -> mergeUpsert,
     "q_latest_per_key"    -> latestPerKey,
+    "q_anomaly_zscore"    -> anomalyZscore,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -457,5 +495,6 @@ object Behavioral {
     "q_scd2"              -> scd2Sql,
     "q_merge_upsert"      -> mergeUpsertSql,
     "q_latest_per_key"    -> latestPerKeySql,
+    "q_anomaly_zscore"    -> anomalyZscoreSql,
   )
 }

@@ -444,10 +444,11 @@ object Extensions {
     Dedup.connectedComponents(
       Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold))
 
-  /** DuckDB twin: the exhaustive jaccard pairs (same precondition as
+  /** The recursive transitive-closure CTE chain shared by the cluster
+    * oracles: exhaustive jaccard pairs (same precondition as
     * dedup_near_dup — complete LSH recall on this corpus) closed
-    * transitively with a recursive CTE, min label per component. */
-  private val dedupClustersSql =
+    * transitively, min label per component available as `reach`. */
+  private val clusterCtes =
     s"""WITH RECURSIVE $shinglesCte, sizes AS (
        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
        |), jp AS (
@@ -464,7 +465,11 @@ object Extensions {
        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
        |  UNION
        |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
-       |)
+       |)""".stripMargin
+
+  /** DuckDB twin of dedup_clusters: min label per component. */
+  private val dedupClustersSql =
+    s"""$clusterCtes
        |SELECT a AS doc_id, min(b) AS rep_id
        |FROM reach GROUP BY a ORDER BY a""".stripMargin
 
@@ -928,6 +933,82 @@ object Extensions {
       |    / 1e12 / COUNT(*) AS centroid_x
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Leakage-safe train/val/test split: the split key is the near-dup
+    * CLUSTER representative, not the document — near-duplicates always
+    * land in the same split, so the test set can't be contaminated by a
+    * training-set twin (the classic eval-leak a per-doc hash split
+    * permits). Unclustered docs anchor on themselves. */
+  private val leakSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.nearDuplicates(docs, JaccardThreshold))
+    val anchored = docs.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("anchor", coalesce(col("rep_id"), col("doc_id")))
+    graft.analytics.EventAnalytics.hashSplit(anchored, col("anchor"))
+      .select("doc_id", "anchor", "split")
+      .orderBy("doc_id")
+  }
+
+  private val leakSplitSql = {
+    import graft.analytics.EventAnalytics.{TrainBoundary, ValBoundary}
+    s"""$clusterCtes, cl AS (
+       |  SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
+       |)
+       |SELECT d.doc_id, coalesce(cl.rep_id, d.doc_id) AS anchor,
+       |  CASE WHEN substr(md5(CAST(coalesce(cl.rep_id, d.doc_id) AS VARCHAR)),
+       |         1, 12) < '$TrainBoundary' THEN 'train'
+       |       WHEN substr(md5(CAST(coalesce(cl.rep_id, d.doc_id) AS VARCHAR)),
+       |         1, 12) < '$ValBoundary' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN cl USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Nearest-centroid confusion matrix: every vector assigned to its
+    * closest label centroid (fixed-point squared distance, label-asc
+    * ties), counted against its true label — the drift/quality check a
+    * labeled embedding corpus gets on every refresh. */
+  private val simCentroidAssign: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = VectorOps.centroids(emb)
+      .select("label", "dim", "centroid_x").collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+      .toSeq.sortBy(_._1)
+    VectorOps.assignToCentroids(emb, cents)
+      .groupBy(col("label").as("true_label"), col("assigned_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "assigned_label")
+  }
+
+  private val simCentroidAssignSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT label AS clabel, i,
+      |    CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |      / 1e12 / COUNT(*) AS cx
+      |  FROM v GROUP BY 1, 2
+      |), d AS (
+      |  SELECT v.vec_id, v.label, c.clabel,
+      |    SUM(CAST(ROUND((v.x - c.cx) * (v.x - c.cx) * 1e12, 0) AS BIGINT))
+      |      AS dist
+      |  FROM v JOIN c ON v.i = c.i
+      |  GROUP BY 1, 2, 3
+      |), a AS (
+      |  SELECT vec_id, label, clabel,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+      |  FROM d
+      |)
+      |SELECT label AS true_label, clabel AS assigned_label,
+      |  COUNT(*) AS n_vecs
+      |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_stats"          -> textStats,
@@ -953,6 +1034,8 @@ object Extensions {
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
     "emb_centroids"       -> embCentroids,
+    "sim_centroid_assign" -> simCentroidAssign,
+    "q_leak_split"        -> leakSplit,
     "sim_cosine_topk"     -> simTopK,
     "sim_ann_topk"        -> simAnnTopK,
     "sim_ivf_topk"        -> simIvfTopK,
@@ -992,6 +1075,8 @@ object Extensions {
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "emb_lsh_pairs"       -> embLshPairsSql,
     "emb_centroids"       -> embCentroidsSql,
+    "sim_centroid_assign" -> simCentroidAssignSql,
+    "q_leak_split"        -> leakSplitSql,
     "sim_cosine_topk"     -> simTopKSql,
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,

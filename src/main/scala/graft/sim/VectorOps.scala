@@ -322,6 +322,30 @@ object VectorOps {
       .drop("__s")
       .orderBy(col(labelCol), col("dim"))
 
+  /** Nearest-centroid assignment against a driver-collected codebook (one
+    * small array per label — same shape as the IVF codebook): squared
+    * euclidean distance per centroid via a zip_with/aggregate fold over
+    * ×1e12 fixed-point longs, argmin via `least` over (dist, label)
+    * structs (lexicographic struct ordering = dist asc, label asc
+    * tie-break). Single scan, zero exchanges, the whole codebook lives in
+    * the codegen'd projection — nearest-centroid classification and drift
+    * scoring at any corpus size. */
+  def assignToCentroids(emb: DataFrame,
+                        cents: Seq[(Int, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "empty codebook")
+    val scored = cents.map { case (label, c) =>
+      val dist = aggregate(
+        zip_with(col("embedding"), typedlit(c.toSeq), (x, cc) =>
+          round((x.cast("double") - cc) * (x.cast("double") - cc) * lit(1e12),
+            0).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      struct(dist.as("dist"), lit(label).as("lbl"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else least(scored: _*)
+    emb.withColumn("assigned_label", best.getField("lbl"))
+  }
+
   /** ANN top-k: candidates are vectors whose LSH bucket is within
     * `maxHamming` bits of the query's, reranked exactly. maxHamming = 0 is
     * a pure bucket-equality probe (with a pre-bucketed table, the 100 TB

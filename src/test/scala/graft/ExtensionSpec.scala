@@ -240,6 +240,41 @@ class SimilaritySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private lazy val emb = Tables.embeddings(spark, dir)
 
+  test("nearest-centroid assignment: exact distances, label-asc ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0f, 0f), 0),
+      (2L, Array(10f, 0f), 1),
+      (3L, Array(4f, 0f), 0), // closer to (0,0) than (10,0)
+      (4L, Array(5f, 0f), 1)  // EXACTLY between -> tie -> lower label
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq(0 -> Array(0.0, 0.0), 1 -> Array(10.0, 0.0))
+    val out = graft.sim.VectorOps.assignToCentroids(df, cents)
+      .select("vec_id", "assigned_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 0))
+  }
+
+  test("leak-safe split puts every near-dup cluster member in one split") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val clusters = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.nearDuplicates(docs, 0.5))
+    val split = graft.analytics.EventAnalytics.hashSplit(
+      docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+        .withColumn("anchor",
+          coalesce(col("rep_id"), col("doc_id"))), col("anchor"))
+    // within any cluster there is exactly one distinct split value
+    val violating = split.filter(col("rep_id").isNotNull)
+      .groupBy("rep_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1)
+    assert(violating.count() == 0)
+    // and the clusters are non-trivial (the invariant is actually tested)
+    assert(clusters.groupBy("rep_id").count()
+      .filter(col("count") > 1).count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("centroids average per (label, dim), partitioning-invariant") {
     import spark.implicits._
     val df = Seq(
