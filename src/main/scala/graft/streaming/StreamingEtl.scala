@@ -169,6 +169,17 @@ object StreamingEtl {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Stream-static enrichment: every micro-batch left-joins the static
+    * dimension (token metadata, pool registry) — stateless, no watermark,
+    * and with the explicit broadcast hint the join is map-side per batch:
+    * the stream never shuffles. The static side is re-resolved per batch,
+    * so a dimension TABLE (not a fixed DataFrame snapshot) picks up
+    * updates between batches — the streaming half of the reference's
+    * enrich-then-aggregate shape. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup: state-backed dropDuplicates on the content
     * hash — only the 16-byte digest is held in state, never the document.
     * State is unbounded (a global exact pass); the 100 TB always-on form

@@ -58,4 +58,27 @@ object ModelProperties extends Properties("graft") {
       val h = Keccak256.hashHex(s)
       h.length == 66 && h.startsWith("0x") && h == Keccak256.hashHex(s)
     }
+
+  private val rates = Gen.choose(0.0, 1.5)
+
+  property("rateBoundary is 12 lowercase hex chars below 1, 'g' at/above") =
+    Prop.forAll(rates) { r =>
+      val b = graft.analytics.CorpusOps.rateBoundary(r)
+      if (r >= 1.0) b == "g"
+      else b.length == 12 && b.forall(c => "0123456789abcdef".contains(c))
+    }
+
+  property("rateBoundary is monotone in the rate (string order)") =
+    Prop.forAll(rates, rates) { (r1, r2) =>
+      val (lo, hi) = if (r1 <= r2) (r1, r2) else (r2, r1)
+      graft.analytics.CorpusOps.rateBoundary(lo) <=
+        graft.analytics.CorpusOps.rateBoundary(hi)
+    }
+
+  property("rateBoundary quantizes to the exact 2^-48 grid") =
+    Prop.forAll(Gen.choose(0.0, 0.999999)) { r =>
+      val v = java.lang.Long.parseLong(
+        graft.analytics.CorpusOps.rateBoundary(r), 16)
+      v == (r * 281474976710656.0).toLong
+    }
 }

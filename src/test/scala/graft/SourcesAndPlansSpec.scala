@@ -139,6 +139,20 @@ class ZOrderSpec extends SparkSpec {
     assert(ref(3, 5) == 39L) // x=011, y=101 -> interleaved 100111
   }
 
+  test("morton column matches the scalar reference on random coordinates") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(500)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sources.ZOrder.zValue(col("x"), col("y"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def ref(x: Long, y: Long) = (0 until 16).foldLeft(0L) { (a, i) =>
+      a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y), s"($x,$y)") }
+  }
+
   test("z-order layout prunes row groups on the trailing dimension") {
     val dir = Files.createTempDirectory("graft_zorder").toString
     val n = 256

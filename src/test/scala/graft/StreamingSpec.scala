@@ -298,6 +298,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins without shuffling the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("0xaaa", "USDC", 6), ("0xbbb", "WETH", 18))
+      .toDF("contract", "symbol", "decimals")
+    val stream = MemoryStream[(String, Double)]
+    val out = StreamingEtl.enrichWithDim(
+      stream.toDS().toDF("contract", "amount"), dim, "contract")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enriched_out").start()
+    try {
+      stream.addData(("0xaaa", 5.0), ("0xccc", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .collect().map(r => (r.getString(0), Option(r.getString(2)))).toSet
+      // matched row enriched; unmatched kept with nulls (left join)
+      assert(rows == Set("0xaaa" -> Some("USDC"), "0xccc" -> None))
+    } finally q.stop()
+  }
+
   test("keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
