@@ -458,6 +458,96 @@ object Behavioral {
       |WHERE ABS((value - s / n) / SQRT((ss - s * s / n) / (n - 1))) > 3
       |ORDER BY event_id""".stripMargin
 
+  /** Winsorized per-type stats: clamp values to the exact [p05, p95]
+    * band before summing — the outlier-robust aggregate feature pipelines
+    * use where a raw mean is one fat-finger away from garbage. Exact
+    * interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`), decimal-exact sum of the clamped values, 4-row
+    * broadcast back to the scan. */
+  private val winsorize: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val pct = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(pct), Seq("event_type"))
+      .withColumn("clamped",
+        least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(Num.dsum(col("clamped")), 6).as("sum_winsorized"),
+        round(min(col("p05")), 6).as("p05"),
+        round(min(col("p95")), 6).as("p95"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizeSql =
+    """WITH p AS (
+      |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+      |    quantile_cont(value, 0.95) AS p95
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95)
+      |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_winsorized,
+      |  ROUND(min(p05), 6) AS p05, ROUND(min(p95), 6) AS p95
+      |FROM events JOIN p USING (event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Column-profile summary over the documents table — null counts,
+    * exact distincts, and value-length bounds per column, long-form: the
+    * first query any ingested corpus gets. One unpivot-style pass per
+    * aggregate family (each column's stats are independent aggregates in
+    * a single grouped projection, then melted). */
+  private val profile: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val stats = docs.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L))
+        .as("text_blank"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_null"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_null"),
+      countDistinct(col("lang")).as("lang_distinct"),
+      countDistinct(col("source")).as("source_distinct"),
+      min(length(col("text"))).as("text_min_len"),
+      max(length(col("text"))).as("text_max_len"))
+    stats.select(explode(array(
+        struct(lit("lang").as("column_name"),
+          col("lang_null").as("n_null"),
+          col("lang_distinct").as("n_distinct"),
+          lit(null).cast("long").as("min_len"),
+          lit(null).cast("long").as("max_len")),
+        struct(lit("source").as("column_name"),
+          col("source_null").as("n_null"),
+          col("source_distinct").as("n_distinct"),
+          lit(null).cast("long").as("min_len"),
+          lit(null).cast("long").as("max_len")),
+        struct(lit("text").as("column_name"),
+          col("text_blank").as("n_null"),
+          lit(null).cast("long").as("n_distinct"),
+          col("text_min_len").cast("long").as("min_len"),
+          col("text_max_len").cast("long").as("max_len")))).as("p"))
+      .select("p.column_name", "p.n_null", "p.n_distinct", "p.min_len",
+        "p.max_len")
+      .orderBy("column_name")
+  }
+
+  private val profileSql =
+    """SELECT 'lang' AS column_name,
+      |  COUNT(*) FILTER (lang IS NULL) AS n_null,
+      |  COUNT(DISTINCT lang) AS n_distinct,
+      |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len
+      |FROM documents
+      |UNION ALL
+      |SELECT 'source', COUNT(*) FILTER (source IS NULL),
+      |  COUNT(DISTINCT source), NULL, NULL FROM documents
+      |UNION ALL
+      |SELECT 'text',
+      |  COUNT(*) FILTER (text IS NULL OR text = ''),
+      |  NULL, CAST(min(length(text)) AS BIGINT),
+      |  CAST(max(length(text)) AS BIGINT)
+      |FROM documents
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -476,6 +566,8 @@ object Behavioral {
     "q_merge_upsert"      -> mergeUpsert,
     "q_latest_per_key"    -> latestPerKey,
     "q_anomaly_zscore"    -> anomalyZscore,
+    "q_winsorize"         -> winsorize,
+    "q_profile"           -> profile,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -496,5 +588,7 @@ object Behavioral {
     "q_merge_upsert"      -> mergeUpsertSql,
     "q_latest_per_key"    -> latestPerKeySql,
     "q_anomaly_zscore"    -> anomalyZscoreSql,
+    "q_winsorize"         -> winsorizeSql,
+    "q_profile"           -> profileSql,
   )
 }

@@ -268,6 +268,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("per-group stats frames broadcast back to the fact scan") {
+    Seq("q_anomaly_zscore", "q_winsorize").foreach { q =>
+      val p = graft.queries.Behavioral.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
+
   test("range join plans as an equi-join, never a nested loop") {
     val plan = graft.queries.Behavioral.queries("q_range_join")(spark, dir)
       .queryExecution.executedPlan.toString
