@@ -182,6 +182,66 @@ class ZOrderSpec extends SparkSpec {
   }
 }
 
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AQE splits the skewed join partition at runtime (skew=true)") {
+    // the automatic complement of the manual salted join (q_skew_join):
+    // at 100 TB both exist — salting for known-hot keys, AQE skew
+    // handling for the ones discovered at runtime
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val left = spark.range(200000).select(lit(1L).as("k"), col("id"))
+        .union(spark.range(1000).select((col("id") + 10).as("k"), col("id")))
+      val right = spark.range(1010).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 201000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("bloom filters prune point lookups where min/max stats cannot") {
+    val dir = Files.createTempDirectory("graft_bloom").toString
+    // unsorted high-cardinality key: every file spans the full key range,
+    // so footer min/max never prunes an equality probe
+    val df = spark.range(100000)
+      .select(xxhash64(col("id")).as("k"), col("id").as("v"))
+      .repartition(16)
+    graft.sources.BloomFilters.writeWithBloom(df, s"$dir/bloom",
+      Seq("k"), ndv = 7000)
+    df.write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false").parquet(s"$dir/plain")
+    val probe = df.select("k").limit(1).collect()(0).getLong(0)
+    def scanned(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path).filter(col("k") === probe)
+      val hits = q.collect().length.toLong
+      val rows = q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      (hits, rows)
+    }
+    val (bloomHits, bloomRows) = scanned(s"$dir/bloom")
+    val (plainHits, plainRows) = scanned(s"$dir/plain")
+    assert(bloomHits == 1L && plainHits == 1L)
+    assert(plainRows == 100000L, s"plain scanned $plainRows")
+    assert(bloomRows * 4 <= plainRows, s"bloom=$bloomRows plain=$plainRows")
+  }
+}
+
 class PlanSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
