@@ -124,6 +124,31 @@ object CorpusOps {
       .drop("__g", "__b")
   }
 
+  /** Overlapping document chunking: split every document into windows of
+    * `chunkLen` characters starting every `stride` (< chunkLen ⇒ overlap
+    * of chunkLen − stride) — the context-window prep step between a raw
+    * corpus and a trainer. Pure per-row fan-out (sequence + posexplode;
+    * no shuffle, no state): a document of n chars yields ⌈n/stride⌉
+    * chunks, each tagged with its offset and content digest so
+    * downstream dedup/packing can run on chunks exactly like documents.
+    * Empty documents yield no chunks. */
+  def chunkDocs(df: DataFrame, idCol: Column, textCol: Column,
+                nCharsCol: Column, chunkLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkLen >= stride,
+      s"need 0 < stride <= chunkLen: $stride, $chunkLen")
+    df.filter(nCharsCol > 0)
+      .select(idCol.as("doc_id"), textCol.as("__text"),
+        sequence(lit(0L), nCharsCol.cast("long") - 1,
+          lit(stride.toLong)).as("__starts"))
+      .select(col("doc_id"), col("__text"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "chunk_start")))
+      .withColumn("__chunk",
+        expr(s"substring(__text, cast(chunk_start + 1 as int), $chunkLen)"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        length(col("__chunk")).cast("long").as("chunk_len"),
+        md5(col("__chunk")).as("chunk_md5"))
+  }
+
   /** Greedy sequence packing: walk documents in `orderCol` order, assign
     * each to the bin its running token count starts in —
     * `bin_id = (cumsum − tokens) div binTokens`. Contiguous documents land

@@ -548,6 +548,28 @@ object Behavioral {
       |FROM documents
       |ORDER BY column_name""".stripMargin
 
+  /** Overlapping 500-char chunks every 400 chars per document, each with
+    * offset + content digest — the context-window prep step; chunk
+    * digests let dedup/packing run on chunks like documents. */
+  private val chunkDocs: Q = (s, dir) =>
+    graft.analytics.CorpusOps.chunkDocs(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        col("n_chars"), chunkLen = 500, stride = 400)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkDocsSql =
+    """WITH s AS (
+      |  SELECT doc_id, text, unnest(range(0, n_chars, 400)) AS chunk_start,
+      |    generate_subscripts(range(0, n_chars, 400), 1) - 1 AS chunk_id
+      |  FROM documents WHERE n_chars > 0
+      |)
+      |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, chunk_start,
+      |  length(substr(text, CAST(chunk_start + 1 AS INTEGER), 500))
+      |    AS chunk_len,
+      |  md5(substr(text, CAST(chunk_start + 1 AS INTEGER), 500))
+      |    AS chunk_md5
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -568,6 +590,7 @@ object Behavioral {
     "q_anomaly_zscore"    -> anomalyZscore,
     "q_winsorize"         -> winsorize,
     "q_profile"           -> profile,
+    "q_chunk_docs"        -> chunkDocs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -590,5 +613,6 @@ object Behavioral {
     "q_anomaly_zscore"    -> anomalyZscoreSql,
     "q_winsorize"         -> winsorizeSql,
     "q_profile"           -> profileSql,
+    "q_chunk_docs"        -> chunkDocsSql,
   )
 }

@@ -141,6 +141,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(again == kept.select("doc_id").orderBy("doc_id").collect().toSeq)
   }
 
+  test("chunking tiles each doc with the stride, short tail, no empties") {
+    val docs = Seq(
+      (1L, "a" * 1000, 1000L), // starts 0,400,800 -> lens 500,500,200
+      (2L, "xy", 2L),          // one short chunk
+      (3L, "", 0L)             // empty -> no chunks
+    ).toDF("doc_id", "text", "n_chars")
+    val out = graft.analytics.CorpusOps
+      .chunkDocs(docs, col("doc_id"), col("text"), col("n_chars"),
+        chunkLen = 500, stride = 400)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0L, 500L), (1L, 1, 400L, 500L), (1L, 2, 800L, 200L),
+      (2L, 0, 0L, 2L)))
+  }
+
   test("SCD2 compaction keeps change rows and chains validity intervals") {
     val snaps = Seq(
       (1L, 1, Some(10.0)), (1L, 2, Some(10.0)), // no change -> collapsed
