@@ -185,6 +185,29 @@ class ZOrderSpec extends SparkSpec {
 class BloomFilterSpec extends SparkSpec {
   import spark.implicits._
 
+  test("directory partitioning prunes whole partitions during planning") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    graft.sources.PartitionedLayout.writePartitioned(
+      docs, s"$dir/by_lang", Seq("lang"))
+    val q = graft.sources.PartitionedLayout
+      .readPartitioned(spark, s"$dir/by_lang")
+      .filter(col("lang") === "fr")
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (planning-time pruning),
+    // not PushedFilters (file-read-time)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.replaceAll("(?s)PushedFilters.*", "")
+      .contains("lang"), plan)
+    val frTotal = docs.filter(col("lang") === "fr").count()
+    assert(q.count() == frTotal && frTotal > 0)
+    // and the scan reads ONLY the fr directory's rows
+    q.collect()
+    val scanRows = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    assert(scanRows == frTotal, s"scanned $scanRows, partition has $frTotal")
+  }
+
   test("AQE splits the skewed join partition at runtime (skew=true)") {
     // the automatic complement of the manual salted join (q_skew_join):
     // at 100 TB both exist — salting for known-hot keys, AQE skew
