@@ -570,6 +570,31 @@ object Behavioral {
       |    AS chunk_md5
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Time-range rolling sum: per user, the sum of `value` over the
+    * trailing 1 hour of EVENT TIME (RANGE frame on epoch micros — frame
+    * membership is defined by timestamp distance, so ties and row order
+    * can't change the result). Decimal-exact addends keep Spark's
+    * incremental sliding-sum and DuckDB's recompute bit-identical. */
+  private val timeWindowSum: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("rolling_1h_sum",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .over(w).cast("double"))
+      .select("event_id", "user_id", "rolling_1h_sum")
+      .orderBy("event_id")
+  }
+
+  private val timeWindowSumSql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS rolling_1h_sum
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -591,6 +616,7 @@ object Behavioral {
     "q_winsorize"         -> winsorize,
     "q_profile"           -> profile,
     "q_chunk_docs"        -> chunkDocs,
+    "q_time_window_sum"   -> timeWindowSum,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -614,5 +640,6 @@ object Behavioral {
     "q_winsorize"         -> winsorizeSql,
     "q_profile"           -> profileSql,
     "q_chunk_docs"        -> chunkDocsSql,
+    "q_time_window_sum"   -> timeWindowSumSql,
   )
 }

@@ -317,6 +317,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow trigger drains a file-source backlog once and stops") {
+    // the batch↔stream unification behind S4 backfill: the same streaming
+    // transform replays a directory backlog exactly once, then terminates
+    // on its own — no always-on cluster for catch-up jobs
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val msgs = Fixtures.syntheticTransferMessages(80)
+    spark.createDataset(msgs)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(4).write.mode("overwrite").text(s"$dir/in")
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("value STRING"))
+      .text(s"$dir/in").as[String]
+    val q = StreamingEtl.decodeTransfers(raw)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "backfill did not terminate")
+    val streamed = spark.read.parquet(s"$dir/out").count()
+    val batch = graft.etl.TokenTransferDecoder
+      .decode(Ingest.parseRaw(spark, msgs)).count()
+    assert(streamed == batch && streamed > 0)
+  }
+
   test("keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
