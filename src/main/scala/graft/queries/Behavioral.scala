@@ -595,6 +595,36 @@ object Behavioral {
       |    AS rolling_1h_sum
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Chunk-level exact dedup over the chunk digests: repeated 500-char
+    * spans across (or within) documents — boilerplate/quote detection at
+    * sub-document granularity, which document-level dedup structurally
+    * cannot see. Only the 32-char digest shuffles, never the text. */
+  private val dedupChunks: Q = (s, dir) =>
+    graft.analytics.CorpusOps.chunkDocs(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        col("n_chars"), chunkLen = 500, stride = 400)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("chunk_md5")
+
+  private val dedupChunksSql =
+    """WITH s AS (
+      |  SELECT doc_id, text, unnest(range(0, n_chars, 400)) AS chunk_start
+      |  FROM documents WHERE n_chars > 0
+      |), h AS (
+      |  SELECT doc_id,
+      |    md5(substr(text, CAST(chunk_start + 1 AS INTEGER), 500))
+      |      AS chunk_md5
+      |  FROM s
+      |)
+      |SELECT chunk_md5, COUNT(*) AS n_occurrences,
+      |  COUNT(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+      |FROM h GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY chunk_md5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -617,6 +647,7 @@ object Behavioral {
     "q_profile"           -> profile,
     "q_chunk_docs"        -> chunkDocs,
     "q_time_window_sum"   -> timeWindowSum,
+    "dedup_chunks"        -> dedupChunks,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -641,5 +672,6 @@ object Behavioral {
     "q_profile"           -> profileSql,
     "q_chunk_docs"        -> chunkDocsSql,
     "q_time_window_sum"   -> timeWindowSumSql,
+    "dedup_chunks"        -> dedupChunksSql,
   )
 }
