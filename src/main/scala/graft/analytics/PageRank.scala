@@ -1,0 +1,52 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixed-iteration PageRank over an edge list — the second iterative
+  * graph family next to connected components: CC answers "which rows are
+  * the same thing", PageRank answers "which nodes matter" (canonical-
+  * document selection among near-dups, hub detection in address graphs).
+  *
+  * Each iteration is one join (contributions = pr/outdeg shipped along
+  * edges) + one aggregate (incoming mass per node) + one left join back
+  * to the node set — all keyed on the node id, so every step shards by
+  * the same key and nothing is driver-bound except the node COUNT.
+  * Contribution sums cast each addend to DECIMAL(38,12) before adding:
+  * decimal addition is associative, so the per-iteration masses — and
+  * therefore the final ranks — are bit-identical across engines and
+  * partitionings (the same exactness pattern as the cumprod/VaR ops).
+  * Iterations are statically unrolled by the caller-chosen count; for
+  * high iteration counts interleave `localCheckpoint` like
+  * [[graft.dedup.Dedup.connectedComponents]] does.
+  */
+object PageRank {
+
+  /** Run `iters` damped iterations over `edges` (`src`, `dst` columns).
+    * Returns (id, pr). Nodes are the union of edge endpoints; a node's
+    * outdegree is its edge count as `src` (callers wanting undirected
+    * semantics pass both directions). */
+  def run(edges: DataFrame, iters: Int,
+          damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val n = nodes.count()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    var pr = nodes.withColumn("pr", lit(1.0) / lit(n))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(pr, ed("src") === pr("id"))
+        .select(ed("dst").as("id"), (col("pr") / col("deg")).as("c"))
+      val mass = contrib.groupBy("id")
+        .agg(sum(col("c").cast(DecimalType(38, 12))).cast("double").as("m"))
+      pr = nodes.join(mass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) / lit(n) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+}

@@ -625,6 +625,58 @@ object Behavioral {
       |FROM h GROUP BY 1 HAVING COUNT(*) > 1
       |ORDER BY chunk_md5""".stripMargin
 
+  /** 3-iteration PageRank over the chain-shaped doc graph (both edge
+    * directions, so every node has outdegree ≥ 1 and no mass dangles).
+    * Decimal-exact contribution sums make every iteration — and the
+    * final ranks — bit-identical to the unrolled SQL twin. The damping
+    * complement is computed as 1 − 0.85 on BOTH engines (the double
+    * 0.15000000000000002, not the literal 0.15). */
+  private val pagerank: Q = (s, dir) => {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val fwd = ids.as("x")
+      .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .filter(col("x.doc_id") % 50 =!= 49)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.analytics.PageRank.run(edges, iters = 3)
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
+  }
+
+  private val pagerankSql = {
+    // one damped iteration over the previous CTE, decimal-exact mass sums
+    def step(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM cnt)
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(s.m, CAST(0 AS DOUBLE))
+         |      AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(38,12))) AS DOUBLE)
+         |        AS m
+         |    FROM e JOIN $prev p ON e.src = p.id JOIN deg ON e.src = deg.src
+         |    GROUP BY 1) s ON n.id = s.id
+         |)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 50 <> 49
+       |), e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+       |n AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+       |), cnt AS (SELECT COUNT(*) AS n FROM n),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |it0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM cnt) AS pr
+       |        FROM n),
+       |${step("it0", "it1")},
+       |${step("it1", "it2")},
+       |${step("it2", "it3")}
+       |SELECT id AS doc_id, pr FROM it3 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -648,6 +700,7 @@ object Behavioral {
     "q_chunk_docs"        -> chunkDocs,
     "q_time_window_sum"   -> timeWindowSum,
     "dedup_chunks"        -> dedupChunks,
+    "q_pagerank"          -> pagerank,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -673,5 +726,6 @@ object Behavioral {
     "q_chunk_docs"        -> chunkDocsSql,
     "q_time_window_sum"   -> timeWindowSumSql,
     "dedup_chunks"        -> dedupChunksSql,
+    "q_pagerank"          -> pagerankSql,
   )
 }

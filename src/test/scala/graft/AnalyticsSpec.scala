@@ -158,6 +158,20 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 0, 0L, 2L)))
   }
 
+  test("pagerank: mass conserved, hubs rank highest, partition-invariant") {
+    // star: hub 0 <-> leaves 1..4 (both directions)
+    val fwd = (1L to 4L).map(l => (0L, l))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val pr = graft.analytics.PageRank.run(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6) // probability mass
+    assert((1L to 4L).forall(l => pr(0L) > pr(l) * 2)) // hub dominates
+    assert((2L to 4L).forall(l => math.abs(pr(l) - pr(1L)) < 1e-12))
+    val pr2 = graft.analytics.PageRank.run(edges.repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr2 == pr) // decimal-exact sums -> bit-identical under reshuffle
+  }
+
   test("SCD2 compaction keeps change rows and chains validity intervals") {
     val snaps = Seq(
       (1L, 1, Some(10.0)), (1L, 2, Some(10.0)), // no change -> collapsed
