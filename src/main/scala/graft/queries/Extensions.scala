@@ -1009,6 +1009,43 @@ object Extensions {
       |  COUNT(*) AS n_vecs
       |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Fuzzy prefix matching — the entity-resolution shape: block on
+    * (lang, length bucket) so the candidate set is an equi-join (never
+    * all-pairs), then exact edit distance on the 40-char prefixes inside
+    * each block. Levenshtein is integer-exact on both engines, so the
+    * whole result hashes. The blocking key is the scale story: at 100 TB
+    * the same query runs with whatever cheap deterministic key bounds
+    * block sizes (sorted-neighborhood, phonetic, LSH band). */
+  private val dedupFuzzy: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("n_chars div 100").as("bucket"),
+        substring(col("text"), 1, 40).as("prefix"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist",
+        levenshtein(col("a.prefix"), col("b.prefix")).cast("long"))
+      .filter(col("dist") <= 5)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("dist"))
+      .orderBy("d1", "d2")
+  }
+
+  private val dedupFuzzySql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars // 100 AS bucket,
+      |    substr(text, 1, 40) AS prefix
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+      |FROM d a JOIN d b
+      |  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.prefix, b.prefix) <= 5
+      |ORDER BY d1, d2""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_stats"          -> textStats,
@@ -1031,6 +1068,7 @@ object Extensions {
     "dedup_clusters"      -> dedupClusters,
     "dedup_clusters_lss"  -> dedupClustersChain,
     "dedup_containment"   -> dedupContainment,
+    "dedup_fuzzy"         -> dedupFuzzy,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
     "emb_centroids"       -> embCentroids,
@@ -1071,6 +1109,7 @@ object Extensions {
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_clusters_lss"  -> dedupClustersChainSql,
     "dedup_containment"   -> dedupContainmentSql,
+    "dedup_fuzzy"         -> dedupFuzzySql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "emb_lsh_pairs"       -> embLshPairsSql,

@@ -344,7 +344,7 @@ class PlanSpec extends SparkSpec {
     // SinglePartition (the as-of union-merge must key on user, not global)
     Seq("q_sessionize", "q_stratified_sample", "q_pack_sequences",
         "q_asof_join", "q_quality_ntile", "q_token_budget",
-        "q_scd2").foreach { q =>
+        "q_scd2", "q_time_window_sum").foreach { q =>
       val plan = graft.queries.Behavioral.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange SinglePartition"), s"$q:\n$plan")
