@@ -677,6 +677,37 @@ object Behavioral {
        |SELECT id AS doc_id, pr FROM it3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Contingency table over (lang, source): observed cell counts against
+    * the independence expectation row·col/N — the balance check a corpus
+    * gets before mixture design (a cell far off expectation means the
+    * source skews toward a language). Marginals are two tiny aggregates
+    * broadcast back to the cell frame; N is one driver count. */
+  private val contingency: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val n = d.count()
+    val rowT = d.groupBy("lang").agg(count(lit(1)).as("lang_total"))
+    val colT = d.groupBy("source").agg(count(lit(1)).as("source_total"))
+    d.groupBy("lang", "source").agg(count(lit(1)).as("observed"))
+      .join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .withColumn("expected", round(
+        (col("lang_total") * col("source_total")).cast("double") / lit(n), 6))
+      .select("lang", "source", "observed", "expected")
+      .orderBy("lang", "source")
+  }
+
+  private val contingencySql =
+    """WITH r AS (SELECT lang, COUNT(*) AS lang_total
+      |           FROM documents GROUP BY 1),
+      |c AS (SELECT source, COUNT(*) AS source_total
+      |      FROM documents GROUP BY 1)
+      |SELECT lang, source, COUNT(*) AS observed,
+      |  ROUND(CAST(lang_total * source_total AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM documents), 6) AS expected
+      |FROM documents JOIN r USING (lang) JOIN c USING (source)
+      |GROUP BY lang, source, lang_total, source_total
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -701,6 +732,7 @@ object Behavioral {
     "q_time_window_sum"   -> timeWindowSum,
     "dedup_chunks"        -> dedupChunks,
     "q_pagerank"          -> pagerank,
+    "q_contingency"       -> contingency,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -727,5 +759,6 @@ object Behavioral {
     "q_time_window_sum"   -> timeWindowSumSql,
     "dedup_chunks"        -> dedupChunksSql,
     "q_pagerank"          -> pagerankSql,
+    "q_contingency"       -> contingencySql,
   )
 }
