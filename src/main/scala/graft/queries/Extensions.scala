@@ -1054,6 +1054,56 @@ object Extensions {
       |WHERE levenshtein(a.prefix, b.prefix) <= 5
       |ORDER BY d1, d2""".stripMargin
 
+  /** Sorted-neighborhood matching — the window-shaped complement of
+    * [[dedupFuzzy]]'s hash blocking: sort each language by prefix, compare
+    * every row only to its next 2 neighbors in the sort order. Candidates
+    * are generated by one partitioned window (lead), not a join — O(n·w)
+    * pairs by construction, the classic bound when no good hash block key
+    * exists. Both engines sort strings bytewise, so the neighbor sets —
+    * and the exact levenshtein survivors — hash-match. */
+  private val dedupSortedNeighbors: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("prefix", "doc_id")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 40).as("prefix"))
+      .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
+      .withColumn("n1_p", lead(col("prefix"), 1).over(w))
+      .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
+      .withColumn("n2_p", lead(col("prefix"), 2).over(w))
+    d.select(col("doc_id"), col("prefix"), explode(array(
+        struct(col("n1_id").as("nid"), col("n1_p").as("np")),
+        struct(col("n2_id").as("nid"), col("n2_p").as("np")))).as("nb"))
+      .filter(col("nb.nid").isNotNull)
+      .withColumn("dist",
+        levenshtein(col("prefix"), col("nb.np")).cast("long"))
+      .filter(col("dist") <= 5)
+      .select(least(col("doc_id"), col("nb.nid")).as("d1"),
+        greatest(col("doc_id"), col("nb.nid")).as("d2"), col("dist"))
+      .orderBy("d1", "d2")
+  }
+
+  private val dedupSortedNeighborsSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, substr(text, 1, 40) AS prefix FROM documents
+      |), w AS (
+      |  SELECT doc_id, prefix,
+      |    lead(doc_id, 1) OVER win AS n1_id,
+      |    lead(prefix, 1) OVER win AS n1_p,
+      |    lead(doc_id, 2) OVER win AS n2_id,
+      |    lead(prefix, 2) OVER win AS n2_p
+      |  FROM d WINDOW win AS (PARTITION BY lang ORDER BY prefix, doc_id)
+      |), p AS (
+      |  SELECT doc_id, prefix, n1_id AS nid, n1_p AS np FROM w
+      |  WHERE n1_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, prefix, n2_id, n2_p FROM w WHERE n2_id IS NOT NULL
+      |)
+      |SELECT LEAST(doc_id, nid) AS d1, GREATEST(doc_id, nid) AS d2,
+      |  CAST(levenshtein(prefix, np) AS BIGINT) AS dist
+      |FROM p WHERE levenshtein(prefix, np) <= 5
+      |ORDER BY d1, d2""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_stats"          -> textStats,
@@ -1077,6 +1127,7 @@ object Extensions {
     "dedup_clusters_lss"  -> dedupClustersChain,
     "dedup_containment"   -> dedupContainment,
     "dedup_fuzzy"         -> dedupFuzzy,
+    "dedup_sorted_nbrs"   -> dedupSortedNeighbors,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
     "emb_centroids"       -> embCentroids,
@@ -1118,6 +1169,7 @@ object Extensions {
     "dedup_clusters_lss"  -> dedupClustersChainSql,
     "dedup_containment"   -> dedupContainmentSql,
     "dedup_fuzzy"         -> dedupFuzzySql,
+    "dedup_sorted_nbrs"   -> dedupSortedNeighborsSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "emb_lsh_pairs"       -> embLshPairsSql,
