@@ -708,6 +708,58 @@ object Behavioral {
       |GROUP BY lang, source, lang_total, source_total
       |ORDER BY lang, source""".stripMargin
 
+  /** Behavior-sequence building: each user's first 10 events as an
+    * ordered comma-joined string — the sequence-model training
+    * representation. collect_list alone is partitioning-dependent, so
+    * elements carry their (time, id) sort key into the array and a
+    * sort_array makes the order total and engine-identical; the string
+    * join sidesteps the harness's no-array-cells constraint. */
+  private val eventSequences: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(",", slice(transform(sort_array(collect_list(col("e"))),
+          e => e.getField("event_type")), 1, 10)).as("seq"))
+      .orderBy("user_id")
+
+  private val eventSequencesSql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  array_to_string(
+      |    (list(event_type ORDER BY epoch_us(ts), event_id))[1:10], ',')
+      |    AS seq
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Hopping (sliding) window counts: 1-hour windows every 30 minutes,
+    * so each event lands in exactly two overlapping windows — the
+    * smoothed-trend form of the tumbling hourly agg, same epoch-aligned
+    * grid in batch and streaming. The oracle derives both member windows
+    * per event arithmetically (time_bucket and its 30-minute
+    * predecessor). */
+  private val hoppingWindow: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"))
+      .orderBy("window_start", "event_type")
+
+  private val hoppingWindowSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS tb
+      |  FROM events
+      |), w AS (
+      |  SELECT event_type,
+      |    unnest([tb, tb - INTERVAL '30 minutes']) AS window_start
+      |  FROM b
+      |)
+      |SELECT window_start, event_type, COUNT(*) AS n
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -733,6 +785,8 @@ object Behavioral {
     "dedup_chunks"        -> dedupChunks,
     "q_pagerank"          -> pagerank,
     "q_contingency"       -> contingency,
+    "q_event_sequences"   -> eventSequences,
+    "q_hopping_window"    -> hoppingWindow,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -760,5 +814,7 @@ object Behavioral {
     "dedup_chunks"        -> dedupChunksSql,
     "q_pagerank"          -> pagerankSql,
     "q_contingency"       -> contingencySql,
+    "q_event_sequences"   -> eventSequencesSql,
+    "q_hopping_window"    -> hoppingWindowSql,
   )
 }

@@ -135,7 +135,8 @@ object StreamingEtl {
     * rows emit as soon as both sides have arrived. */
   def swapsWithFundingTransfer(swaps: DataFrame, transfers: DataFrame,
                                lag: String = "10 minutes",
-                               watermark: String = "10 minutes"): DataFrame = {
+                               watermark: String = "10 minutes",
+                               joinType: String = "inner"): DataFrame = {
     val s = swaps
       .select(col("tx_hash"), col("pool"), col("price"),
         col("block_timestamp").as("swap_ts"))
@@ -145,10 +146,13 @@ object StreamingEtl {
         col("contract").as("token"), col("amount"),
         col("block_timestamp").as("transfer_ts"))
       .withWatermark("transfer_ts", watermark)
+    // "left_outer" emits an unmatched swap (null transfer columns) once
+    // the watermark proves no matching transfer can still arrive — the
+    // state-eviction horizon doubles as the completeness proof
     s.join(t, expr(
       s"""tx_hash = transfer_tx_hash AND
          |transfer_ts BETWEEN swap_ts - INTERVAL $lag AND swap_ts"""
-        .stripMargin))
+        .stripMargin), joinType)
       .drop("transfer_tx_hash")
   }
 

@@ -239,6 +239,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched swaps after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val swapStream = MemoryStream[String]
+    val transferStream = MemoryStream[String]
+    val out = StreamingEtl.swapsWithFundingTransfer(
+      StreamingEtl.parseSwaps(swapStream.toDS()),
+      StreamingEtl.decodeTransfers(transferStream.toDS()),
+      lag = "10 minutes", watermark = "10 minutes",
+      joinType = "left_outer")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_louter_out").start()
+    val t0 = Fixtures.FixedNow
+    def tx(i: Int) = "0x" + i.toString * 64
+    try {
+      // one funded swap, one orphan swap with no transfer anywhere
+      transferStream.addData(
+        Fixtures.transferMessage(ts = t0 - 60, txHash = tx(1), logIndex = 1))
+      swapStream.addData(
+        Fixtures.swapMessage(amount0In = BigInt(10).pow(18),
+          ts = t0, txHash = tx(1)),
+        Fixtures.swapMessage(amount0In = BigInt(10).pow(18),
+          ts = t0, txHash = tx(2)))
+      q.processAllAvailable()
+      // matched row emits immediately; the orphan must wait until the
+      // watermark proves no matching transfer can still arrive
+      val eager = spark.table("ss_louter_out")
+        .collect().map(r => r.getAs[String]("tx_hash")).toSet
+      assert(eager == Set(tx(1)), eager)
+      // advance BOTH watermarks far past t0 (two rounds: watermark
+      // updates between micro-batches)
+      for (k <- 1 to 2) {
+        transferStream.addData(Fixtures.transferMessage(
+          ts = t0 + 100000L * k, txHash = tx(8), logIndex = 10 + k))
+        swapStream.addData(Fixtures.swapMessage(
+          amount0In = BigInt(10).pow(18), ts = t0 + 100000L * k,
+          txHash = tx(9)))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("ss_louter_out")
+        .select("tx_hash", "token").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(rows(tx(1)).isDefined)            // joined -> transfer columns
+      assert(rows.contains(tx(2)) && rows(tx(2)).isEmpty,
+        s"orphan swap not emitted with nulls: $rows") // expired -> nulls
+    } finally q.stop()
+  }
+
   test("streaming session windows match the batch session_window after flush") {
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
