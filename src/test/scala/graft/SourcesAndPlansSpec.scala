@@ -64,6 +64,21 @@ class SourcesSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).collect()(0).getLong(0) == 499500L)
   }
 
+  test("schema-evolution union merges generations by name, nulls the gaps") {
+    val gen1 = Seq((1L, "a")).toDF("doc_id", "text")
+    val gen2 = Seq((2L, "b", 0.9)).toDF("doc_id", "text", "quality")
+    val gen3 = Seq((3L, 12L)).toDF("doc_id", "n_tokens") // text dropped
+    val merged = graft.sources.Evolution.unionEvolved(Seq(gen1, gen2, gen3))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(merged.toSeq == Seq(
+      (1L, Some("a"), None, None),
+      (2L, Some("b"), Some(0.9), None),
+      (3L, None, None, Some(12L))))
+  }
+
   test("merge upsert: whole-row replace on match (nulls win), insert on miss") {
     val target = Seq((1L, Some("a"), 10), (2L, Some("b"), 20),
       (3L, Some("c"), 30)).toDF("k", "s", "v")
