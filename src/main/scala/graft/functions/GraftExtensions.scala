@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
       exprs => WordShinglesExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("morton"),
+      new ExpressionInfo(classOf[MortonExpr].getName, "morton"),
+      exprs => MortonExpr(exprs(0), exprs(1),
+        exprs.lift(2).map(_.eval(null).asInstanceOf[Int]).getOrElse(16))))
     e.injectFunction((FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       exprs => {

@@ -42,10 +42,15 @@ object ZOrder {
 
   /** Write `df` into `nFiles` parquet files range-partitioned and sorted
     * by the Morton key of (`xCol`, `yCol`) — each file gets a tight 2-D
-    * bounding box for footer-stats skipping on either column. */
+    * bounding box for footer-stats skipping on either column. Uses the
+    * fused codegen'd [[graft.functions.MortonExpr]] (one expression node
+    * instead of [[zValue]]'s 2·bits-op fold) since the key appears in
+    * both the partitioner and the sort. */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
                     nFiles: Int, bits: Int = 16): Unit = {
-    val z = zValue(col(xCol), col(yCol), bits)
+    graft.functions.MortonFunctions.register(df.sparkSession)
+    val z = graft.functions.MortonFunctions.morton(
+      col(xCol).cast("long"), col(yCol).cast("long"), bits)
     df.repartitionByRange(nFiles, z)
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)

@@ -155,17 +155,26 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("morton column matches the scalar reference on random coordinates") {
+    graft.functions.MortonFunctions.register(spark)
     val rnd = new scala.util.Random(42)
     val pts = Seq.fill(500)((rnd.nextInt(65536).toLong,
       rnd.nextInt(65536).toLong))
+    // both forms — the dependency-free Column fold and the fused
+    // codegen'd expression — must agree with the scalar reference
     val got = pts.toDF("x", "y")
       .select(col("x"), col("y"),
-        graft.sources.ZOrder.zValue(col("x"), col("y"), 16).as("z"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        graft.sources.ZOrder.zValue(col("x"), col("y"), 16).as("z1"),
+        graft.functions.MortonFunctions
+          .morton(col("x"), col("y"), 16).as("z2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
     def ref(x: Long, y: Long) = (0 until 16).foldLeft(0L) { (a, i) =>
       a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
     }
-    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y), s"($x,$y)") }
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == ((ref(x, y), ref(x, y))), s"($x,$y)")
+    }
   }
 
   test("z-order layout prunes row groups on the trailing dimension") {
