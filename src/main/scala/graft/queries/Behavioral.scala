@@ -760,6 +760,33 @@ object Behavioral {
       |SELECT window_start, event_type, COUNT(*) AS n
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Degree distribution of the chain graph — the first diagnostic any
+    * graph op (CC, PageRank) gets: a histogram of per-node degrees
+    * surfaces skewed hubs before they become stragglers. Two hash
+    * aggregates, digests-only shuffle. */
+  private val degreeDist: Q = (s, dir) => {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val fwd = ids.as("x")
+      .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .filter(col("x.doc_id") % 50 =!= 49)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"), min(col("src")).as("example_node"))
+      .orderBy("degree")
+  }
+
+  private val degreeDistSql =
+    """WITH f AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 50 <> 49
+      |), e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+      |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY 1)
+      |SELECT degree, COUNT(*) AS n_nodes, min(src) AS example_node
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -787,6 +814,7 @@ object Behavioral {
     "q_contingency"       -> contingency,
     "q_event_sequences"   -> eventSequences,
     "q_hopping_window"    -> hoppingWindow,
+    "q_degree_dist"       -> degreeDist,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -816,5 +844,6 @@ object Behavioral {
     "q_contingency"       -> contingencySql,
     "q_event_sequences"   -> eventSequencesSql,
     "q_hopping_window"    -> hoppingWindowSql,
+    "q_degree_dist"       -> degreeDistSql,
   )
 }

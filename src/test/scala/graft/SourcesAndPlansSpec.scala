@@ -91,14 +91,21 @@ class SourcesSpec extends SparkSpec {
       (3L, Some("c"), 30), (9L, Some("z"), 1)))
   }
 
-  test("decoded transfers round-trip through parquet and csv sinks") {
+  test("decoded transfers round-trip through parquet, orc, and csv sinks") {
     val out = Files.createTempDirectory("graft_sink").toString
     val transfers = TokenTransferDecoder.decode(
       Ingest.parseRaw(spark, Fixtures.syntheticTransferMessages(50)))
       .drop("amount_raw") // csv has no decimal-38 fidelity; flat cols only
     transfers.write.mode("overwrite").parquet(s"$out/p")
+    transfers.write.mode("overwrite").orc(s"$out/o")
     transfers.write.mode("overwrite").option("header", "true").csv(s"$out/c")
     assert(spark.read.parquet(s"$out/p").count() == transfers.count())
+    val orc = spark.read.orc(s"$out/o")
+    assert(orc.count() == transfers.count())
+    // orc preserves names + types exactly (nullability is erased by any
+    // file format, so compare the (name, type) signature)
+    assert(orc.schema.map(f => (f.name, f.dataType)) ==
+      transfers.schema.map(f => (f.name, f.dataType)))
     val csv = spark.read.option("header", "true").csv(s"$out/c")
     assert(csv.count() == transfers.count())
     assert(csv.columns.toSet == transfers.columns.toSet)
