@@ -787,6 +787,34 @@ object Behavioral {
       |SELECT degree, COUNT(*) AS n_nodes, min(src) AS example_node
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Event-transition matrix: per-user consecutive event-type pairs
+    * counted over the whole corpus — the Markov-chain summary behind
+    * next-event models and funnel hypotheses. One keyed window (lead) +
+    * one hash aggregate. */
+  private val markovTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val markovTransitionsSql =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events
+      |)
+      |SELECT from_type, to_type, COUNT(*) AS n
+      |FROM t WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -815,6 +843,7 @@ object Behavioral {
     "q_event_sequences"   -> eventSequences,
     "q_hopping_window"    -> hoppingWindow,
     "q_degree_dist"       -> degreeDist,
+    "q_markov"            -> markovTransitions,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -845,5 +874,6 @@ object Behavioral {
     "q_event_sequences"   -> eventSequencesSql,
     "q_hopping_window"    -> hoppingWindowSql,
     "q_degree_dist"       -> degreeDistSql,
+    "q_markov"            -> markovTransitionsSql,
   )
 }
