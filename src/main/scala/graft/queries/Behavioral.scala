@@ -815,6 +815,73 @@ object Behavioral {
       |FROM t WHERE to_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Shannon entropy of each language's source distribution — the
+    * diversity diagnostic for mixture design (low entropy = one source
+    * dominates the language). p·ln p terms are cast to DECIMAL(38,12)
+    * before summing (the cumprod exactness pattern), so the float sum is
+    * order-free and engine-identical. */
+  private val sourceEntropy: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val totals = d.groupBy("lang").agg(count(lit(1)).as("total"))
+    cells.join(broadcast(totals), "lang")
+      .withColumn("term",
+        (-(col("n") / col("total")) * log(col("n") / col("total")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      .groupBy("lang")
+      .agg(round(sum(col("term")).cast("double"), 6).as("entropy"),
+        count(lit(1)).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  private val sourceEntropySql =
+    """WITH c AS (
+      |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+      |), t AS (SELECT lang, COUNT(*) AS total FROM documents GROUP BY 1)
+      |SELECT lang,
+      |  ROUND(CAST(SUM(CAST(-(n / total) * LN(n / total)
+      |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy,
+      |  COUNT(*) AS n_sources
+      |FROM c JOIN t USING (lang)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Inter-arrival gap histogram: per-user consecutive event gaps,
+    * log2-bucketed in seconds — the traffic-shape diagnostic behind
+    * session-gap and watermark choices. The bucket is floor(log2(s+1))
+    * computed as `length(bin(s+1)) - 1`: pure integer/string arithmetic,
+    * because float log2 differs between libms exactly at the power-of-two
+    * bucket boundaries this histogram is made of. */
+  private val gapHistogram: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("bucket",
+        when(col("gap_us") <= 0, lit(-1L))
+          .otherwise((length(bin(expr("gap_us div 1000000") + 1)) - 1)
+            .cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_us"), max(col("gap_us")).as("max_us"))
+      .orderBy("bucket")
+  }
+
+  private val gapHistogramSql =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events
+      |)
+      |SELECT CASE WHEN gap_us <= 0 THEN -1
+      |  ELSE CAST(length(bin((gap_us // 1000000) + 1)) - 1 AS BIGINT)
+      |  END AS bucket,
+      |  COUNT(*) AS n_gaps, min(gap_us) AS min_us, max(gap_us) AS max_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -844,6 +911,8 @@ object Behavioral {
     "q_hopping_window"    -> hoppingWindow,
     "q_degree_dist"       -> degreeDist,
     "q_markov"            -> markovTransitions,
+    "q_source_entropy"    -> sourceEntropy,
+    "q_gap_histogram"     -> gapHistogram,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -875,5 +944,7 @@ object Behavioral {
     "q_hopping_window"    -> hoppingWindowSql,
     "q_degree_dist"       -> degreeDistSql,
     "q_markov"            -> markovTransitionsSql,
+    "q_source_entropy"    -> sourceEntropySql,
+    "q_gap_histogram"     -> gapHistogramSql,
   )
 }
