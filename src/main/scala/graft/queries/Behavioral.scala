@@ -882,6 +882,53 @@ object Behavioral {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Seasonality matrix: event volume by (day-of-week, hour-of-day) —
+    * the load-shape profile behind capacity planning and anomaly
+    * baselines. One hash aggregate over two date-part projections. */
+  private val seasonality: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("dow", "hod")
+
+  private val seasonalitySql =
+    """SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+      |  CAST(hour(ts) AS INTEGER) AS hod,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Cumulative user growth: each day's newly seen users and the running
+    * total — the adoption curve. First-seen dates via one min-agg, then
+    * one ordered window over the per-day frame. The global window is
+    * safe at any corpus size: its input cardinality is calendar DAYS,
+    * which does not grow with data volume (same O(buckets) argument as
+    * DistributedRank's histogram). */
+  private val userGrowth: Q = (s, dir) => {
+    val firstSeen = Tables.events(s, dir)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("first_date"))
+    firstSeen.groupBy("first_date")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("first_date")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("first_date")
+  }
+
+  private val userGrowthSql =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS first_date
+      |  FROM events GROUP BY 1
+      |), d AS (
+      |  SELECT first_date, COUNT(*) AS new_users FROM f GROUP BY 1
+      |)
+      |SELECT first_date, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY first_date
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM d ORDER BY first_date""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"        -> sessionize,
     "q_funnel"            -> funnel,
@@ -913,6 +960,8 @@ object Behavioral {
     "q_markov"            -> markovTransitions,
     "q_source_entropy"    -> sourceEntropy,
     "q_gap_histogram"     -> gapHistogram,
+    "q_seasonality"       -> seasonality,
+    "q_user_growth"       -> userGrowth,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -946,5 +995,7 @@ object Behavioral {
     "q_markov"            -> markovTransitionsSql,
     "q_source_entropy"    -> sourceEntropySql,
     "q_gap_histogram"     -> gapHistogramSql,
+    "q_seasonality"       -> seasonalitySql,
+    "q_user_growth"       -> userGrowthSql,
   )
 }
