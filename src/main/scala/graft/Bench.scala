@@ -44,21 +44,27 @@ object Bench {
       (name, samples.map(_._1).min, ok)
     }
     // a crashed query must not read as a healthy timing: report -1 for it
-    // and list it under "failed". Times are 3-decimal (ms grain): the
-    // driver's output tail-capture is byte-budgeted and a 75-query line of
-    // 17-digit doubles overflowed it in round 3, losing the total and the
-    // late-alphabet entries.
+    // and list it under "failed". Times are 3-decimal (ms grain), and the
+    // per-query map is emitted as one SHORT line per query-family rather
+    // than one huge line: the driver's output capture is tail-byte-budgeted
+    // and a single 115-query line lost its alphabetical head in rounds 3-4.
+    // Every line is self-describing JSON, so any tail window that keeps the
+    // last ~dozen lines keeps every per-query time plus the total.
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) fmt(v) else -1)
-    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    // a second, minimal line LAST: even if the big line's head falls outside
-    // the tail capture, the headline number survives
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    results.groupBy { case (k, _, _) => k.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .foreach { case (family, rs) =>
+        val qs = rs.sortBy(_._1).map { case (k, v, ok) =>
+          s"\"" + k + "\":" + (if (ok) fmt(v) else -1)
+        }.mkString("{", ",", "}")
+        val famTotal = fmt(rs.filter(_._3).map(_._2).sum)
+        println(s"""{"metric":"family","family":"$family","value":$famTotal,"unit":"sec","queries":$qs}""")
+      }
+    // the minimal headline line LAST: survives even a one-line tail budget
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

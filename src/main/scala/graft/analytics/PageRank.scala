@@ -26,7 +26,18 @@ object PageRank {
   /** Run `iters` damped iterations over `edges` (`src`, `dst` columns).
     * Returns (id, pr). Nodes are the union of edge endpoints; a node's
     * outdegree is its edge count as `src` (callers wanting undirected
-    * semantics pass both directions). */
+    * semantics pass both directions).
+    *
+    * Dangling nodes (no outgoing edges) follow canonical PageRank: their
+    * mass is redistributed uniformly each iteration, so ranks always sum
+    * to 1. The dangling set is computed once (anti-join of nodes against
+    * edge sources); per iteration it costs one keyed semi-join plus a
+    * 1-row aggregate broadcast back into the rank update — the dangling
+    * sum is a decimal-exact fold like the contribution sums, so the
+    * partition-invariance / cross-engine bit-exactness guarantee holds on
+    * sink-bearing graphs too. On a graph with no dangling nodes the term
+    * is exactly +0.0 and the ranks are bit-identical to the pre-dangling
+    * formula. */
   def run(edges: DataFrame, iters: Int,
           damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
@@ -36,16 +47,23 @@ object PageRank {
     val n = nodes.count()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src")
+    val dangling = nodes.join(
+      deg.select(col("src").as("id")), Seq("id"), "left_anti")
     var pr = nodes.withColumn("pr", lit(1.0) / lit(n))
     for (_ <- 1 to iters) {
       val contrib = ed.join(pr, ed("src") === pr("id"))
         .select(ed("dst").as("id"), (col("pr") / col("deg")).as("c"))
       val mass = contrib.groupBy("id")
         .agg(sum(col("c").cast(DecimalType(38, 12))).cast("double").as("m"))
+      val dm = pr.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("pr").cast(DecimalType(38, 12))),
+          lit(0).cast(DecimalType(38, 12))).cast("double").as("dm"))
       pr = nodes.join(mass, Seq("id"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("id"),
           (lit(1.0 - damping) / lit(n) +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+            lit(damping) * (coalesce(col("m"), lit(0.0)) +
+              col("dm") / lit(n))).as("pr"))
     }
     pr
   }

@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("morton"),
       new ExpressionInfo(classOf[MortonExpr].getName, "morton"),
       exprs => MortonExpr(exprs(0), exprs(1),
-        exprs.lift(2).map(_.eval(null).asInstanceOf[Int]).getOrElse(16))))
+        exprs.lift(2).map(MortonFunctions.bitsLiteral).getOrElse(16))))
     e.injectFunction((FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       exprs => {

@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * min/max stats probe). Bits are fixed at planning time. */
 case class MortonExpr(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
+  require(bits >= 1 && bits <= 31,
+    s"morton bits must be in [1, 31] (2*bits+1 must stay below 64): $bits")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "morton"
@@ -50,8 +52,22 @@ object MortonFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "morton", exprs => MortonExpr(exprs(0), exprs(1),
-        exprs.lift(2).map(_.eval(null).asInstanceOf[Int]).getOrElse(16)),
+        exprs.lift(2).map(bitsLiteral).getOrElse(16)),
       "built-in")
+
+  /** The third argument must be a foldable integer literal (bits are fixed
+    * at planning time); accept any integral width (`morton(x, y, 16)` and
+    * `morton(x, y, CAST(16 AS BIGINT))` both plan) and fail with a plain
+    * message instead of an opaque ClassCastException otherwise. */
+  private[functions] def bitsLiteral(e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"morton bits must be a literal, got non-foldable: ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"morton bits must be an integer literal, got: $other")
+    }
+  }
 
   def morton(x: Column, y: Column, bits: Int): Column =
     call_function("morton", x, y,

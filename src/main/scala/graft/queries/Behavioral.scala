@@ -425,7 +425,11 @@ object Behavioral {
     * ingestion pipeline runs over its metrics. Mean/std come from
     * decimal-exact sums ([[Num]]), so the float z and the |z| > 3 cut are
     * bit-identical across engines; the per-type stats broadcast to the
-    * scan (4 rows), one aggregate + one map-side join total. */
+    * scan (4 rows), one aggregate + one map-side join total. A zero-
+    * variance type is excluded by the same `std > 0` cut on both engines:
+    * without it Spark's x/0 yields NULL (row silently dropped) while
+    * DuckDB's IEEE division yields ±inf (row passes |z| > 3) — a
+    * degenerate but legal input would break the oracle hash. */
   private val anomalyZscore: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
     val stats = ev.groupBy("event_type")
@@ -437,6 +441,7 @@ object Behavioral {
         Num.dstddev(col("sum_v"), col("sum_vv"), col("n")))
       .select("event_type", "mean", "std")
     ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("std") > 0)
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
@@ -455,7 +460,8 @@ object Behavioral {
       |SELECT event_id, event_type, value,
       |  ROUND((value - s / n) / SQRT((ss - s * s / n) / (n - 1)), 6) AS z
       |FROM events JOIN st USING (event_type)
-      |WHERE ABS((value - s / n) / SQRT((ss - s * s / n) / (n - 1))) > 3
+      |WHERE SQRT((ss - s * s / n) / (n - 1)) > 0
+      |  AND ABS((value - s / n) / SQRT((ss - s * s / n) / (n - 1))) > 3
       |ORDER BY event_id""".stripMargin
 
   /** Winsorized per-type stats: clamp values to the exact [p05, p95]
@@ -626,7 +632,9 @@ object Behavioral {
       |ORDER BY chunk_md5""".stripMargin
 
   /** 3-iteration PageRank over the chain-shaped doc graph (both edge
-    * directions, so every node has outdegree ≥ 1 and no mass dangles).
+    * directions, so every node has outdegree ≥ 1 and the dangling-mass
+    * term is exactly +0.0 — the twin still carries it, mirroring
+    * [[graft.analytics.PageRank.run]]'s canonical redistribution).
     * Decimal-exact contribution sums make every iteration — and the
     * final ranks — bit-identical to the unrolled SQL twin. The damping
     * complement is computed as 1 − 0.85 on BOTH engines (the double
@@ -645,12 +653,21 @@ object Behavioral {
   }
 
   private val pagerankSql = {
-    // one damped iteration over the previous CTE, decimal-exact mass sums
+    // one damped iteration over the previous CTE, decimal-exact mass sums;
+    // d_<out> is the decimal-exact dangling mass of the previous ranks
+    // (empty set here — every node has outdegree — but the term mirrors
+    // the engine's canonical redistribution bit-for-bit: +0.0/n)
     def step(prev: String, out: String) =
-      s"""$out AS (
+      s"""d_$out AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(p.pr AS DECIMAL(38,12))),
+         |    CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS dm
+         |  FROM $prev p JOIN dang ON p.id = dang.id
+         |),
+         |$out AS (
          |  SELECT n.id,
          |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM cnt)
-         |      + CAST(0.85 AS DOUBLE) * COALESCE(s.m, CAST(0 AS DOUBLE))
+         |      + CAST(0.85 AS DOUBLE) * (COALESCE(s.m, CAST(0 AS DOUBLE))
+         |        + (SELECT dm FROM d_$out) / (SELECT n FROM cnt))
          |      AS pr
          |  FROM n LEFT JOIN (
          |    SELECT e.dst AS id,
@@ -669,7 +686,10 @@ object Behavioral {
        |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
        |), cnt AS (SELECT COUNT(*) AS n FROM n),
        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
-       |it0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM cnt) AS pr
+       |dang AS (
+       |  SELECT id FROM n
+       |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = n.id)
+       |), it0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM cnt) AS pr
        |        FROM n),
        |${step("it0", "it1")},
        |${step("it1", "it2")},

@@ -12,10 +12,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * per key wins.
   *
   * Shape per micro-batch: union(current state, batch) → one key-partitioned
-  * window keeping (max ts, then max tie-break) → atomic swap of the state
-  * directory (write to `<path>__stage`, then rename over `<path>`; readers
-  * never observe a half-written table, and the new state is fully
-  * materialized before the old one is touched — no read-overwrite race).
+  * window keeping (max ts, then max tie-break) → crash-safe swap of the
+  * state directory. The swap never deletes the prior state before the new
+  * one is in place: write to `<path>__stage`, rename the live table aside
+  * to `<path>__old`, rename the stage in, and drop the aside copy last. A
+  * crash (or foreachBatch retry) at any point leaves the prior state in
+  * either `<path>` or `<path>__old`; [[mergeBatch]] restores it on entry
+  * before reading, so a retried batch re-merges into the full prior state
+  * instead of silently truncating it. The one remaining non-atomic window
+  * is between the two renames — a concurrent reader in that instant sees
+  * no table (never a half-written one); a missing-table retry on the read
+  * side covers it, as single-directory parquet swaps cannot do better
+  * without a manifest-pointer layout (Delta/Iceberg territory, see below).
   *
   * Scale note: rewriting full state per batch is the plain-parquet
   * trade-off — correct and shuffle-minimal (one exchange on the key), but
@@ -46,16 +54,36 @@ object UpsertSink {
     val spark = batch.sparkSession
     val target = new Path(path)
     val stage = new Path(path + "__stage")
+    val aside = new Path(path + "__old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery: a previous swap can die between "rename target aside"
+    // and "rename stage in", leaving the only copy of the prior state in
+    // `__old`. Restore it before reading; the retried batch then re-merges
+    // into the full state (the merge is idempotent — latestPerKey keeps one
+    // row per key regardless of how often a batch is replayed). If the swap
+    // completed but the cleanup delete didn't, the aside copy is stale —
+    // drop it. A leftover stage dir is always stale (possibly half-written):
+    // the overwrite below replaces it.
+    if (fs.exists(aside)) {
+      if (!fs.exists(target)) {
+        if (!fs.rename(aside, target))
+          throw new java.io.IOException(s"recovery failed: $aside -> $target")
+      } else fs.delete(aside, true)
+    }
     val current =
       if (fs.exists(target)) spark.read.parquet(path)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], batch.schema)
     latestPerKey(current.unionByName(batch), key, tsCol)
       .write.mode("overwrite").parquet(stage.toString)
-    fs.delete(target, true)
-    if (!fs.rename(stage, target))
-      throw new java.io.IOException(s"atomic swap failed: $stage -> $target")
+    // Swap, never holding zero copies of the prior state: aside, in, drop.
+    if (fs.exists(target) && !fs.rename(target, aside))
+      throw new java.io.IOException(s"swap failed: $target -> $aside")
+    if (!fs.rename(stage, target)) {
+      fs.rename(aside, target) // roll back so the state stays readable
+      throw new java.io.IOException(s"swap failed: $stage -> $target")
+    }
+    fs.delete(aside, true)
   }
 
   /** Start the streaming upsert into `path`, keyed by `key`, newest by

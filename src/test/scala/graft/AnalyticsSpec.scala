@@ -172,6 +172,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(pr2 == pr) // decimal-exact sums -> bit-identical under reshuffle
   }
 
+  test("pagerank on a sink-bearing graph: dangling mass is redistributed") {
+    // directed chain 1 -> 2 -> 3: node 3 is a sink (no out-edges). Without
+    // redistribution its mass would leak every iteration and the ranks
+    // would no longer be a probability distribution.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = graft.analytics.PageRank.run(edges, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr) // mass conserved
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L)) // downstream accumulates
+    val pr2 = graft.analytics.PageRank.run(edges.repartition(5), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr2 == pr) // dangling sum is decimal-exact too
+  }
+
   test("SCD2 compaction keeps change rows and chains validity intervals") {
     val snaps = Seq(
       (1L, 1, Some(10.0)), (1L, 2, Some(10.0)), // no change -> collapsed

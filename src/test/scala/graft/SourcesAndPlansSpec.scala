@@ -184,6 +184,28 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("morton bits are validated and integral literals of any width plan") {
+    graft.functions.MortonFunctions.register(spark)
+    // bits > 31 would overflow the 2*i+1 shift into Java's mod-64 wrap
+    val one = org.apache.spark.sql.catalyst.expressions.Literal(1L)
+    intercept[IllegalArgumentException] {
+      graft.functions.MortonExpr(one, one, 32)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.MortonExpr(one, one, 0)
+    }
+    // a BIGINT literal third argument coerces via Number, not a blind cast
+    val z = spark.sql("SELECT morton(3L, 5L, CAST(3 AS BIGINT)) AS z")
+      .collect().head.getLong(0)
+    assert(z == 39L)
+    // a non-integer literal fails with a plain message, not a CCE
+    val err = intercept[Exception] {
+      spark.sql("SELECT morton(1L, 1L, 'x')").collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).mkString)
+      .contains("morton bits"), err)
+  }
+
   test("z-order layout prunes row groups on the trailing dimension") {
     val dir = Files.createTempDirectory("graft_zorder").toString
     val n = 256

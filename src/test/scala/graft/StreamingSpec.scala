@@ -345,6 +345,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink recovers prior state from a crash mid-swap") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rec").toString
+    val statePath = s"$dir/state"
+    val stream1 = MemoryStream[(Long, Long, String)]
+    val q1 = graft.streaming.UpsertSink.start(
+      stream1.toDS().toDF("k", "ver", "payload"),
+      statePath, s"$dir/ckpt1", key = "k", tsCol = "ver")
+    try {
+      stream1.addData((1L, 1L, "a1"), (2L, 1L, "b1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Simulate a crash between the swap's two renames: the live table was
+    // renamed aside and the process died before the stage rename — the
+    // only copy of the prior state sits in `__old`, no `state` dir exists.
+    val target = new org.apache.hadoop.fs.Path(statePath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(target, new org.apache.hadoop.fs.Path(statePath + "__old")))
+    assert(!fs.exists(target))
+    // The next micro-batch (a retry, in real life) must restore and merge
+    // into the FULL prior state, not rebuild from the batch alone.
+    val stream2 = MemoryStream[(Long, Long, String)]
+    val q2 = graft.streaming.UpsertSink.start(
+      stream2.toDS().toDF("k", "ver", "payload"),
+      statePath, s"$dir/ckpt2", key = "k", tsCol = "ver")
+    try {
+      stream2.addData((3L, 1L, "c1"))
+      q2.processAllAvailable()
+      val state = spark.read.parquet(statePath)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      assert(state == Map(1L -> (1L, "a1"), 2L -> (1L, "b1"),
+        3L -> (1L, "c1")), state)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(statePath + "__old")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(statePath + "__stage")))
+    } finally q2.stop()
+  }
+
   test("stream-static broadcast enrichment joins without shuffling the stream") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("0xaaa", "USDC", 6), ("0xbbb", "WETH", 18))
