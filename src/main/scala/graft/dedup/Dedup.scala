@@ -583,6 +583,47 @@ object Dedup {
       .select(col("rep_id"), col("m.id").as("survivor_id"), col("n_docs"))
       .orderBy("rep_id")
 
+  /** All artifacts of one [[Dedup.pipeline]] run. `pairs` and the final
+    * cluster labels are materialized leaves, so any subset of the four
+    * frames can be consumed (in any order, several times) without
+    * re-running the shingle→LSH→verify→CC chain. close() releases every
+    * cached block. */
+  final case class PipelineResult(pairs: DataFrame, clusters: DataFrame,
+      survivors: DataFrame, verdict: DataFrame,
+      private[dedup] val caches: Seq[DataFrame]) {
+    def close(): Unit = caches.foreach(_.unpersist(false))
+  }
+
+  /** The whole near-dup pipeline off ONE shingle materialization:
+    * shingles → minhash signatures → LSH candidates → exact-Jaccard
+    * verify → connected components → survivor selection.
+    *
+    * The standalone contract queries (`dedup_near_dup`, `dedup_clusters`,
+    * `dedup_canonical`, `q_leak_split`) each re-derive this chain from
+    * scratch — correct under the per-query contract, but a real pipeline
+    * wants the shingle frame built once and every downstream consumer fed
+    * from it. This entry point is that composition: the shingle frame is
+    * persisted once and feeds both the LSH candidate DAG and the Jaccard
+    * verify; the verified pairs are checkpointed once and feed both the
+    * returned `pairs` artifact and connected components; the final labels
+    * leaf feeds both `clusters` and the survivor join. `verdict` is the
+    * per-document outcome: (doc_id, rep_id, survivor_id, n_docs, keep).
+    */
+  def pipeline(docs: DataFrame, threshold: Double): PipelineResult = {
+    val (pairsRaw, caches) = nearDuplicatesWithCaches(docs, threshold)
+    // one materialization of the verified pairs; CC's own input checkpoint
+    // then just re-snapshots these blocks instead of re-running the verify
+    val pairs = pairsRaw.localCheckpoint(true)
+    val (clusters, ccCaches) = connectedComponentsWithCaches(pairs, 20)
+    val surv = survivors(docs, clusters)
+    val verdict = clusters.join(surv, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("survivor_id"),
+        col("n_docs"), (col("doc_id") === col("survivor_id")).as("keep"))
+      .orderBy("doc_id")
+    PipelineResult(pairs, clusters, surv, verdict,
+      (caches :+ pairs) ++ ccCaches)
+  }
+
   /** n-gram decontamination: for each corpus doc, the number of distinct
     * `n`-gram shingles it shares with the (small) eval set — the standard
     * train/test-leakage scan before training. The eval side reduces to

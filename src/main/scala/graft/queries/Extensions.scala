@@ -560,6 +560,47 @@ object Extensions {
   }
 
 
+  /** The composed pipeline entry ([[graft.dedup.Dedup.pipeline]]): one
+    * shingle materialization feeding LSH→verify→CC→survivors, emitting the
+    * per-document verdict. Where dedup_near_dup, dedup_clusters and
+    * dedup_canonical each redo the chain (standalone-query contract), this
+    * is the form a production pipeline runs — its bench time should sit
+    * near dedup_canonical's alone, not near the three queries' sum. The
+    * oracle composes the same recursive-CTE closure + quality twin as
+    * dedup_canonical, then joins the survivor back to every member doc. */
+  private val dedupPipelineQ: Q = (s, dir) =>
+    Dedup.pipeline(Tables.documents(s, dir), JaccardThreshold).verdict
+
+  private val dedupPipelineSql = {
+    val allStops = TextOps.LangStopwords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""$clusterCtes, cl AS (
+       |  SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
+       |), q AS (
+       |  SELECT doc_id,
+       |    0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       |    + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE)
+       |             / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0))
+       |    + 0.3 * LEAST(1.0, CAST(len(list_filter($toksSql,
+       |        x -> list_contains([$allStops], x))) AS DOUBLE)
+       |             / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0) * 10.0) AS q
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT cl.rep_id, cl.doc_id,
+       |    row_number() OVER (PARTITION BY cl.rep_id
+       |      ORDER BY q.q DESC, cl.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cl.rep_id) AS n_docs
+       |  FROM cl JOIN q USING (doc_id)
+       |), sv AS (
+       |  SELECT rep_id, doc_id AS survivor_id, CAST(n_docs AS BIGINT) AS n_docs
+       |  FROM ranked WHERE rn = 1
+       |)
+       |SELECT cl.doc_id, cl.rep_id, sv.survivor_id, sv.n_docs,
+       |  cl.doc_id = sv.survivor_id AS keep
+       |FROM cl JOIN sv USING (rep_id)
+       |ORDER BY cl.doc_id""".stripMargin
+  }
+
   private val embCosinePairs: Q = (s, dir) =>
     VectorOps.cosinePairs(Tables.embeddings(s, dir), CosineThreshold)
 
@@ -1116,6 +1157,7 @@ object Extensions {
     "text_vocab"          -> textVocab,
     "text_decontaminate"  -> textDecontaminate,
     "dedup_canonical"     -> dedupCanonical,
+    "dedup_pipeline"      -> dedupPipelineQ,
     "dedup_exact"         -> dedupExact,
     "dedup_minhash_sigs"  -> dedupMinhash,
     "dedup_lsh_pairs"     -> dedupLshPairs,
@@ -1153,6 +1195,7 @@ object Extensions {
     "text_vocab"          -> textVocabSql,
     "text_decontaminate"  -> textDecontaminateSql,
     "dedup_canonical"     -> dedupCanonicalSql,
+    "dedup_pipeline"      -> dedupPipelineSql,
     "dedup_exact"         -> dedupExactSql,
     "dedup_minhash_sigs"  -> dedupMinhashSql,
     "dedup_lsh_pairs"     -> dedupLshPairsSql,

@@ -56,6 +56,27 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("composed pipeline artifacts agree with the standalone chain") {
+    val pl = Dedup.pipeline(docs, 0.5)
+    try {
+      val pipePairs = pl.pairs.select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache() // standalone run starts cold
+      val standalone = Dedup.nearDuplicates(docs, 0.5)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pipePairs == standalone && pipePairs.nonEmpty)
+      // every clustered doc gets a verdict; exactly one keeper per cluster,
+      // and the keepers are precisely the survivors artifact
+      val v = pl.verdict.collect()
+      assert(v.length == pl.clusters.count())
+      assert(v.groupBy(_.getLong(1)).values
+        .forall(_.count(_.getBoolean(4)) == 1))
+      val survivorIds = pl.survivors.select("survivor_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(v.filter(_.getBoolean(4)).map(_.getLong(0)).toSet == survivorIds)
+    } finally { pl.close(); spark.catalog.clearCache() }
+  }
+
   test("KMV sketch: exact below k, ~6% above k, partitioning-invariant") {
     import spark.implicits._
     graft.functions.KmvFunctions.register(spark)
