@@ -33,7 +33,44 @@ object Main {
       messages: Int = 200,
       dryRun: Boolean = false)
 
+  /** Load a YAML config file with the reference's key layout
+    * (`config/config.example.yaml`: `network.name`, `network.chain_id`,
+    * `kafka.bootstrap_servers`; plus an optional `pipeline` section for the
+    * CLI-only knobs). Parsed with the jackson-dataformat-yaml that ships in
+    * the Spark distribution — JSON and plain `key: value` files parse too
+    * (YAML superset). Keys absent from the file keep their defaults. */
+  def loadConfigFile(path: String): Config = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readTree(new java.io.File(path))
+    def at(p: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
+      Option(p.foldLeft(root)((n, k) => n.path(k)))
+        .filter(n => !n.isMissingNode && !n.isNull)
+    val base = Config()
+    base.copy(
+      network = at("network", "name").map(_.asText).getOrElse(base.network),
+      chainId = at("network", "chain_id").map(_.asInt).getOrElse(base.chainId),
+      kafka = at("kafka", "bootstrap_servers").map(_.asText)
+        .getOrElse(base.kafka),
+      startBlock = at("pipeline", "start_block").map(_.asLong)
+        .orElse(base.startBlock),
+      messages = at("pipeline", "messages").map(_.asInt)
+        .getOrElse(base.messages),
+      dryRun = at("pipeline", "dry_run").map(_.asBoolean)
+        .getOrElse(base.dryRun))
+  }
+
+  /** CLI grammar = the reference's run_pipeline.py flags plus `--config
+    * <file>`. The file (wherever it appears in the arg list) provides the
+    * base values; every explicit flag overrides it. */
   def parseArgs(args: Seq[String]): Config = {
+    val (fromFile, rest) = args.indexOf("--config") match {
+      case -1 => (Config(), args)
+      case i if i + 1 < args.length =>
+        (loadConfigFile(args(i + 1)), args.take(i) ++ args.drop(i + 2))
+      case _ =>
+        throw new IllegalArgumentException("--config requires a file path")
+    }
     @annotation.tailrec
     def go(rest: List[String], cfg: Config): Config = rest match {
       case "--network" :: v :: t     => go(t, cfg.copy(network = v))
@@ -46,7 +83,7 @@ object Main {
       case unknown :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $unknown")
     }
-    go(args.toList, Config())
+    go(rest.toList, fromFile)
   }
 
   /** Dry-run validation; returns human-readable findings, empty = pass. */

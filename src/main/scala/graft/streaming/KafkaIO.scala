@@ -12,11 +12,27 @@ import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter}
   * one exists, else the block number.
   *
   * The option mapping and record shaping are plain functions, unit-testable
-  * without a broker (this sandbox ships no kafka connector jar, so
-  * `.load()`/`.start()` resolve only in a real deployment). Everything
-  * between source and sink — decode, windowed aggregation, keyed state —
-  * is source-agnostic ([[StreamingEtl]]) and runs unchanged on a Kafka
-  * frame, a file stream, or a MemoryStream.
+  * without a broker. Everything between source and sink — decode, windowed
+  * aggregation, keyed state — is source-agnostic ([[StreamingEtl]]) and
+  * runs unchanged on a Kafka frame, a file stream, or a MemoryStream.
+  *
+  * == Verification boundary ==
+  * This sandbox ships neither a Kafka broker nor the
+  * `spark-sql-kafka-0-10` connector jar, and has zero network egress, so
+  * no message can physically cross a broker here: `.load()`/`.start()`
+  * resolve only in a real deployment, and an embedded-broker test would
+  * require the kafka server + connector dependencies this build
+  * intentionally cannot resolve. What IS proven executable:
+  * KafkaIOSpec covers the option maps and the record shaping (including
+  * the falsy-key fallback below), and the loopback equivalence — produce
+  * shape → consume shape → decode — runs through the file/Memory-stream
+  * envelope path ([[graft.etl.EventEnvelopes]] + StreamingSpec), which
+  * exercises byte-identical envelope JSON on both sides of the would-be
+  * broker hop. The untested residue is Kafka's own transport (offsets,
+  * partitioning, delivery), which belongs to the connector, not this
+  * library; first-deployment smoke: `reader(...).load()` →
+  * [[envelopeValues]] → `StreamingEtl.decodeTransfers` against a dev
+  * broker, checkpointed to a scratch dir.
   */
 object KafkaIO {
 

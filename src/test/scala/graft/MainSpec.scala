@@ -16,6 +16,30 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException](Main.parseArgs(Seq("--bogus")))
   }
 
+  test("--config loads the reference's YAML layout; flags override it") {
+    val f = java.nio.file.Files.createTempFile("graft_cfg", ".yaml")
+    java.nio.file.Files.writeString(f,
+      """network:
+        |  name: polygon
+        |  chain_id: 137
+        |kafka:
+        |  bootstrap_servers: "broker:9092"
+        |pipeline:
+        |  messages: 32
+        |  dry_run: true
+        |""".stripMargin)
+    val cfg = Main.parseArgs(Seq("--config", f.toString))
+    assert(cfg.network == "polygon" && cfg.chainId == 137)
+    assert(cfg.kafka == "broker:9092")
+    assert(cfg.messages == 32 && cfg.dryRun)
+    assert(cfg.startBlock.isEmpty) // absent key keeps its default
+    // an explicit flag beats the file, wherever --config sits in the args
+    val over = Main.parseArgs(
+      Seq("--messages", "64", "--config", f.toString, "--network", "base"))
+    assert(over.messages == 64 && over.network == "base" && over.chainId == 137)
+    intercept[IllegalArgumentException](Main.parseArgs(Seq("--config")))
+  }
+
   test("dry-run validation passes on the canonical components") {
     assert(Main.dryRunChecks(spark) == Nil)
   }
