@@ -75,6 +75,94 @@ object DevProfile {
       spark.stop(); return
     }
 
+    // Dedup/CC scale study (PROFILE.md): both connected-components variants
+    // on adversarial synthetic pair graphs (chain = giant diameter, hub =
+    // giant component + skew), plus the end-to-end nearDuplicates→CC chain
+    // on ×K-replicated documents. Run: DevProfile <sfDir> cc
+    if (args.contains("cc")) {
+      // shuffle bytes per run via listener (events are async — settle first)
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleBytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def measure(name: String)(f: => (Long, Int)): Unit = {
+        Thread.sleep(500); shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val (rows, rounds) = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let stage-completed events drain
+        println(f"$name%-42s ${dt}%8.2f s  rounds=$rounds%-3d " +
+          f"shuffle=${shuffleBytes.get / 1e9}%7.3f GB  rows=$rows")
+        spark.catalog.clearCache()
+      }
+      def pairsOf(df: org.apache.spark.sql.DataFrame, path: String) = {
+        df.repartition(32).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      for (n <- Seq(100000L, 1000000L, 4000000L)) {
+        // chain: one component of diameter n — the worst case for label
+        // propagation depth
+        val chain = pairsOf(spark.range(n)
+          .select(col("id").as("d1"), (col("id") + 1).as("d2")),
+          s"/tmp/graft_profile/chain_$n")
+        // hub: every node attaches to one of 100 hubs (hash-chosen), hubs
+        // chained together — ONE giant component, per-key skew of n/100
+        val hub = pairsOf(spark.range(1L, n)
+          .select(col("id").as("d1"),
+            pmod(xxhash64(col("id")), least(col("id"), lit(100L))).as("d2")),
+          s"/tmp/graft_profile/hub_$n")
+        println(s"--- pair graph n=$n ---")
+        measure(s"n=$n chain  min-label+jump") {
+          val out = Dedup.connectedComponents(chain, maxIter = 40).count()
+          (out, Dedup.lastComponentIterations)
+        }
+        measure(s"n=$n chain  large/small-star") {
+          val out = Dedup.connectedComponentsStars(chain).count()
+          (out, Dedup.lastStarIterations)
+        }
+        measure(s"n=$n hub    min-label+jump") {
+          val out = Dedup.connectedComponents(hub, maxIter = 40).count()
+          (out, Dedup.lastComponentIterations)
+        }
+        measure(s"n=$n hub    large/small-star") {
+          val out = Dedup.connectedComponentsStars(hub).count()
+          (out, Dedup.lastStarIterations)
+        }
+      }
+      // end-to-end: replicate the corpus ×K with per-replica token suffixes
+      // (disjoint shingle spaces — replicas must NOT near-dup each other, or
+      // the graph degenerates into ×K cliques instead of ×K copies)
+      val n0 = docs.count()
+      for (k <- Seq(10, 100, 1000)) {
+        val out = s"/tmp/graft_profile/docs_x$k"
+        docs.crossJoin(spark.range(k))
+          .select((col("doc_id") + col("id") * 100000000L).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"), col("id"))).as("text"))
+          .repartition(32).write.mode("overwrite").parquet(out)
+        val big = spark.read.parquet(out)
+        println(s"--- documents x$k = ${n0 * k} docs ---")
+        var pairs: org.apache.spark.sql.DataFrame = null
+        measure(s"x$k nearDuplicates (pair gen)") {
+          pairs = Dedup.nearDuplicates(big, 0.5).localCheckpoint(true)
+          (pairs.count(), 0)
+        }
+        measure(s"x$k   + connectedComponents") {
+          (Dedup.connectedComponents(pairs).count(),
+            Dedup.lastComponentIterations)
+        }
+        measure(s"x$k   + connectedComponentsStars") {
+          (Dedup.connectedComponentsStars(pairs).count(),
+            Dedup.lastStarIterations)
+        }
+      }
+      spark.stop(); return
+    }
+
     println("=== q_json_extract plan ===")
     SparkEntry.queries("q_json_extract")(spark, sfDir).explain("formatted")
 
