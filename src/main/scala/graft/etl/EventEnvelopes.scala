@@ -104,16 +104,21 @@ object EventEnvelopes {
     *  - ts = NowSec - (event_id mod 3000)  (all inside the price-impact
     *    query's 1-hour window)
     *  - amount0_in = trunc(value*1e15) + 1,
-    *    amount1_out = trunc(value*(2e15 + user_id*1e13)) + 1 (nonzero, so
-    *    price = amount1_out/amount0_in on every row, spread over ~[2.0, 3.5]
-    *    by user so per-pool price volatility is a real statistic)
+    *    amount1_out = trunc(value*(2e15 + (user_id mod 150)*1e13)) + 1
+    *    (nonzero, so price = amount1_out/amount0_in on every row, spread
+    *    over [2.0, 3.5) by user so per-pool price volatility is a real
+    *    statistic; the mod keeps the product inside the wei word for ANY
+    *    user-id magnitude — a raw warehouse id in the 1e8+ range would
+    *    otherwise overflow the truncating long cast, found by the sf1
+    *    replicated-fixture run)
     */
   def swapEnvelopes(events: DataFrame): Dataset[String] = {
     import events.sparkSession.implicits._
     val bn = lit(19000000L) + floorDiv(col("event_id"), 3) * 10
     val tsSec = lit(NowSec) - pmod(col("event_id"), lit(3000))
     val a0in = (col("value") * lit(1e15)).cast("long") + 1
-    val a1out = (col("value") * (lit(2.0e15) + col("user_id") * lit(1e13)))
+    val a1out = (col("value") *
+        (lit(2.0e15) + pmod(col("user_id"), lit(150)) * lit(1e13)))
       .cast("long") + 1
     val data = concat(lit("0x"), word64(a0in), lit("0" * 128), word64(a1out))
     val payload = struct(

@@ -95,7 +95,7 @@ object Domain {
       |    19000000 + (event_id // 3) * 10 AS block_number,
       |    1700000000 - (event_id % 3000) AS ts_sec,
       |    CAST(trunc(value * 1e15) AS BIGINT) + 1 AS a0in,
-      |    CAST(trunc(value * (2.0e15 + user_id * 1e13)) AS BIGINT) + 1 AS a1out
+      |    CAST(trunc(value * (2.0e15 + (user_id % 150) * 1e13)) AS BIGINT) + 1 AS a1out
       |  FROM events WHERE event_type = 'purchase'
       |)""".stripMargin
 
