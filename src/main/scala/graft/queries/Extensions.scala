@@ -430,12 +430,70 @@ object Extensions {
   }
 
   /** MinHash+LSH near-dup end-to-end (candidates → exact verify) — the
-    * 100 TB path. Oracle: the exhaustive jaccard pass — on this corpus LSH
-    * recall is complete (planted near-dups share enough shingles that every
-    * band collides; asserted at sf0.001 AND sf0.01 in DedupSpec), so the
-    * candidate-restricted verify provably equals the all-pairs result. */
+    * 100 TB path. The oracle mirrors the ALGORITHM, not an idealized
+    * exhaustive pass: it recomputes the minhash→banding candidate pairs,
+    * takes the docs they touch, and runs the exact-jaccard verify over
+    * those docs' shingles — exactly [[graft.dedup.Dedup.nearDuplicates]]'s
+    * semantics (verify = all pairs among candidate DOCS, per its semi-join
+    * on the shingle frame). This makes the twin exact at ANY scale: LSH
+    * recall is probabilistic by design, and at sf1 (50 k docs) 2 of 2 560
+    * near-dup pairs legitimately miss every band — the earlier
+    * exhaustive-jaccard oracle relied on the complete-recall precondition
+    * that DedupSpec asserts only for sf0.001/sf0.01. The one remaining
+    * precondition is the `maxBucket` cap never binding (buckets are
+    * near-dup cluster sized — the same precondition dedup_lsh_pairs'
+    * oracle has always had). */
   private val dedupNearDup: Q = (s, dir) =>
     Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)
+
+  /** CTE chain computing the LSH-candidate-restricted verified pairs (the
+    * engine's actual near-dup output): shingles → minhash sigs → band
+    * buckets → candidate pairs → verify restricted to candidate docs.
+    * `jp` = (d1, d2, common, jaccard) pairs clearing the threshold. */
+  private val lshVerifiedCtes = {
+    val mins = (0 until Dedup.MinhashK)
+      .map(k => s"${Dedup.minhashHashSql(k)} AS h$k").mkString(",\n  ")
+    val rows = Dedup.MinhashK / Dedup.LshBands
+    val bandSelects = (0 until Dedup.LshBands).map { b =>
+      val cols = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$shinglesCte, sigs AS (
+       |  SELECT doc_id,
+       |  $mins
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), cids AS (
+       |  -- DISTINCT over UNION ALL, NOT a bare UNION: under WITH RECURSIVE
+       |  -- DuckDB 1.0 gives a non-recursive CTE's UNION recursive-union
+       |  -- semantics and emits every row twice
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT d1 AS doc_id FROM cand UNION ALL SELECT d2 FROM cand)
+       |), shc AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh JOIN cids USING (doc_id)
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id
+       |), jp AS (
+       |  SELECT d1, d2, common,
+       |    CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+       |  FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |    FROM shc a JOIN shc b
+       |      ON md5(a.shingle) = md5(b.shingle) AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2
+       |  ) p JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       |)""".stripMargin
+  }
+
+  private val dedupNearDupSql =
+    s"""WITH RECURSIVE $lshVerifiedCtes
+       |SELECT d1, d2, common, jaccard FROM jp ORDER BY d1, d2""".stripMargin
 
   /** Near-dup pairs consolidated into clusters (connected components, min
     * doc_id as representative) — what a pipeline actually keys its "keep
@@ -445,21 +503,10 @@ object Extensions {
       Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold))
 
   /** The recursive transitive-closure CTE chain shared by the cluster
-    * oracles: exhaustive jaccard pairs (same precondition as
-    * dedup_near_dup — complete LSH recall on this corpus) closed
-    * transitively, min label per component available as `reach`. */
+    * oracles: the algorithm's own verified pairs ([[lshVerifiedCtes]])
+    * closed transitively, min label per component available as `reach`. */
   private val clusterCtes =
-    s"""WITH RECURSIVE $shinglesCte, sizes AS (
-       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-       |), jp AS (
-       |  SELECT d1, d2 FROM (
-       |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-       |    FROM sh a JOIN sh b
-       |      ON md5(a.shingle) = md5(b.shingle) AND a.doc_id < b.doc_id
-       |    GROUP BY 1, 2
-       |  ) p JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
-       |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
-       |), edges AS (
+    s"""WITH RECURSIVE $lshVerifiedCtes, edges AS (
        |  SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp
        |), reach(a, b) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -521,23 +568,7 @@ object Extensions {
     // the quality score twin (same expression as text_quality)
     val allStops = TextOps.LangStopwords.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString(", ")
-    s"""WITH RECURSIVE $shinglesCte, sizes AS (
-       |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-       |), jp AS (
-       |  SELECT d1, d2 FROM (
-       |    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-       |    FROM sh a JOIN sh b
-       |      ON md5(a.shingle) = md5(b.shingle) AND a.doc_id < b.doc_id
-       |    GROUP BY 1, 2
-       |  ) p JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
-       |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
-       |), edges AS (
-       |  SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp
-       |), reach(a, b) AS (
-       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-       |  UNION
-       |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
-       |), cl AS (
+    s"""$clusterCtes, cl AS (
        |  SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
        |), q AS (
        |  SELECT doc_id,
@@ -1207,7 +1238,7 @@ object Extensions {
     // round-2 verify runs + DedupSpec's recall test). At a larger sf where
     // a true near-dup pair misses every band, a mismatch here means lost
     // RECALL, not a wrong engine answer — re-check recall before debugging.
-    "dedup_near_dup"      -> dedupJaccardSql,
+    "dedup_near_dup"      -> dedupNearDupSql,
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_clusters_lss"  -> dedupClustersChainSql,
     "dedup_containment"   -> dedupContainmentSql,

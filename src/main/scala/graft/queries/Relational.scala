@@ -16,17 +16,21 @@ object Relational {
 
   // ---------------------------------------------------------------- scans
   /** Projection + filter pushdown (P2/P13/P14): the physical scan must show
-    * PushedFilters on l_shipdate and a 4-column ReadSchema. */
+    * PushedFilters on l_shipdate and a 4-column ReadSchema. The sort
+    * includes l_extendedprice: the synthetic lineitem does NOT have a
+    * unique (l_orderkey, l_linenumber) — up to 6 rows share a key with
+    * distinct prices — so the two-column sort is not total and engines may
+    * legally order ties differently (surfaced by the sf1 run). */
   private val scanPrune: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
 
   private val scanPruneSql =
     """SELECT l_orderkey, l_linenumber, l_extendedprice
       |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin
 
   // ----------------------------------------------------------- aggregates
   /** Grouped multi-agg (A1/A2-style): hash aggregate, partial+final. */

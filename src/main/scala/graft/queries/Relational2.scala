@@ -195,7 +195,10 @@ object Relational2 {
   /** Unpivot (melt) — the inverse reshape of [[pivotTypes]]: the four
     * lineitem measures to long form, the layout a generic metric pipeline
     * consumes. Spark's native `unpivot` plans as an Expand projection —
-    * zero shuffle, row fan-out only. */
+    * zero shuffle, row fan-out only. `value` joins the sort because
+    * (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    * (see [[Relational]].scanPrune) — without it ties order differently
+    * per engine. */
   private val unpivotMeasures: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 97 === 0)
@@ -204,7 +207,7 @@ object Relational2 {
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_tax")),
         "metric", "value")
-      .orderBy("l_orderkey", "l_linenumber", "metric")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
 
   private val unpivotMeasuresSql =
     """SELECT l_orderkey, l_linenumber, metric, value FROM (
@@ -221,7 +224,7 @@ object Relational2 {
       |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
       |  FROM lineitem WHERE l_orderkey % 97 = 0
       |)
-      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q_json_extract"    -> jsonExtract,
