@@ -124,8 +124,10 @@ object Dedup {
     * the whole bucket, phase 2 merges the per-salt lists and truncates to
     * the `maxBucket` smallest doc_ids. Results are identical to the
     * uncapped form whenever no bucket exceeds the cap. */
-  private[graft] def lshFromSignatures(sigs: DataFrame,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** (doc_id, band, sig) band keys from a signature frame — the LSH
+    * bucket addresses, shared by pair generation and the incremental
+    * probe. All 4 band keys explode from one projection. */
+  private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
     val rowsPerBand = MinhashK / LshBands
     val bandStructs = (0 until LshBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -133,6 +135,11 @@ object Dedup {
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private[graft] def lshFromSignatures(sigs: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    bandKeys(sigs)
       .groupBy(col("band"), col("sig"),
         pmod(col("doc_id"), lit(BucketSalts)).as("salt"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
@@ -622,6 +629,67 @@ object Dedup {
       .orderBy("doc_id")
     PipelineResult(pairs, clusters, surv, verdict,
       (caches :+ pairs) ++ ccCaches)
+  }
+
+  /** Incremental dedup — the production ingest form at 100 TB: flag each
+    * document of a NEW batch against the accumulated corpus WITHOUT
+    * re-clustering the world. Two layers, both index-shaped:
+    *
+    *  1. exact: md5(text) equi-join against the existing digest set —
+    *     only 16-byte digests move, never bodies.
+    *  2. near: minhash band keys on both sides; candidates = same
+    *     (band, sig) increment×existing pairs; exact-jaccard verify
+    *     restricted to the candidate docs (same docs-restricted semantics
+    *     as [[nearDuplicates]]).
+    *
+    * At scale the existing side's digest set and (band, sig) index are
+    * materialized once (the [[graft.sources.Bucketing]] /
+    * [[graft.sources.BloomFilters]] layouts) and only the increment is
+    * scanned fresh — per-batch cost is O(increment), not O(corpus).
+    *
+    * Returns one row per increment doc: (doc_id, exact_match, near_match,
+    * verdict ∈ keep | exact_dup | near_dup); matches are the smallest
+    * matching existing doc_id, exact taking precedence in the verdict.
+    */
+  def incrementalFlags(existing: DataFrame, increment: DataFrame,
+                       threshold: Double): DataFrame = {
+    val exDigest = existing.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val exact = increment.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exDigest, Seq("h"), "left")
+      .select(col("doc_id"), col("exact_match"))
+
+    // each shingle frame feeds its signature DAG AND the verify probe
+    val shInc = shingled(increment)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shEx = shingled(existing)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandKeys(minhashFromShingles(shInc))
+      .join(bandKeys(minhashFromShingles(shEx))
+        .withColumnRenamed("doc_id", "ex_id"), Seq("band", "sig"))
+      .select(col("doc_id"), col("ex_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = shInc.join(cand.select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), unhex(md5(col("shingle"))).as("d"))
+    val b = shEx.join(cand.select(col("ex_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("ex_id"), unhex(md5(col("shingle"))).as("d"))
+    val na = a.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val nb = b.groupBy("ex_id").agg(count(lit(1)).as("nb"))
+    val near = a.join(b, "d")
+      .groupBy("doc_id", "ex_id").agg(count(lit(1)).as("common"))
+      .join(na, "doc_id").join(nb, "ex_id")
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= threshold)
+      .groupBy("doc_id").agg(min(col("ex_id")).as("near_match"))
+
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_match"), col("near_match"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
   }
 
   /** n-gram decontamination: for each corpus doc, the number of distinct

@@ -140,6 +140,27 @@ object Extensions {
        |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
        |GROUP BY 1 ORDER BY df DESC, tf DESC, token LIMIT 30""".stripMargin
 
+  /** Bigram-LM quality score ([[TextOps.bigramLmScore]]): corpus-trained
+    * P(w2|w1), per-doc mean bigram probability — the CCNet-style
+    * predictability filter in its log-free engine-exact form (each term a
+    * ratio of exact integers, summed decimal-exact). */
+  private val textLmScore: Q = (s, dir) =>
+    TextOps.bigramLmScore(Tables.documents(s, dir))
+
+  private val textLmScoreSql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+       |bg AS (
+       |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks)
+       |),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CAST(CAST(c12 AS DOUBLE) / c1 AS DECIMAL(38,12))) AS DOUBLE)
+       |    / COUNT(*) AS lm_score
+       |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Decontamination scan: every non-eval doc with the count of distinct
     * 8-gram shingles it shares with the eval slice (doc_id % 20 = 0 stands
     * in for the benchmark set). Zero-overlap docs are kept in the output
@@ -494,6 +515,75 @@ object Extensions {
   private val dedupNearDupSql =
     s"""WITH RECURSIVE $lshVerifiedCtes
        |SELECT d1, d2, common, jaccard FROM jp ORDER BY d1, d2""".stripMargin
+
+  /** Incremental dedup ([[graft.dedup.Dedup.incrementalFlags]]): the
+    * hash-split 'train' fraction (md5-prefix < 0.8) plays the accumulated
+    * corpus, the remaining 20% plays the arriving batch — each arriving
+    * doc flagged keep / exact_dup / near_dup against the accumulated side
+    * only. The oracle recomputes both layers (digest join; banding →
+    * cross-side candidates → docs-restricted verify) per side. */
+  private val dedupIncremental: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val isEx = substring(md5(col("doc_id").cast("string")), 1, 12) <
+      graft.analytics.EventAnalytics.TrainBoundary
+    Dedup.incrementalFlags(d.filter(isEx), d.filter(!isEx), JaccardThreshold)
+  }
+
+  private val dedupIncrementalSql = {
+    val bd = graft.analytics.EventAnalytics.TrainBoundary
+    val split = s"substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '$bd'"
+    val mins = (0 until Dedup.MinhashK)
+      .map(k => s"${Dedup.minhashHashSql(k)} AS h$k").mkString(",\n  ")
+    val rows = Dedup.MinhashK / Dedup.LshBands
+    val bandSelects = (0 until Dedup.LshBands).map { b =>
+      val cols = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, is_ex, $b AS band, md5($cols) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS l, $split AS is_ex FROM documents
+       |), sh AS (
+       |  SELECT doc_id, is_ex, unnest(list_distinct(list_transform(range(1, len(l)-1),
+       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle FROM toks
+       |), exd AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS exact_match
+       |  FROM documents WHERE $split GROUP BY 1
+       |), inc AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents WHERE NOT ($split)
+       |), sigs AS (
+       |  SELECT doc_id, is_ex,
+       |  $mins
+       |  FROM sh GROUP BY doc_id, is_ex
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id, b.doc_id AS ex_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE NOT a.is_ex AND b.is_ex
+       |), shi AS (
+       |  SELECT sh.doc_id, sh.shingle FROM sh
+       |  JOIN (SELECT DISTINCT doc_id FROM cand) c USING (doc_id)
+       |), she AS (
+       |  SELECT sh.doc_id AS ex_id, sh.shingle FROM sh
+       |  JOIN (SELECT DISTINCT ex_id AS doc_id FROM cand) c
+       |    ON sh.doc_id = c.doc_id
+       |), sizes_i AS (SELECT doc_id, COUNT(*) AS na FROM shi GROUP BY 1),
+       |sizes_e AS (SELECT ex_id, COUNT(*) AS nb FROM she GROUP BY 1),
+       |near AS (
+       |  SELECT doc_id, min(ex_id) AS near_match FROM (
+       |    SELECT i.doc_id, e.ex_id, COUNT(*) AS common
+       |    FROM shi i JOIN she e ON md5(i.shingle) = md5(e.shingle)
+       |    GROUP BY 1, 2
+       |  ) p JOIN sizes_i USING (doc_id) JOIN sizes_e USING (ex_id)
+       |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $JaccardThreshold
+       |  GROUP BY 1
+       |)
+       |SELECT inc.doc_id, exd.exact_match, near.near_match,
+       |  CASE WHEN exd.exact_match IS NOT NULL THEN 'exact_dup'
+       |       WHEN near.near_match IS NOT NULL THEN 'near_dup'
+       |       ELSE 'keep' END AS verdict
+       |FROM inc LEFT JOIN exd USING (h) LEFT JOIN near USING (doc_id)
+       |ORDER BY inc.doc_id""".stripMargin
+  }
 
   /** Near-dup pairs consolidated into clusters (connected components, min
     * doc_id as representative) — what a pipeline actually keys its "keep
@@ -1189,6 +1279,8 @@ object Extensions {
     "text_decontaminate"  -> textDecontaminate,
     "dedup_canonical"     -> dedupCanonical,
     "dedup_pipeline"      -> dedupPipelineQ,
+    "dedup_incremental"   -> dedupIncremental,
+    "text_lm_score"       -> textLmScore,
     "dedup_exact"         -> dedupExact,
     "dedup_minhash_sigs"  -> dedupMinhash,
     "dedup_lsh_pairs"     -> dedupLshPairs,
@@ -1227,6 +1319,8 @@ object Extensions {
     "text_decontaminate"  -> textDecontaminateSql,
     "dedup_canonical"     -> dedupCanonicalSql,
     "dedup_pipeline"      -> dedupPipelineSql,
+    "dedup_incremental"   -> dedupIncrementalSql,
+    "text_lm_score"       -> textLmScoreSql,
     "dedup_exact"         -> dedupExactSql,
     "dedup_minhash_sigs"  -> dedupMinhashSql,
     "dedup_lsh_pairs"     -> dedupLshPairsSql,

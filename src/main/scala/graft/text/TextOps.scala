@@ -127,6 +127,46 @@ object TextOps {
     * matter here, but a fixed order makes the output reproducible).
     * DuckDB twin needs the 'g' flag — its regexp_replace is first-match
     * by default where Spark's replaces all. */
+  /** Bigram language-model quality score per document — the CCNet-style
+    * "how predictable is this text under a corpus LM" filter, in a
+    * log-free engine-exact form. The model is trained on the corpus
+    * itself: P(w2 | w1) = c(w1 w2) / c(w1 ·) over bigram OCCURRENCES
+    * (repeats count). A document's score is the arithmetic mean of its
+    * bigrams' probabilities — the mean (not the geometric mean behind
+    * true perplexity) because log/exp differ across libm implementations
+    * in the last ulp and would break the bit-exact oracle hash; ranking
+    * power is equivalent for filtering. Each probability is a ratio of
+    * exact integers (double division, identical IEEE op both engines)
+    * summed decimal-exact. Docs with < 2 tokens have no bigrams and are
+    * excluded.
+    *
+    * Scale note: the model counts shuffle on (w1, w2) — at 100 TB you
+    * train the counts on a [[graft.analytics.CorpusOps]] hash sample,
+    * keep bigrams above a min count, and broadcast the model; the scoring
+    * pass itself is one scan + one keyed join. Returns (doc_id,
+    * n_bigrams, lm_score). */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    // one row per bigram occurrence; feeds the model counts AND scoring
+    val bg = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("p", col("c12").cast("double") / col("c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1))).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   def redactPii(text: Column): Column = {
     val passes = Seq(EmailRe -> "<EMAIL>", WalletRe -> "<WALLET>",
       PhoneRe -> "<PHONE>")

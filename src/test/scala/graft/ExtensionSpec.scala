@@ -77,6 +77,43 @@ class DedupSpec extends SparkSpec {
     } finally { pl.close(); spark.catalog.clearCache() }
   }
 
+  test("incremental dedup flags a batch against the accumulated side only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different text about distributed engines and shuffle plans today")
+    ).toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, base),                      // exact duplicate of 1
+      (11L, base + " tonight"),         // near duplicate of 1 (j = 11/12)
+      (12L, "fresh unique content with no overlap whatsoever in any shingle window here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalFlags(existing, increment, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getString(3))).toMap
+    assert(out(10L)._3 == "exact_dup" && out(10L)._1.contains(1L))
+    assert(out(11L)._3 == "near_dup" && out(11L)._1.isEmpty &&
+      out(11L)._2.contains(1L))
+    assert(out(12L)._3 == "keep" && out(12L)._1.isEmpty && out(12L)._2.isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("bigram LM score matches the hand computation") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // corpus bigrams: d1 (a,b)(b,a)(a,c); d2 (a,b); d3 (a,c); d4 none
+    // c1: a->4, b->1; c12: ab->2, ba->1, ac->2
+    // P(ab)=0.5, P(ba)=1.0, P(ac)=0.5
+    val out = graft.text.TextOps.bigramLmScore(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 2.0 / 3)))
+    assert(out(2L) == ((1L, 0.5)) && out(3L) == ((1L, 0.5)))
+    assert(!out.contains(4L)) // no bigrams -> excluded
+    spark.catalog.clearCache()
+  }
+
   test("KMV sketch: exact below k, ~6% above k, partitioning-invariant") {
     import spark.implicits._
     graft.functions.KmvFunctions.register(spark)
