@@ -206,6 +206,40 @@ object StreamingEtl {
       .dropDuplicatesWithinWatermark("h")
       .drop("h")
 
+  /** Streaming twin of [[graft.dedup.Dedup.incrementalFlags]]'s exact
+    * layer: each arriving document is flagged against the ACCUMULATED
+    * corpus's digest set (a static frame, broadcast per micro-batch — the
+    * stream never shuffles) and, via the state store, against documents
+    * seen earlier in the stream itself (in-stream twins are dropped, the
+    * first arrival wins). Verdict per surviving row: `corpus_dup`
+    * (matches the accumulated side; `match_id` = smallest matching corpus
+    * doc) else `keep`. The near-dup layer stays batch-side (LSH banding needs
+    * the whole increment; run [[graft.dedup.Dedup.incrementalFlags]] on
+    * each landed micro-batch or the daily partition) — this is the
+    * standard split: cheap exact filtering inline, similarity offline.
+    *
+    * In-stream state is the 16-byte digest only, and `dropDuplicates`
+    * keeps the FIRST row per digest — later stream twins are dropped, so
+    * the operator emits each surviving document exactly once with its
+    * corpus verdict attached. */
+  def incrementalDedupStream(docs: DataFrame, corpusDigests: DataFrame,
+                             textCol: String = "text"): DataFrame =
+    docs.withColumn("h", md5(col(textCol)))
+      .dropDuplicates("h")
+      .join(broadcast(corpusDigests), Seq("h"), "left")
+      .withColumn("verdict",
+        when(col("match_id").isNotNull, "corpus_dup").otherwise("keep"))
+      .drop("h")
+
+  /** The digest side of [[incrementalDedupStream]]: one row per distinct
+    * content digest of the accumulated corpus, smallest doc id as the
+    * match target. At 100 TB this frame is maintained incrementally (it
+    * is exactly [[graft.dedup.Dedup.exact]] keyed output) and read from
+    * its compacted table, not recomputed. */
+  def corpusDigests(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col("doc_id")).as("match_id"))
+
   /** Running per-contract totals via keyed state (mapGroupsWithState):
     * bounded state per contract, update-mode output — the pattern for
     * stateful enrichments the tumbling window can't express. */

@@ -345,6 +345,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: corpus twins flagged, stream twins dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val digests = StreamingEtl.corpusDigests(corpus)
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingEtl.incrementalDedupStream(
+      stream.toDS().toDF("doc_id", "text"), digests)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("inc_dedup_out").start()
+    try {
+      stream.addData(
+        (10L, "alpha beta gamma"),   // corpus duplicate of 1
+        (11L, "totally new content"))
+      q.processAllAvailable()
+      // a later in-stream twin of 11 and another corpus dup
+      stream.addData(
+        (12L, "totally new content"), // stream twin -> dropped by state
+        (13L, "delta epsilon zeta"))  // corpus duplicate of 2
+      q.processAllAvailable()
+      val rows = spark.table("inc_dedup_out")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))).toMap
+      assert(rows == Map(
+        10L -> (Some(1L), "corpus_dup"),
+        11L -> (None, "keep"),
+        13L -> (Some(2L), "corpus_dup")), rows) // 12 never emitted
+    } finally q.stop()
+  }
+
   test("upsert sink recovers prior state from a crash mid-swap") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rec").toString
