@@ -45,23 +45,34 @@ object Bench {
     }
     // a crashed query must not read as a healthy timing: report -1 for it
     // and list it under "failed". Times are 3-decimal (ms grain), and the
-    // per-query map is emitted as one SHORT line per query-family rather
+    // per-query map is emitted as SHORT self-describing JSON lines rather
     // than one huge line: the driver's output capture is tail-byte-budgeted
-    // and a single 115-query line lost its alphabetical head in rounds 3-4.
-    // Every line is self-describing JSON, so any tail window that keeps the
-    // last ~dozen lines keeps every per-query time plus the total.
+    // and a single 115-query line lost its alphabetical head in rounds 3-4;
+    // one-line-per-family still lost the 60-query "q" family mid-line in r5.
+    // Two rules make the artifact lossless under any reasonable tail window:
+    //  1. every line holds at most MAX_PER_LINE queries (~500 bytes), split
+    //     into numbered parts ("q" part 1/5 .. 5/5);
+    //  2. lines print in ASCENDING family-cost order, so the most expensive
+    //     families (the ones whose regressions matter most) sit nearest the
+    //     tail and survive even a few-line budget.
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    val MAX_PER_LINE = 12
     results.groupBy { case (k, _, _) => k.takeWhile(_ != '_') }
-      .toSeq.sortBy(_._1)
-      .foreach { case (family, rs) =>
-        val qs = rs.sortBy(_._1).map { case (k, v, ok) =>
-          s"\"" + k + "\":" + (if (ok) fmt(v) else -1)
-        }.mkString("{", ",", "}")
-        val famTotal = fmt(rs.filter(_._3).map(_._2).sum)
-        println(s"""{"metric":"family","family":"$family","value":$famTotal,"unit":"sec","queries":$qs}""")
+      .toSeq
+      .map { case (family, rs) => (family, rs.filter(_._3).map(_._2).sum, rs) }
+      .sortBy(_._2) // ascending cost: costliest family prints last
+      .foreach { case (family, famTotal, rs) =>
+        val chunks = rs.sortBy(_._1).grouped(MAX_PER_LINE).toSeq
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          val qs = chunk.map { case (k, v, ok) =>
+            s"\"" + k + "\":" + (if (ok) fmt(v) else -1)
+          }.mkString("{", ",", "}")
+          val part = s""","part":${i + 1},"parts":${chunks.size}"""
+          println(s"""{"metric":"family","family":"$family","value":${fmt(famTotal)},"unit":"sec"$part,"queries":$qs}""")
+        }
       }
     // the minimal headline line LAST: survives even a one-line tail budget
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")

@@ -163,6 +163,99 @@ object DevProfile {
       spark.stop(); return
     }
 
+    // Incremental-dedup scale study (PROFILE.md): per-batch flagging cost
+    // of a FIXED-size increment as the corpus grows ×K — (a) the cold
+    // inline form re-shingles the corpus every batch (O(corpus)); (b) the
+    // materialized-index probe touches only the increment + matched index
+    // rows (O(increment)). The index build is the one-off amortized cost.
+    // Run: DevProfile <sfDir> incr
+    if (args.contains("incr")) {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleBytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def measure(name: String)(f: => Long): Unit = {
+        Thread.sleep(500); shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val rows = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let stage-completed events drain
+        println(f"$name%-46s ${dt}%8.2f s  " +
+          f"shuffle=${shuffleBytes.get / 1e9}%7.3f GB  rows=$rows")
+        spark.catalog.clearCache()
+      }
+      val n0 = docs.count()
+      // fixed increment: the base corpus re-ingested with shifted ids —
+      // every doc an exact dup of replica 0, so both probe layers fire
+      val increment = docs.select(
+        (col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      for (k <- Seq(1, 10, 100)) {
+        // ×K corpus with per-replica token suffixes (disjoint shingle
+        // spaces across replicas — the cc-mode replication discipline)
+        val out = s"/tmp/graft_profile/incr_corpus_x$k"
+        docs.crossJoin(spark.range(k))
+          .select((col("doc_id") + col("id") * 100000000L).as("doc_id"),
+            when(col("id") === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("$1r"), col("id")))).as("text"))
+          .repartition(32).write.mode("overwrite").parquet(out)
+        val corpus = spark.read.parquet(out)
+        println(s"--- corpus x$k = ${n0 * k} docs, increment $n0 docs ---")
+        measure(s"x$k cold incrementalFlags (no index)") {
+          Dedup.incrementalFlags(corpus, increment, 0.5).count()
+        }
+        val idxDir = s"/tmp/graft_profile/incr_idx_x$k"
+        measure(s"x$k index build (one-off, amortized)") {
+          graft.dedup.IncrementalIndex.write(corpus, idxDir); 0L
+        }
+        measure(s"x$k index probe (per-batch cost)") {
+          graft.dedup.IncrementalIndex.probe(increment,
+            graft.dedup.IncrementalIndex.read(spark, idxDir), 0.5).count()
+        }
+      }
+      spark.stop(); return
+    }
+
+    // Composed-pipeline-vs-stages comparison (PROFILE.md / VERDICT r5 #7):
+    // one shingle materialization feeding LSH→verify→CC→survivors vs the
+    // standalone contract queries re-deriving the chain per stage.
+    // Run: DevProfile <sfDir> pipe
+    if (args.contains("pipe")) {
+      def timeMin(name: String, runs: Int = 2)(f: => Long): Double = {
+        val ts = (0 until runs).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          spark.catalog.clearCache()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val best = ts.map(_._1).min
+        println(f"$name%-36s ${best}%8.3f s   rows=${ts.head._2}")
+        best
+      }
+      val composed = timeMin("pipeline (all 4 artifacts)") {
+        val pl = Dedup.pipeline(docs, 0.5)
+        try {
+          pl.pairs.count() + pl.clusters.count() +
+            pl.survivors.count() + pl.verdict.count()
+        } finally pl.close()
+      }
+      val separate =
+        timeMin("standalone nearDuplicates") {
+          Dedup.nearDuplicates(docs, 0.5).count() } +
+        timeMin("standalone clusters (near-dup + CC)") {
+          Dedup.connectedComponents(Dedup.nearDuplicates(docs, 0.5)).count() } +
+        timeMin("standalone canonical (chain + survivors)") {
+          Dedup.survivors(docs,
+            Dedup.connectedComponents(Dedup.nearDuplicates(docs, 0.5))).count() }
+      println(f"composed=$composed%.2f s  separate-stages=$separate%.2f s  " +
+        f"ratio=${separate / composed}%.2f x")
+      spark.stop(); return
+    }
+
     println("=== q_json_extract plan ===")
     SparkEntry.queries("q_json_extract")(spark, sfDir).explain("formatted")
 

@@ -46,18 +46,39 @@ object Main {
     def at(p: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
       Option(p.foldLeft(root)((n, k) => n.path(k)))
         .filter(n => !n.isMissingNode && !n.isNull)
+    // Jackson's asInt/asBoolean silently coerce mistyped values
+    // (chain_id: "abc" -> 0, dry_run: "yes" -> false); validate node types
+    // so a bad config file fails as loudly as a bad CLI flag does.
+    def typedInt(n: com.fasterxml.jackson.databind.JsonNode, key: String): Int =
+      if (n.isIntegralNumber) n.asInt
+      else throw new IllegalArgumentException(
+        s"config key $key must be an integer, got: ${n.toString}")
+    def typedLong(n: com.fasterxml.jackson.databind.JsonNode, key: String): Long =
+      if (n.isIntegralNumber) n.asLong
+      else throw new IllegalArgumentException(
+        s"config key $key must be an integer, got: ${n.toString}")
+    def typedText(n: com.fasterxml.jackson.databind.JsonNode, key: String): String =
+      if (n.isTextual) n.asText
+      else throw new IllegalArgumentException(
+        s"config key $key must be a string, got: ${n.toString}")
+    def typedBool(n: com.fasterxml.jackson.databind.JsonNode, key: String): Boolean =
+      if (n.isBoolean) n.asBoolean
+      else throw new IllegalArgumentException(
+        s"config key $key must be a boolean, got: ${n.toString}")
     val base = Config()
     base.copy(
-      network = at("network", "name").map(_.asText).getOrElse(base.network),
-      chainId = at("network", "chain_id").map(_.asInt).getOrElse(base.chainId),
-      kafka = at("kafka", "bootstrap_servers").map(_.asText)
-        .getOrElse(base.kafka),
-      startBlock = at("pipeline", "start_block").map(_.asLong)
-        .orElse(base.startBlock),
-      messages = at("pipeline", "messages").map(_.asInt)
-        .getOrElse(base.messages),
-      dryRun = at("pipeline", "dry_run").map(_.asBoolean)
-        .getOrElse(base.dryRun))
+      network = at("network", "name").map(typedText(_, "network.name"))
+        .getOrElse(base.network),
+      chainId = at("network", "chain_id").map(typedInt(_, "network.chain_id"))
+        .getOrElse(base.chainId),
+      kafka = at("kafka", "bootstrap_servers")
+        .map(typedText(_, "kafka.bootstrap_servers")).getOrElse(base.kafka),
+      startBlock = at("pipeline", "start_block")
+        .map(typedLong(_, "pipeline.start_block")).orElse(base.startBlock),
+      messages = at("pipeline", "messages")
+        .map(typedInt(_, "pipeline.messages")).getOrElse(base.messages),
+      dryRun = at("pipeline", "dry_run")
+        .map(typedBool(_, "pipeline.dry_run")).getOrElse(base.dryRun))
   }
 
   /** CLI grammar = the reference's run_pipeline.py flags plus `--config

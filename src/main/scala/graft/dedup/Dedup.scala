@@ -650,46 +650,44 @@ object Dedup {
     * Returns one row per increment doc: (doc_id, exact_match, near_match,
     * verdict ∈ keep | exact_dup | near_dup); matches are the smallest
     * matching existing doc_id, exact taking precedence in the verdict.
+    *
+    * Persists three intermediate frames for the session (both shingle
+    * frames feed two plan branches each; the candidate set feeds three).
+    * One-shot callers that end with `spark.catalog.clearCache()` may use
+    * this form; the documented per-batch production-ingest use MUST use
+    * [[incrementalFlagsManaged]] so repeated batches don't accumulate
+    * session-lifetime cached blocks.
     */
   def incrementalFlags(existing: DataFrame, increment: DataFrame,
-                       threshold: Double): DataFrame = {
-    val exDigest = existing.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("exact_match"))
-    val exact = increment.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(exDigest, Seq("h"), "left")
-      .select(col("doc_id"), col("exact_match"))
+                       threshold: Double): DataFrame =
+    incrementalFlagsWithCaches(existing, increment, threshold)._1
 
-    // each shingle frame feeds its signature DAG AND the verify probe
-    val shInc = shingled(increment)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** [[incrementalFlags]] with a [[graft.CachedResult]] handle that
+    * releases the cached shingle + candidate frames on close(). */
+  def incrementalFlagsManaged(existing: DataFrame, increment: DataFrame,
+                              threshold: Double): graft.CachedResult = {
+    val (df, cached) = incrementalFlagsWithCaches(existing, increment, threshold)
+    new graft.CachedResult(df, cached)
+  }
+
+  private def incrementalFlagsWithCaches(existing: DataFrame,
+      increment: DataFrame, threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    // the one-shot form: derive the corpus-side index inline (the corpus
+    // shingle frame persisted — it feeds both the band keys and the
+    // verify digests) and run the SAME probe the materialized-index path
+    // uses. The production form reads the index from its compacted tables
+    // instead: [[IncrementalIndex]].
     val shEx = shingled(existing)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandKeys(minhashFromShingles(shInc))
-      .join(bandKeys(minhashFromShingles(shEx))
-        .withColumnRenamed("doc_id", "ex_id"), Seq("band", "sig"))
-      .select(col("doc_id"), col("ex_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = shInc.join(cand.select("doc_id").distinct(),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), unhex(md5(col("shingle"))).as("d"))
-    val b = shEx.join(cand.select(col("ex_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("ex_id"), unhex(md5(col("shingle"))).as("d"))
-    val na = a.groupBy("doc_id").agg(count(lit(1)).as("na"))
-    val nb = b.groupBy("ex_id").agg(count(lit(1)).as("nb"))
-    val near = a.join(b, "d")
-      .groupBy("doc_id", "ex_id").agg(count(lit(1)).as("common"))
-      .join(na, "doc_id").join(nb, "ex_id")
-      .filter(col("common").cast("double") /
-        (col("na") + col("nb") - col("common")) >= threshold)
-      .groupBy("doc_id").agg(min(col("ex_id")).as("near_match"))
-
-    exact.join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("exact_match"), col("near_match"),
-        when(col("exact_match").isNotNull, "exact_dup")
-          .when(col("near_match").isNotNull, "near_dup")
-          .otherwise("keep").as("verdict"))
-      .orderBy("doc_id")
+    val idx = IncrementalIndex.Index(
+      digests = existing.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("exact_match")),
+      bands = bandKeys(minhashFromShingles(shEx))
+        .withColumnRenamed("doc_id", "ex_id"),
+      shingles = shEx.select(col("doc_id").as("ex_id"),
+        unhex(md5(col("shingle"))).as("d")))
+    val (out, caches) = IncrementalIndex.probeWithCaches(increment, idx, threshold)
+    (out, caches :+ shEx)
   }
 
   /** n-gram decontamination: for each corpus doc, the number of distinct

@@ -161,6 +161,36 @@ object Extensions {
        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Sampled-and-broadcast bigram LM ([[TextOps.bigramLmScoreSampled]]):
+    * the 100-TB form — model trained on the md5-prefix half-sample,
+    * pruned at min count 2, broadcast; every doc scored in one scan.
+    * Unseen bigrams score 0. */
+  private val textLmSampled: Q = (s, dir) =>
+    TextOps.bigramLmScoreSampled(Tables.documents(s, dir),
+      sampleRate = 0.5, minCount = 2L)
+
+  private val textLmSampledSql = {
+    val bound = graft.analytics.CorpusOps.rateBoundary(0.5)
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS l FROM documents),
+       |bg AS (
+       |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks)
+       |),
+       |tbg AS (SELECT * FROM bg
+       |        WHERE substr(md5(doc_id::VARCHAR), 1, 12) < '$bound'),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+       |model AS (
+       |  SELECT w1, w2, CAST(c12 AS DOUBLE) / c1 AS p
+       |  FROM c12 JOIN c1 USING (w1) WHERE c12 >= 2
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CAST(COALESCE(p, CAST(0 AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE)
+       |    / COUNT(*) AS lm_score
+       |FROM bg LEFT JOIN model USING (w1, w2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Decontamination scan: every non-eval doc with the count of distinct
     * 8-gram shingles it shares with the eval slice (doc_id % 20 = 0 stands
     * in for the benchmark set). Zero-overlap docs are kept in the output
@@ -1281,6 +1311,7 @@ object Extensions {
     "dedup_pipeline"      -> dedupPipelineQ,
     "dedup_incremental"   -> dedupIncremental,
     "text_lm_score"       -> textLmScore,
+    "text_lm_sampled"     -> textLmSampled,
     "dedup_exact"         -> dedupExact,
     "dedup_minhash_sigs"  -> dedupMinhash,
     "dedup_lsh_pairs"     -> dedupLshPairs,
@@ -1321,6 +1352,7 @@ object Extensions {
     "dedup_pipeline"      -> dedupPipelineSql,
     "dedup_incremental"   -> dedupIncrementalSql,
     "text_lm_score"       -> textLmScoreSql,
+    "text_lm_sampled"     -> textLmSampledSql,
     "dedup_exact"         -> dedupExactSql,
     "dedup_minhash_sigs"  -> dedupMinhashSql,
     "dedup_lsh_pairs"     -> dedupLshPairsSql,

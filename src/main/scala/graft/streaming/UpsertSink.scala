@@ -50,7 +50,16 @@ object UpsertSink {
   }
 
   private[streaming] def mergeBatch(batch: DataFrame, path: String,
-                                    key: String, tsCol: String): Unit = {
+                                    key: String, tsCol: String): Unit =
+    mergeBatchWith(batch, path, latestPerKey(_, key, tsCol))
+
+  /** The crash-safe merge generalized over the compaction: `compact` maps
+    * union(current state, batch) to the new state. Any IDEMPOTENT
+    * compaction (latest-per-key, min-per-key, distinct) makes the whole
+    * merge replay-safe: a foreachBatch retry re-merges the same rows and
+    * compacts to the identical table. */
+  private[streaming] def mergeBatchWith(batch: DataFrame, path: String,
+                                        compact: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val target = new Path(path)
     val stage = new Path(path + "__stage")
@@ -74,14 +83,21 @@ object UpsertSink {
       if (fs.exists(target)) spark.read.parquet(path)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], batch.schema)
-    latestPerKey(current.unionByName(batch), key, tsCol)
+    compact(current.unionByName(batch))
       .write.mode("overwrite").parquet(stage.toString)
     // Swap, never holding zero copies of the prior state: aside, in, drop.
     if (fs.exists(target) && !fs.rename(target, aside))
       throw new java.io.IOException(s"swap failed: $target -> $aside")
     if (!fs.rename(stage, target)) {
-      fs.rename(aside, target) // roll back so the state stays readable
-      throw new java.io.IOException(s"swap failed: $stage -> $target")
+      // roll back so the state stays readable; if even the rollback fails,
+      // say where the only surviving copy actually sits (the aside dir) —
+      // the next mergeBatch's recovery preamble restores it from there
+      if (fs.rename(aside, target))
+        throw new java.io.IOException(s"swap failed: $stage -> $target")
+      else
+        throw new java.io.IOException(
+          s"swap failed: $stage -> $target; rollback also failed — " +
+          s"prior state remains at $aside (recovered on next mergeBatch)")
     }
     fs.delete(aside, true)
   }

@@ -140,12 +140,26 @@ object TextOps {
     * summed decimal-exact. Docs with < 2 tokens have no bigrams and are
     * excluded.
     *
-    * Scale note: the model counts shuffle on (w1, w2) — at 100 TB you
-    * train the counts on a [[graft.analytics.CorpusOps]] hash sample,
-    * keep bigrams above a min count, and broadcast the model; the scoring
-    * pass itself is one scan + one keyed join. Returns (doc_id,
-    * n_bigrams, lm_score). */
-  def bigramLmScore(docs: DataFrame): DataFrame = {
+    * Scale note: the model counts shuffle on (w1, w2) — correct and
+    * oracle-exact, but a full-corpus shuffle. The 100-TB form is
+    * [[bigramLmScoreSampled]]: train on a hash sample, prune, broadcast.
+    * Returns (doc_id, n_bigrams, lm_score).
+    *
+    * Persists the bigram frame for the session (it feeds the model counts
+    * AND the scoring scan). One-shot callers that end with
+    * `spark.catalog.clearCache()` (Verify, Bench) may use this form;
+    * long-lived callers should use [[bigramLmScoreManaged]]. */
+  def bigramLmScore(docs: DataFrame): DataFrame =
+    bigramLmScoreWithCaches(docs)._1
+
+  /** [[bigramLmScore]] with a [[graft.CachedResult]] handle that releases
+    * the cached bigram frame on close(). */
+  def bigramLmScoreManaged(docs: DataFrame): graft.CachedResult = {
+    val (df, cached) = bigramLmScoreWithCaches(docs)
+    new graft.CachedResult(df, cached)
+  }
+
+  private def bigramLmScoreWithCaches(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     // one row per bigram occurrence; feeds the model counts AND scoring
@@ -158,8 +172,64 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val out = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("p", col("c12").cast("double") / col("c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1))).as("lm_score"))
+      .orderBy("doc_id")
+    (out, Seq(bg))
+  }
+
+  /** The 100-TB scale path for [[bigramLmScore]]: train the bigram model
+    * on a deterministic md5-prefix hash sample of the corpus (the
+    * [[graft.analytics.CorpusOps.rateBoundary]] draw — engine-exact and
+    * partitioning-invariant), prune bigrams seen fewer than `minCount`
+    * times in the sample, broadcast the pruned model, and score EVERY
+    * document in one scan + one broadcast-hash join. No full-corpus
+    * shuffle on (w1, w2) anywhere: the only shuffle is the sample's model
+    * aggregation, and c(w1 ·) is derived from the (w1, w2) counts by a
+    * second re-aggregation of the SAME shuffle output (Σ_w2 c12 — the
+    * exchange is identical in both branches, so Spark's ReuseExchange
+    * runs it once).
+    *
+    * Semantics vs the in-query form: P(w2|w1) = c_s(w1 w2) / c_s(w1 ·)
+    * over the sample, with pruned/unseen bigrams contributing probability
+    * 0 — the model assigns them no mass, a harsher penalty than smoothing
+    * but monotone-equivalent for filtering (DedupSpec measures the rank
+    * agreement on a predictability gradient and the per-doc value
+    * agreement on the fixtures). `n_bigrams` still counts ALL of a doc's
+    * bigrams, so
+    * the mean's denominator is the document, not the model's coverage.
+    * Docs with < 2 tokens are excluded, as in the full form. Returns
+    * (doc_id, n_bigrams, lm_score). */
+  def bigramLmScoreSampled(docs: DataFrame, sampleRate: Double,
+                           minCount: Long = 2L): DataFrame = {
+    val bound = graft.analytics.CorpusOps.rateBoundary(sampleRate)
+    def bigrams(d: DataFrame): DataFrame = {
+      val toks = d.select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      toks.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    }
+    val trainBg = bigrams(docs.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 12) < lit(bound)))
+    val c12 = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // denominator BEFORE pruning: dropping rare (w1,w2) rows thins the
+    // broadcast table, it must not remove mass from c(w1 ·)
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val model = c12.filter(col("c12") >= minCount)
+      .join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("c12").cast("double") / col("c1")).as("p"))
+    bigrams(docs)
+      .join(broadcast(model), Seq("w1", "w2"), "left")
+      .withColumn("p", coalesce(col("p"), lit(0.0)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 12)))

@@ -114,6 +114,73 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  private def spearman(a: Map[Long, Double], b: Map[Long, Double]): Double = {
+    def ranks(m: Map[Long, Double]): Map[Long, Double] = {
+      // average rank for ties so the coefficient is well-defined
+      val sorted = m.toSeq.sortBy { case (id, v) => (v, id) }.zipWithIndex
+      sorted.groupBy(_._1._2).flatMap { case (_, g) =>
+        val avg = g.map(_._2).sum.toDouble / g.size
+        g.map { case ((id, _), _) => id -> avg }
+      }
+    }
+    val (ra, rb) = (ranks(a), ranks(b))
+    val ids = a.keySet.toSeq
+    val n = ids.size.toDouble
+    val (ma, mb) = (ra.values.sum / n, rb.values.sum / n)
+    val cov = ids.map(i => (ra(i) - ma) * (rb(i) - mb)).sum
+    val sa = math.sqrt(ids.map(i => math.pow(ra(i) - ma, 2)).sum)
+    val sb = math.sqrt(ids.map(i => math.pow(rb(i) - mb, 2)).sum)
+    cov / (sa * sb)
+  }
+
+  test("sampled-broadcast LM ranks a predictability gradient like the full model") {
+    // Rank agreement is only measurable where ranks carry signal: the
+    // parquet fixture docs are uniform random draws from a ~30-word vocab,
+    // so their full-model score spread (CV ~3.8%) IS sampling noise and no
+    // estimator can reproduce its ordering. This corpus instead has a
+    // genuine predictability gradient: doc i is k_i deterministic-phrase
+    // tokens (every bigram P=1) followed by 40-k_i seeded-random vocab
+    // tokens, k_i sweeping 0..40. The full model ranks docs by k_i; the
+    // sampled model must agree.
+    import spark.implicits._
+    val phrase = Array("p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7",
+      "p8", "p9", "p10", "p11")
+    val rng = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"r$i")
+    val docs = (0L until 600L).map { i =>
+      val k = ((i % 200) * 40 / 199).toInt // gradient, 3 docs per level
+      val pre = (0 until k).map(j => phrase((i.toInt + j) % phrase.length))
+      val post = (0 until (40 - k)).map(_ => vocab(rng.nextInt(vocab.size)))
+      (i, (pre ++ post).mkString(" "))
+    }.toDF("doc_id", "text")
+    val full = graft.text.TextOps.bigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sampled = graft.text.TextOps
+      .bigramLmScoreSampled(docs, sampleRate = 0.5, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full.keySet == sampled.keySet) // same docs scored
+    val rho = spearman(full, sampled)
+    assert(rho > 0.95, s"sampled-vs-full Spearman=$rho over ${full.size} docs")
+    spark.catalog.clearCache()
+  }
+
+  test("sampled-broadcast LM agrees with the full model in score VALUE on the fixtures") {
+    // On the homogeneous fixture corpus the rank test above is undefined
+    // (spread == noise), but value agreement is still the estimator's
+    // contract: per-doc scores within a few percent of the full model's.
+    val d01 = Tables.documents(spark, "/root/testdata/sf0.01")
+    val full = graft.text.TextOps.bigramLmScore(d01)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sampled = graft.text.TextOps
+      .bigramLmScoreSampled(d01, sampleRate = 0.5, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full.keySet == sampled.keySet)
+    val relErr = full.keys.map(k => math.abs(sampled(k) - full(k)) / full(k))
+    val mean = relErr.sum / relErr.size
+    assert(mean < 0.10, s"mean per-doc relative score error $mean")
+    spark.catalog.clearCache()
+  }
+
   test("KMV sketch: exact below k, ~6% above k, partitioning-invariant") {
     import spark.implicits._
     graft.functions.KmvFunctions.register(spark)
@@ -256,11 +323,33 @@ class DedupSpec extends SparkSpec {
         import spark.implicits._
         Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
       },
+      Dedup.incrementalFlagsManaged(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        0.5),
+      graft.text.TextOps.bigramLmScoreManaged(docs),
       VectorOps.cosinePairsLshManaged(emb, 0.3))
     handles.foreach { h =>
       assert(h.collectAndClose().nonEmpty)
     }
     assert(cacheEmpty, "a dedup/ANN query leaked cached blocks after close()")
+  }
+
+  test("materialized-index probe equals the inline incrementalFlags") {
+    // the production ingest path (probe a compacted digest/band/shingle
+    // index) must flag identically to the one-shot form that shingles the
+    // corpus inline — through the parquet round-trip, not just plan reuse
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val increment = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    graft.dedup.IncrementalIndex.write(existing, dir)
+    val idx = graft.dedup.IncrementalIndex.read(spark, dir)
+    val viaIndex = graft.dedup.IncrementalIndex.probe(increment, idx, 0.5)
+      .collect().map(_.toSeq).toSeq
+    val inline = Dedup.incrementalFlags(existing, increment, 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == inline)
+    spark.catalog.clearCache()
   }
 
   test("a planted degenerate duplicate cluster is capped, not quadratic") {

@@ -40,6 +40,29 @@ class MainSpec extends SparkSpec {
     intercept[IllegalArgumentException](Main.parseArgs(Seq("--config")))
   }
 
+  test("mistyped YAML values fail loudly, naming the key") {
+    // Jackson's asInt/asBoolean would silently coerce these to 0 / false;
+    // the loader must reject them like the CLI flag path rejects bad input
+    def cfgWith(body: String): String = {
+      val f = java.nio.file.Files.createTempFile("graft_badcfg", ".yaml")
+      java.nio.file.Files.writeString(f, body)
+      f.toString
+    }
+    val badInt = intercept[IllegalArgumentException](Main.parseArgs(Seq(
+      "--config", cfgWith("network:\n  chain_id: \"abc\"\n"))))
+    assert(badInt.getMessage.contains("network.chain_id"))
+    val badBool = intercept[IllegalArgumentException](Main.parseArgs(Seq(
+      "--config", cfgWith("pipeline:\n  dry_run: \"yes\"\n"))))
+    assert(badBool.getMessage.contains("pipeline.dry_run"))
+    val badStr = intercept[IllegalArgumentException](Main.parseArgs(Seq(
+      "--config", cfgWith("network:\n  name: 42\n"))))
+    assert(badStr.getMessage.contains("network.name"))
+    // a float where an integer is expected is also a type error
+    val badFloat = intercept[IllegalArgumentException](Main.parseArgs(Seq(
+      "--config", cfgWith("pipeline:\n  messages: 3.5\n"))))
+    assert(badFloat.getMessage.contains("pipeline.messages"))
+  }
+
   test("dry-run validation passes on the canonical components") {
     assert(Main.dryRunChecks(spark) == Nil)
   }

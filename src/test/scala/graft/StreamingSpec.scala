@@ -375,6 +375,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end ingest dedup: index-probed flags survive a mid-stream restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    // the batch side materializes the corpus index once
+    graft.dedup.IncrementalIndex.write(corpus, s"$dir/idx")
+    val stream = MemoryStream[(Long, String)]
+    def start() = graft.streaming.IngestDedup.start(
+      stream.toDS().toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/state", s"$dir/ckpt", threshold = 0.5)
+    val all = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta", // corpus exact dup
+      11L -> "totally new content words here now",            // keep
+      12L -> "totally new content words here now",            // stream twin of 11
+      13L -> "one two three four five six seven eight nine",  // corpus NEAR dup
+      14L -> "one two three four five six seven eight",       // corpus exact dup
+      15L -> "totally new content words here now",            // stream twin of 11
+      16L -> "fresh unique wording entirely different tokens") // keep
+    val q1 = start()
+    stream.addData(all.take(2): _*)
+    q1.processAllAvailable()
+    stream.addData(all.slice(2, 4): _*)
+    q1.processAllAvailable()
+    q1.stop() // crash/deploy boundary: offsets live in the checkpoint
+    val q2 = start()
+    try {
+      stream.addData(all.drop(4): _*)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/state/flags")
+        .collect().map(r => r.getLong(0) -> ((
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getString(4)))).toMap
+      // spot semantics: both layers of the corpus probe plus the stream layer
+      assert(got(10L)._4 == "exact_dup" && got(10L)._1 == Some(1L))
+      assert(got(13L)._4 == "near_dup" && got(13L)._2 == Some(2L))
+      assert(got(14L)._4 == "exact_dup" && got(14L)._1 == Some(2L))
+      assert(got(12L)._4 == "stream_dup" && got(12L)._3 == Some(11L))
+      assert(got(15L)._4 == "stream_dup" && got(15L)._3 == Some(11L))
+      assert(got(11L)._4 == "keep" && got(16L)._4 == "keep")
+      // and the whole table equals the one-shot batch twin on the same data
+      val twin = graft.streaming.IngestDedup.batchTwin(
+          corpus, all.toDF("doc_id", "text"), 0.5)
+        .collect().map(r => r.getLong(0) -> ((
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getString(4)))).toMap
+      assert(got == twin, s"stream flags != batch twin\n$got\n$twin")
+      spark.catalog.clearCache()
+    } finally q2.stop()
+  }
+
   test("upsert sink recovers prior state from a crash mid-swap") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rec").toString
