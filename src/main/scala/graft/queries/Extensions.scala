@@ -232,9 +232,12 @@ object Extensions {
     * coverage, duplicate-trigram fraction, duplicate-token fraction — the
     * quality signals that catch boilerplate/looping text before training. */
   private val textRepetition: Q = (s, dir) => {
-    val (b, t, k) = TextOps.repetitionStats(col("toks"))
+    val (b, t, k) = TextOps.repetitionStats(col("toks"), col("bg"), col("tg"))
     Tables.documents(s, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        TextOps.ngrams(col("toks"), 2).as("bg"),
+        TextOps.ngrams(col("toks"), 3).as("tg"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         b.as("top_bigram_frac"), t.as("dup_trigram_frac"),
         k.as("dup_token_frac"))

@@ -605,9 +605,12 @@ class TextOpsSpec extends SparkSpec {
       (2L, "a b c d e f g h"),                   // all distinct
       (3L, "x y")                                // too short for trigrams
     ).toDF("doc_id", "text")
-    val (b, t, k) = TextOps.repetitionStats(col("toks"))
+    val (b, t, k) = TextOps.repetitionStats(col("toks"), col("bgrams"), col("tgrams"))
     val got = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        TextOps.ngrams(col("toks"), 2).as("bgrams"),
+        TextOps.ngrams(col("toks"), 3).as("tgrams"))
       .select(col("doc_id"), b.as("bg"), t.as("tg"), k.as("tok"))
       .collect().map(r => r.getLong(0) ->
         (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
