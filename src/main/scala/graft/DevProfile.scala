@@ -178,14 +178,17 @@ object DevProfile {
             shuffleBytes.addAndGet(
               sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         })
-      def measure(name: String)(f: => Long): Unit = {
+      // time full materialization via the noop sink — .count() would let
+      // the optimizer prune the flag joins down to count(1) over the
+      // increment scan (measured: 1.4 s fake vs 10.0 s real)
+      def measure(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
         Thread.sleep(500); shuffleBytes.set(0L)
         val t0 = System.nanoTime()
-        val rows = f
+        f.write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // let stage-completed events drain
         println(f"$name%-46s ${dt}%8.2f s  " +
-          f"shuffle=${shuffleBytes.get / 1e9}%7.3f GB  rows=$rows")
+          f"shuffle=${shuffleBytes.get / 1e9}%7.3f GB")
         spark.catalog.clearCache()
       }
       val n0 = docs.count()
@@ -207,15 +210,17 @@ object DevProfile {
         val corpus = spark.read.parquet(out)
         println(s"--- corpus x$k = ${n0 * k} docs, increment $n0 docs ---")
         measure(s"x$k cold incrementalFlags (no index)") {
-          Dedup.incrementalFlags(corpus, increment, 0.5).count()
+          Dedup.incrementalFlags(corpus, increment, 0.5)
         }
         val idxDir = s"/tmp/graft_profile/incr_idx_x$k"
-        measure(s"x$k index build (one-off, amortized)") {
-          graft.dedup.IncrementalIndex.write(corpus, idxDir); 0L
-        }
+        val tIdx0 = System.nanoTime()
+        graft.dedup.IncrementalIndex.write(corpus, idxDir)
+        println(f"x$k index build (one-off, amortized)     " +
+          f"${(System.nanoTime() - tIdx0) / 1e9}%8.2f s")
+        spark.catalog.clearCache()
         measure(s"x$k index probe (per-batch cost)") {
           graft.dedup.IncrementalIndex.probe(increment,
-            graft.dedup.IncrementalIndex.read(spark, idxDir), 0.5).count()
+            graft.dedup.IncrementalIndex.read(spark, idxDir), 0.5)
         }
       }
       spark.stop(); return
@@ -226,33 +231,64 @@ object DevProfile {
     // standalone contract queries re-deriving the chain per stage.
     // Run: DevProfile <sfDir> pipe
     if (args.contains("pipe")) {
-      def timeMin(name: String, runs: Int = 2)(f: => Long): Double = {
+      // full materialization via the noop sink (count() can prune final
+      // joins — see the incr-mode comment)
+      def mat(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      def timeMin(name: String, runs: Int = 2)(f: => Unit): Double = {
         val ts = (0 until runs).map { _ =>
-          val t0 = System.nanoTime(); val n = f
+          val t0 = System.nanoTime(); f
           spark.catalog.clearCache()
-          ((System.nanoTime() - t0) / 1e9, n)
+          (System.nanoTime() - t0) / 1e9
         }
-        val best = ts.map(_._1).min
-        println(f"$name%-36s ${best}%8.3f s   rows=${ts.head._2}")
+        val best = ts.min
+        println(f"$name%-36s ${best}%8.3f s")
         best
       }
       val composed = timeMin("pipeline (all 4 artifacts)") {
         val pl = Dedup.pipeline(docs, 0.5)
         try {
-          pl.pairs.count() + pl.clusters.count() +
-            pl.survivors.count() + pl.verdict.count()
+          mat(pl.pairs); mat(pl.clusters); mat(pl.survivors); mat(pl.verdict)
         } finally pl.close()
       }
       val separate =
         timeMin("standalone nearDuplicates") {
-          Dedup.nearDuplicates(docs, 0.5).count() } +
+          mat(Dedup.nearDuplicates(docs, 0.5)) } +
         timeMin("standalone clusters (near-dup + CC)") {
-          Dedup.connectedComponents(Dedup.nearDuplicates(docs, 0.5)).count() } +
+          mat(Dedup.connectedComponents(Dedup.nearDuplicates(docs, 0.5))) } +
         timeMin("standalone canonical (chain + survivors)") {
-          Dedup.survivors(docs,
-            Dedup.connectedComponents(Dedup.nearDuplicates(docs, 0.5))).count() }
+          mat(Dedup.survivors(docs,
+            Dedup.connectedComponents(Dedup.nearDuplicates(docs, 0.5)))) }
       println(f"composed=$composed%.2f s  separate-stages=$separate%.2f s  " +
         f"ratio=${separate / composed}%.2f x")
+      spark.stop(); return
+    }
+
+    // Sampled-LM model-size study (PROFILE.md / VERDICT r5 #5): broadcast
+    // model rows and scoring cost vs sample rate, against the full
+    // in-query form's corpus-wide (w1, w2) shuffle.
+    // Run: DevProfile <sfDir> lm
+    if (args.contains("lm")) {
+      import graft.text.TextOps
+      def mat(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      def timeMin(runs: Int = 2)(f: => Unit): Double =
+        (0 until runs).map { _ =>
+          val t0 = System.nanoTime(); f
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      val tFull = timeMin() { mat(TextOps.bigramLmScore(docs)) }
+      println(f"full in-query form (corpus-wide shuffle)   ${tFull}%8.2f s")
+      for (r <- Seq(0.01, 0.05, 0.2, 1.0)) {
+        val model = TextOps.bigramLmModel(docs, r)
+        val rows = model.count()
+        // (w1, w2, p) ≈ two short strings + a double + row overhead
+        val mb = rows * 48 / 1e6
+        val t = timeMin() { mat(TextOps.bigramLmScoreSampled(docs, r)) }
+        println(f"rate=$r%-5s model=$rows%8d rows (~$mb%6.1f MB bcast)  " +
+          f"score=${t}%6.2f s")
+      }
       spark.stop(); return
     }
 
