@@ -22,10 +22,10 @@ Design constraints (so every oracle-checked query stays meaningful):
     key is the whole point of that operator); identical vectors in
     different replicas still collide in the label-free LSH query, which is
     legal input and linear enough.
-  - events.ts is written back as parquet TIMESTAMP(NANOS) to preserve the
-    original file's physical type (Spark reads it via the nanosAsLong
-    path). DuckDB's COPY downgrades to micros, so events goes through
-    pyarrow with an explicit timestamp[ns] cast.
+  - events.ts is written back with the SOURCE file's physical type
+    (timestamp[ns] in early driver rounds -- Spark's nanosAsLong path --
+    timestamp[us] since round 6). DuckDB's COPY would downgrade ns to us,
+    so events goes through pyarrow with an explicit cast.
   - Every shifted column is CAST back to its source type (BIGINT/INTEGER)
     so dtypes — which dev/compare.py checks strictly — are unchanged.
 """
@@ -84,10 +84,15 @@ def main(src: str, dst: str) -> None:
               CAST(user_id + r.i * {SHIFT} AS BIGINT) AS user_id,
               event_type, value, props
             FROM {t('events')} {rep}""").fetch_arrow_table()
+    # Preserve the SOURCE fixture's physical ts type: early driver rounds
+    # shipped timestamp[ns] (Spark's nanosAsLong path), current rounds ship
+    # timestamp[us] (Spark reads natively). DuckDB's COPY would downgrade
+    # ns to us, hence the pyarrow detour.
+    src_ts = pq.read_schema(f"{src}/events.parquet").field("ts").type
     i = ev.schema.get_field_index("ts")
-    ev = ev.cast(ev.schema.set(i, pa.field("ts", pa.timestamp("ns"))))
+    ev = ev.cast(ev.schema.set(i, pa.field("ts", src_ts)))
     pq.write_table(ev, f"{dst}/events.parquet", version="2.6")
-    print(f"events: {ev.num_rows} rows (ts as timestamp[ns])")
+    print(f"events: {ev.num_rows} rows (ts as {src_ts})")
     copy(f"""SELECT CAST(doc_id + r.i * {SHIFT} AS BIGINT) AS doc_id,
                regexp_replace(text, '(\\S+)',
                  '\\1r' || CAST(r.i AS VARCHAR), 'g') AS text,

@@ -25,11 +25,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark rejects
-    * (PARQUET_TYPE_ILLEGAL). Read it as nanosecond longs via the legacy conf
-    * and convert to a microsecond-truncated TimestampType column — DuckDB
-    * keeps nanoseconds, so oracle SQL that *outputs* raw `ts` must truncate
-    * with `date_trunc('microseconds', ts)` for hash parity.
+  /** `events.ts` has shipped in two physical types across driver fixture
+    * generations: parquet TIMESTAMP(NANOS) (early rounds), which Spark
+    * rejects (PARQUET_TYPE_ILLEGAL) unless read as nanosecond longs via the
+    * legacy conf, and plain TIMESTAMP(MICROS) (current rounds), which Spark
+    * reads natively as TIMESTAMP_NTZ. Normalize both to the same
+    * microsecond-precision session-local TimestampType column so every
+    * downstream query and oracle sees one dtype regardless of fixture
+    * vintage. DuckDB keeps nanoseconds on the NANOS files, so oracle SQL
+    * that *outputs* raw `ts` must truncate with
+    * `date_trunc('microseconds', ts)` for hash parity (a no-op on MICROS
+    * files).
     *
     * NOTE the conf set here is session-wide and stays set: any later parquet
     * read of a TIMESTAMP(NANOS) column in the same session will also see
@@ -38,7 +44,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as longs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS): read as NTZ; align to TimestampType
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
