@@ -1341,6 +1341,141 @@ object Extensions {
       |FROM p WHERE levenshtein(prefix, np) <= 5
       |ORDER BY d1, d2""".stripMargin
 
+  /** Max distinct prefixes per block before [[dedupFuzzyBounded]] degrades
+    * the block from exact all-pairs DP to a sorted-neighborhood window.
+    * Chosen below the sf0.01 max block (10) so the oracle gate exercises
+    * BOTH branches at verification scale. */
+  private val FuzzyCap = 8
+  /** Neighborhood width inside over-cap blocks: each distinct prefix is
+    * compared to its next `FuzzyWindow` prefixes in (prefix, pid) order. */
+  private val FuzzyWindow = 4
+
+  /** Block-capped fuzzy ER — the 100-TB form of [[dedupFuzzy]]. The plain
+    * form's in-block pair count is O(block²): the sf1 scale study
+    * (PROFILE.md round 6) measured 31× wall at 10× rows because replicas
+    * share (lang, length-bucket, first-char) blocks. This variant keeps the
+    * exact all-pairs Levenshtein DP for blocks with at most [[FuzzyCap]]
+    * distinct prefixes (bounded at CAP²/2 pairs) and switches larger blocks
+    * to a sorted-neighborhood pass — each distinct prefix against its next
+    * [[FuzzyWindow]] neighbors in (prefix, pid) order, the
+    * [[dedupSortedNeighbors]] discipline applied WITHIN the block — so no
+    * block anywhere in the corpus can go quadratic. The price is recall on
+    * over-cap blocks only: a pair lexicographically farther than the window
+    * yet within edit distance 5 is missed there; identical-prefix pairs
+    * (dist 0) are always found in both branches because distinct prefixes
+    * are the join/window unit and each group self-pairs. Output shape and
+    * semantics otherwise match [[dedupFuzzy]]: canonical (d1 < d2) doc
+    * pairs with the prefix edit distance. */
+  private val dedupFuzzyBounded: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("n_chars div 100").as("bucket"),
+        substring(col("text"), 1, 40).as("prefix"))
+    val groups = d
+      .groupBy(col("lang"), col("bucket"),
+        substring(col("prefix"), 1, 1).as("c1"), col("prefix"))
+      .agg(min(col("doc_id")).as("pid"))
+    val blockW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "bucket", "c1")
+    val rankW = blockW.orderBy("prefix", "pid")
+    val r = groups
+      .withColumn("n", count(lit(1)).over(blockW))
+      .withColumn("rk", row_number().over(rankW))
+    // small blocks: exact all-pairs DP, <= FuzzyCap^2 / 2 pairs per block
+    val small = r.filter(col("n") <= FuzzyCap)
+    val smallPairs = small.as("a").join(small.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.c1") === col("b.c1") &&
+        col("a.pid") <= col("b.pid"))
+      .withColumn("dist",
+        when(col("a.pid") === col("b.pid"), lit(0L))
+          .otherwise(levenshtein(col("a.prefix"), col("b.prefix"), 5)
+            .cast("long")))
+      .filter(col("dist").between(0, 5))
+      .select(col("a.pid").as("p1"), col("b.pid").as("p2"), col("dist"))
+    // over-cap blocks: k = 1..FuzzyWindow leads per row (O(n·w), never
+    // a self-join) plus the k = 0 self-pair that carries identical-prefix
+    // doc pairs. Leads stay in-block: n is a per-block constant, so the
+    // filter keeps or drops whole partitions of rankW.
+    val large = (1 to FuzzyWindow).foldLeft(r.filter(col("n") > FuzzyCap)) {
+      (acc, k) =>
+        acc.withColumn(s"npid_$k", lead(col("pid"), k).over(rankW))
+          .withColumn(s"npre_$k", lead(col("prefix"), k).over(rankW))
+    }
+    val neighbors = struct(col("pid").as("npid"), col("prefix").as("npre")) +:
+      (1 to FuzzyWindow).map(k =>
+        struct(col(s"npid_$k").as("npid"), col(s"npre_$k").as("npre")))
+    val largePairs = large
+      .select(col("pid"), col("prefix"), explode(array(neighbors: _*)).as("nb"))
+      .filter(col("nb.npid").isNotNull)
+      .withColumn("dist",
+        when(col("pid") === col("nb.npid"), lit(0L))
+          .otherwise(levenshtein(col("prefix"), col("nb.npre"), 5)
+            .cast("long")))
+      .filter(col("dist").between(0, 5))
+      .select(least(col("pid"), col("nb.npid")).as("p1"),
+        greatest(col("pid"), col("nb.npid")).as("p2"), col("dist"))
+    val members = groups
+      .select(col("lang"), col("bucket"), col("prefix"), col("pid"))
+      .join(d, Seq("lang", "bucket", "prefix"))
+      .select(col("pid"), col("doc_id"))
+    smallPairs.unionByName(largePairs)
+      .join(members.as("m1"), col("p1") === col("m1.pid"))
+      .join(members.as("m2"), col("p2") === col("m2.pid"))
+      .filter(col("p1") =!= col("p2") ||
+        col("m1.doc_id") < col("m2.doc_id"))
+      .select(
+        least(col("m1.doc_id"), col("m2.doc_id")).as("d1"),
+        greatest(col("m1.doc_id"), col("m2.doc_id")).as("d2"),
+        col("dist"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Oracle twin of [[dedupFuzzyBounded]]. The window branch is expressed
+    * as a rank-distance-bounded join (rk_b - rk_a <= W) — at oracle scale
+    * DuckDB can afford enumerating in-block pairs and filtering, and the
+    * pair SET equals the engine's lead-based O(n·w) form exactly: each
+    * unordered pair of distinct prefixes has one rank ordering, and leads
+    * k = 1..W are precisely the pairs with rank distance in [1, W]. */
+  private val dedupFuzzyBoundedSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, n_chars // 100 AS bucket,
+       |    substr(text, 1, 40) AS prefix
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang, bucket, substr(prefix, 1, 1) AS c1, prefix,
+       |    min(doc_id) AS pid
+       |  FROM d GROUP BY 1, 2, 3, 4
+       |), r AS (
+       |  SELECT *,
+       |    COUNT(*) OVER (PARTITION BY lang, bucket, c1) AS n,
+       |    row_number() OVER (
+       |      PARTITION BY lang, bucket, c1 ORDER BY prefix, pid) AS rk
+       |  FROM g
+       |), gp AS (
+       |  SELECT LEAST(a.pid, b.pid) AS p1, GREATEST(a.pid, b.pid) AS p2,
+       |    CASE WHEN a.pid = b.pid THEN 0
+       |         ELSE levenshtein(a.prefix, b.prefix) END AS dist
+       |  FROM r a JOIN r b
+       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.c1 = b.c1
+       |    AND a.rk <= b.rk
+       |    AND (a.n <= $FuzzyCap OR b.rk - a.rk <= $FuzzyWindow)
+       |  WHERE (CASE WHEN a.pid = b.pid THEN 0
+       |              ELSE levenshtein(a.prefix, b.prefix) END) <= 5
+       |), m AS (
+       |  SELECT g.pid, d.doc_id
+       |  FROM g JOIN d USING (lang, bucket, prefix)
+       |)
+       |SELECT LEAST(m1.doc_id, m2.doc_id) AS d1,
+       |  GREATEST(m1.doc_id, m2.doc_id) AS d2,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM gp
+       |JOIN m m1 ON gp.p1 = m1.pid
+       |JOIN m m2 ON gp.p2 = m2.pid
+       |WHERE gp.p1 <> gp.p2 OR m1.doc_id < m2.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_stats"          -> textStats,
@@ -1368,6 +1503,7 @@ object Extensions {
     "dedup_clusters_lss"  -> dedupClustersChain,
     "dedup_containment"   -> dedupContainment,
     "dedup_fuzzy"         -> dedupFuzzy,
+    "dedup_fuzzy_bounded" -> dedupFuzzyBounded,
     "dedup_sorted_nbrs"   -> dedupSortedNeighbors,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
@@ -1414,6 +1550,7 @@ object Extensions {
     "dedup_clusters_lss"  -> dedupClustersChainSql,
     "dedup_containment"   -> dedupContainmentSql,
     "dedup_fuzzy"         -> dedupFuzzySql,
+    "dedup_fuzzy_bounded" -> dedupFuzzyBoundedSql,
     "dedup_sorted_nbrs"   -> dedupSortedNeighborsSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,

@@ -372,6 +372,41 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == capped)
   }
 
+  test("bounded fuzzy ER: exact in small blocks, windowed in over-cap blocks") {
+    import spark.implicits._
+    // One over-cap block (lang=en: 12 distinct prefixes > cap 8) and one
+    // small block (lang=fr: 5 prefixes <= cap). All prefixes within a block
+    // are pairwise edit distance 1, so plain fuzzy links every in-block
+    // pair; the bounded form must keep the small block exact and restrict
+    // the over-cap block to rank-window neighbors (rank diff <= 4).
+    val tail = "zzzzzzzz"
+    val en = ('a' to 'l').zipWithIndex.map { case (c, i) =>
+      (1L + i, s"a$c $tail", "en") }
+    val dup = Seq((51L, en.head._2, "en")) // same text as doc 1: dist-0 pair
+    val fr = ('a' to 'e').zipWithIndex.map { case (c, i) =>
+      (101L + i, s"f$c $tail", "fr") }
+    val docs = (en ++ dup ++ fr).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fz").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(q: String) = Extensions.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs("dedup_fuzzy")
+    val bounded = pairs("dedup_fuzzy_bounded")
+    assert(bounded.subsetOf(full), s"extra=${bounded -- full}")
+    // identical-prefix docs pair in both (the k=0 self-pair path)
+    assert(bounded.contains((1L, 51L)) && full.contains((1L, 51L)))
+    // adjacent prefixes in the over-cap block survive the window
+    assert(bounded.contains((1L, 2L)))
+    // a close pair beyond the window (rank 1 vs rank 12) is the documented
+    // recall cut: present in the exact form, absent in the bounded one
+    assert(full.contains((1L, 12L)) && !bounded.contains((1L, 12L)))
+    // the small block is untouched: fr-side pair sets are identical
+    def frOnly(s: Set[(Long, Long)]) = s.filter(p => p._1 >= 101L)
+    assert(frOnly(full) == frOnly(bounded) && frOnly(full).size == 10)
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val pairs = Dedup.jaccardPairs(docs, 0.5).select("d1", "d2").collect()
     assume(pairs.nonEmpty)
