@@ -1476,6 +1476,72 @@ object Extensions {
        |WHERE gp.p1 <> gp.p2 OR m1.doc_id < m2.doc_id
        |ORDER BY d1, d2""".stripMargin
 
+  /** Window width (tokens) for [[dedupSpans]] — production substring dedup
+    * uses ~50; 8 keeps the fixtures' planted duplicates detectable. */
+  private val SpanK = 8
+
+  /** Exact duplicated-substring spans — the training-data dedup that
+    * removes repeated PASSAGES, not whole documents (the published method
+    * builds a corpus suffix array; see PAPERS.md on dedup families). The
+    * Spark-first re-expression needs no suffix array: hash every
+    * [[SpanK]]-token sliding window (md5 over the space-joined tokens, so
+    * the oracle recomputes it bit-exactly), count occurrences corpus-wide
+    * — a combiner-friendly groupBy on the window hash, the only shuffle,
+    * linear in corpus tokens — keep windows seen at least twice anywhere
+    * (second copy in the same doc counts, as in the suffix-array method),
+    * then merge each doc's runs of consecutive duplicated windows into
+    * maximal spans with the islands trick (pos − row_number() is constant
+    * within a consecutive run). Returns one row per maximal duplicated
+    * span: (doc_id, span_start, span_end, span_tokens), token positions
+    * 1-based inclusive. At 100 TB every stage is a scan, one hash-shuffle
+    * agg, and a per-doc window — nothing quadratic, nothing global. */
+  private val dedupSpans: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("t"))
+      .filter(size(col("t")) >= SpanK)
+    val wins = toks.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, size(t) - ${SpanK - 1}),
+             |  i -> struct(i AS pos,
+             |    md5(concat_ws(' ', slice(t, i, $SpanK))) AS h))""".stripMargin))
+          .as("w"))
+      .select(col("doc_id"), col("w.pos").cast("long").as("pos"), col("w.h").as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val islandW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    wins.join(dup, Seq("h"))
+      .withColumn("island", col("pos") - row_number().over(islandW))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SpanK - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dedupSpansSql = {
+    val winConcat = (0 until SpanK).map(j => s"l[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS l FROM documents
+       |), wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, md5($winConcat) AS h
+       |  FROM toks, unnest(range(1, len(l) - ${SpanK - 2})) AS u(i)
+       |  WHERE len(l) >= $SpanK
+       |), dup AS (
+       |  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM wins JOIN dup USING (h)
+       |)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + ${SpanK - 1} AS span_end,
+       |  max(pos) + ${SpanK - 1} - min(pos) + 1 AS span_tokens
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_stats"          -> textStats,
@@ -1504,6 +1570,7 @@ object Extensions {
     "dedup_containment"   -> dedupContainment,
     "dedup_fuzzy"         -> dedupFuzzy,
     "dedup_fuzzy_bounded" -> dedupFuzzyBounded,
+    "dedup_spans"         -> dedupSpans,
     "dedup_sorted_nbrs"   -> dedupSortedNeighbors,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
@@ -1551,6 +1618,7 @@ object Extensions {
     "dedup_containment"   -> dedupContainmentSql,
     "dedup_fuzzy"         -> dedupFuzzySql,
     "dedup_fuzzy_bounded" -> dedupFuzzyBoundedSql,
+    "dedup_spans"         -> dedupSpansSql,
     "dedup_sorted_nbrs"   -> dedupSortedNeighborsSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,

@@ -407,6 +407,33 @@ class DedupSpec extends SparkSpec {
     assert(frOnly(full) == frOnly(bounded) && frOnly(full).size == 10)
   }
 
+  test("substring-span dedup: maximal shared passages, exact boundaries") {
+    import spark.implicits._
+    // A and B share an exact 10-token passage at different offsets; C
+    // repeats its own 8-token run; D is all-unique. Window width is 8, so
+    // the shared passage yields 3 consecutive duplicated windows that must
+    // merge into ONE maximal span covering exactly the passage.
+    val passage = (1 to 10).map(i => s"s$i").mkString(" ")
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"ua ub uc ud ue $passage va vb vc vd ve"),
+      (2L, s"wa wb wc $passage xa xb xc xd xe xf xg"),
+      (3L, s"$run ma mb mc md $run"),
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Extensions.queries("dedup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 15L, 10L),   // passage at tokens 6..15 of A
+      (2L, 4L, 13L, 10L),   // passage at tokens 4..13 of B
+      (3L, 1L, 8L, 8L),     // C's run, first copy
+      (3L, 13L, 20L, 8L)))  // C's run, second copy; D absent
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val pairs = Dedup.jaccardPairs(docs, 0.5).select("d1", "d2").collect()
     assume(pairs.nonEmpty)
