@@ -1542,6 +1542,61 @@ object Extensions {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** Per-document n-gram novelty — the curation signal behind "how much of
+    * this doc is boilerplate seen elsewhere": the fraction of a doc's
+    * [[SpanK]]-token sliding windows whose hash is corpus-unique. Shares
+    * [[dedupSpans]]'s window frame; the only shuffle is the same
+    * combiner-friendly count on the window hash, so the operator is linear
+    * in corpus tokens at any scale. novelty = (n_windows − n_dup) /
+    * n_windows as an exact integer ratio (identical IEEE division both
+    * engines — hash-exact, no tolerance). Docs with fewer than [[SpanK]]
+    * tokens have no windows and are excluded, as in the LM scorers. */
+  private val textNovelty: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("t"))
+      .filter(size(col("t")) >= SpanK)
+    val wins = toks.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, size(t) - ${SpanK - 1}),
+             |  i -> md5(concat_ws(' ', slice(t, i, $SpanK))))""".stripMargin))
+          .as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wins.join(dup, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        ((col("n_windows") - col("n_dup")).cast("double") /
+          col("n_windows")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private val textNoveltySql = {
+    val winConcat = (0 until SpanK).map(j => s"l[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS l FROM documents
+       |), wins AS (
+       |  SELECT doc_id, md5($winConcat) AS h
+       |  FROM toks, unnest(range(1, len(l) - ${SpanK - 2})) AS u(i)
+       |  WHERE len(l) >= $SpanK
+       |), dup AS (
+       |  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+       |), per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id
+       |), dup_per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup FROM wins JOIN dup USING (h)
+       |  GROUP BY doc_id
+       |)
+       |SELECT p.doc_id, p.n_windows,
+       |  COALESCE(d.n_dup, 0) AS n_dup,
+       |  CAST(p.n_windows - COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_windows
+       |    AS novelty
+       |FROM per_doc p LEFT JOIN dup_per_doc d USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_stats"          -> textStats,
@@ -1571,6 +1626,7 @@ object Extensions {
     "dedup_fuzzy"         -> dedupFuzzy,
     "dedup_fuzzy_bounded" -> dedupFuzzyBounded,
     "dedup_spans"         -> dedupSpans,
+    "text_novelty"        -> textNovelty,
     "dedup_sorted_nbrs"   -> dedupSortedNeighbors,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
@@ -1619,6 +1675,7 @@ object Extensions {
     "dedup_fuzzy"         -> dedupFuzzySql,
     "dedup_fuzzy_bounded" -> dedupFuzzyBoundedSql,
     "dedup_spans"         -> dedupSpansSql,
+    "text_novelty"        -> textNoveltySql,
     "dedup_sorted_nbrs"   -> dedupSortedNeighborsSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,

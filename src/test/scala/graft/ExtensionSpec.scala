@@ -434,6 +434,30 @@ class DedupSpec extends SparkSpec {
       (3L, 13L, 20L, 8L)))  // C's run, second copy; D absent
   }
 
+  test("n-gram novelty: exact window fractions on the span fixture") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"s$i").mkString(" ")
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"ua ub uc ud ue $passage va vb vc vd ve"), // 20 toks, 13 windows
+      (2L, s"wa wb wc $passage xa xb xc xd xe xf xg"), // 20 toks, 13 windows
+      (3L, s"$run ma mb mc md $run"),                  // self-repeat
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "))   // all unique
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nv").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Extensions.queries("text_novelty")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (1L, 13L, 3L, 10.0 / 13),  // 3 windows inside the shared passage
+      (2L, 13L, 3L, 10.0 / 13),
+      (3L, 13L, 2L, 11.0 / 13),  // the run's two copies, one window each
+      (4L, 23L, 0L, 1.0)))
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val pairs = Dedup.jaccardPairs(docs, 0.5).select("d1", "d2").collect()
     assume(pairs.nonEmpty)
