@@ -62,20 +62,25 @@ object Extensions {
         TextOps.qualityScore(col("text"), col("toks")).as("quality_score"))
       .orderBy("doc_id")
 
-  private val textQualitySql = {
+  /** The quality-score scalar (DuckDB dialect) over a `documents` row —
+    * shared by [[textQualitySql]] and [[textCurationSql]]. NULLIF guards:
+    * Spark's divide-by-zero yields NULL while DuckDB's IEEE float division
+    * yields inf/NaN — a zero-token doc must be NULL on both. */
+  private lazy val qualityScalarSql = {
     val allStops = TextOps.LangStopwords.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString(", ")
-    // NULLIF guards: Spark's divide-by-zero yields NULL while DuckDB's IEEE
-    // float division yields inf/NaN — a zero-token doc must be NULL on both
-    s"""SELECT doc_id, lang,
-       |  0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+    s"""0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0)
        |  + 0.3 * (CAST(len(list_distinct($toksSql)) AS DOUBLE)
        |           / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0))
        |  + 0.3 * LEAST(1.0, CAST(len(list_filter($toksSql,
        |      x -> list_contains([$allStops], x))) AS DOUBLE)
-       |           / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0) * 10.0) AS quality_score
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |           / NULLIF(CAST(len($toksSql) AS DOUBLE), 0.0) * 10.0)""".stripMargin
   }
+
+  private val textQualitySql =
+    s"""SELECT doc_id, lang,
+       |  $qualityScalarSql AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   private val textLangId: Q = (s, dir) =>
     Tables.documents(s, dir)
@@ -1551,8 +1556,11 @@ object Extensions {
     * n_windows as an exact integer ratio (identical IEEE division both
     * engines — hash-exact, no tolerance). Docs with fewer than [[SpanK]]
     * tokens have no windows and are excluded, as in the LM scorers. */
-  private val textNovelty: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
+  /** (doc_id, n_windows, n_dup, novelty) for every doc of `docs` (any
+    * frame with doc_id + text) having at least [[SpanK]] tokens — the
+    * shared core of [[textNovelty]] and [[textCuration]]. */
+  private def noveltyFrameOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("t"))
       .filter(size(col("t")) >= SpanK)
     val wins = toks.select(col("doc_id"),
@@ -1570,32 +1578,105 @@ object Extensions {
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
         ((col("n_windows") - col("n_dup")).cast("double") /
           col("n_windows")).as("novelty"))
+  }
+
+  /** The CTE chain behind [[noveltyFrameOf]] (DuckDB dialect), ending in
+    * `nv(doc_id, n_windows, n_dup, novelty)` over the `src` relation —
+    * shared by [[textNoveltySql]] and [[textCurationSql]]. */
+  private def noveltyCtesSql(src: String) = {
+    val winConcat = (0 until SpanK).map(j => s"l[i+$j]").mkString(" || ' ' || ")
+    s"""nv_toks AS (
+       |  SELECT doc_id, $toksSql AS l FROM $src
+       |), nv_wins AS (
+       |  SELECT doc_id, md5($winConcat) AS h
+       |  FROM nv_toks, unnest(range(1, len(l) - ${SpanK - 2})) AS u(i)
+       |  WHERE len(l) >= $SpanK
+       |), nv_dup AS (
+       |  SELECT h FROM nv_wins GROUP BY h HAVING COUNT(*) >= 2
+       |), nv_per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_windows FROM nv_wins GROUP BY doc_id
+       |), nv_dup_per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup FROM nv_wins JOIN nv_dup USING (h)
+       |  GROUP BY doc_id
+       |), nv AS (
+       |  SELECT p.doc_id, p.n_windows,
+       |    COALESCE(d.n_dup, 0) AS n_dup,
+       |    CAST(p.n_windows - COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_windows
+       |      AS novelty
+       |  FROM nv_per_doc p LEFT JOIN nv_dup_per_doc d USING (doc_id)
+       |)""".stripMargin
+  }
+
+  private val textNovelty: Q = (s, dir) =>
+    noveltyFrameOf(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textNoveltySql =
+    s"""WITH ${noveltyCtesSql("documents")}
+       |SELECT doc_id, n_windows, n_dup, novelty FROM nv
+       |ORDER BY doc_id""".stripMargin
+
+  /** Curation verdict precedence thresholds ([[textCuration]]). */
+  private val CurationQualityMin = 0.45
+  private val CurationNoveltyMin = 0.5
+
+  /** One-pass corpus curation — the composed keep/drop decision a
+    * training-data pipeline runs over every document, with the FIRST
+    * failing rule as the recorded reason (precedence mirrors the cheap-to-
+    * expensive order a production filter chain short-circuits in):
+    * `too_short` (< [[SpanK]] tokens — nothing to window), `exact_dup`
+    * (not the canonical md5 copy; keeper = min doc_id), `low_quality`
+    * (composite quality score < [[CurationQualityMin]]), `boilerplate`
+    * (n-gram novelty < [[CurationNoveltyMin]]), else `keep`. Composes the
+    * exact-dedup digest, the quality scalar, and [[noveltyFrameOf]] — three
+    * per-doc signals, each one scan + one hash agg, joined on doc_id/digest;
+    * nothing here shuffles more than the signals do standalone. Novelty is
+    * computed among CANONICAL docs only (dedup-then-novelty, the production
+    * order): an exact copy must flag its keeper `exact_dup`-side, not
+    * poison the keeper's window uniqueness into a spurious `boilerplate`.
+    * Short docs and non-keepers have NULL novelty: the NULL comparison
+    * falls through the CASE identically on both engines. */
+  private val textCuration: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("quality_score", TextOps.qualityScore(col("text"), col("toks")))
+      .withColumn("h", md5(col("text")))
+    val canon = base.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val canonDocs = base.join(canon, Seq("h"))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"))
+    base.join(canon, Seq("h"))
+      .join(noveltyFrameOf(canonDocs).select("doc_id", "novelty"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), col("quality_score"), col("novelty"),
+        when(col("n_toks") < SpanK, "too_short")
+          .when(col("doc_id") =!= col("keeper"), "exact_dup")
+          .when(col("quality_score") < CurationQualityMin, "low_quality")
+          .when(col("novelty") < CurationNoveltyMin, "boilerplate")
+          .otherwise("keep").as("verdict"))
       .orderBy("doc_id")
   }
 
-  private val textNoveltySql = {
-    val winConcat = (0 until SpanK).map(j => s"l[i+$j]").mkString(" || ' ' || ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, $toksSql AS l FROM documents
-       |), wins AS (
-       |  SELECT doc_id, md5($winConcat) AS h
-       |  FROM toks, unnest(range(1, len(l) - ${SpanK - 2})) AS u(i)
-       |  WHERE len(l) >= $SpanK
-       |), dup AS (
-       |  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
-       |), per_doc AS (
-       |  SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id
-       |), dup_per_doc AS (
-       |  SELECT doc_id, COUNT(*) AS n_dup FROM wins JOIN dup USING (h)
-       |  GROUP BY doc_id
-       |)
-       |SELECT p.doc_id, p.n_windows,
-       |  COALESCE(d.n_dup, 0) AS n_dup,
-       |  CAST(p.n_windows - COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_windows
-       |    AS novelty
-       |FROM per_doc p LEFT JOIN dup_per_doc d USING (doc_id)
-       |ORDER BY p.doc_id""".stripMargin
-  }
+  private val textCurationSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, md5(text) AS h,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+       |    $qualityScalarSql AS quality_score
+       |  FROM documents
+       |), canon AS (
+       |  SELECT h, min(doc_id) AS keeper FROM base GROUP BY h
+       |), canon_docs AS (
+       |  SELECT b.doc_id, b.text FROM base b JOIN canon c USING (h)
+       |  WHERE b.doc_id = c.keeper
+       |), ${noveltyCtesSql("canon_docs")}
+       |SELECT b.doc_id, b.n_toks, b.quality_score, nv.novelty,
+       |  CASE WHEN b.n_toks < $SpanK THEN 'too_short'
+       |       WHEN b.doc_id <> c.keeper THEN 'exact_dup'
+       |       WHEN b.quality_score < $CurationQualityMin THEN 'low_quality'
+       |       WHEN nv.novelty < $CurationNoveltyMin THEN 'boilerplate'
+       |       ELSE 'keep' END AS verdict
+       |FROM base b JOIN canon c USING (h) LEFT JOIN nv USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
 
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
@@ -1627,6 +1708,7 @@ object Extensions {
     "dedup_fuzzy_bounded" -> dedupFuzzyBounded,
     "dedup_spans"         -> dedupSpans,
     "text_novelty"        -> textNovelty,
+    "text_curation"       -> textCuration,
     "dedup_sorted_nbrs"   -> dedupSortedNeighbors,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
@@ -1676,6 +1758,7 @@ object Extensions {
     "dedup_fuzzy_bounded" -> dedupFuzzyBoundedSql,
     "dedup_spans"         -> dedupSpansSql,
     "text_novelty"        -> textNoveltySql,
+    "text_curation"       -> textCurationSql,
     "dedup_sorted_nbrs"   -> dedupSortedNeighborsSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,

@@ -458,6 +458,39 @@ class DedupSpec extends SparkSpec {
       (4L, 23L, 0L, 1.0)))
   }
 
+  test("curation verdicts: every rule fires and precedence holds") {
+    import spark.implicits._
+    // One doc per verdict, built to hit exactly its rule:
+    //   good: long (>500 chars), distinct tokens, stopwords -> keep
+    //   its byte-identical copy -> exact_dup (even though novelty is 0:
+    //     precedence puts the digest check before the novelty one)
+    //   a 3-token doc -> too_short
+    //   a short all-unique no-stopword doc -> low_quality
+    //   two long high-quality docs differing only in a trailing token ->
+    //     both boilerplate (every/most 8-token window duplicated)
+    def longText(prefix: String) =
+      (1 to 70).map(i => s"$prefix$i").mkString(" ") +
+        " the and of to in is a " + (71 to 85).map(i => s"$prefix$i").mkString(" ")
+    val good = longText("g")
+    val boiler = longText("b")
+    val docs = Seq(
+      (1L, good), (2L, good),
+      (3L, "a b c"),
+      (4L, (1 to 20).map(i => s"q$i").mkString(" ")),
+      (5L, boiler), (6L, boiler + " tailtok")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cu").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Extensions.queries("text_curation")(spark, dir)
+      .select("doc_id", "verdict")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      (1L, "keep"), (2L, "exact_dup"), (3L, "too_short"),
+      (4L, "low_quality"), (5L, "boilerplate"), (6L, "boilerplate")))
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val pairs = Dedup.jaccardPairs(docs, 0.5).select("d1", "d2").collect()
     assume(pairs.nonEmpty)
