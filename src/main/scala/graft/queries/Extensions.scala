@@ -1615,6 +1615,64 @@ object Extensions {
        |SELECT doc_id, n_windows, n_dup, novelty FROM nv
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-source overlap matrix — the dataset-mixing diagnostic: for every
+    * pair of sources sharing at least one [[SpanK]]-token window, the count
+    * of distinct shared window hashes and the Jaccard overlap of the two
+    * sources' window-hash sets (exact integer ratio). The (hash, source)
+    * frame is DISTINCT before the self-join, so a hash joins at most
+    * n_sources rows against n_sources — per-hash fan-out is bounded by the
+    * (small) source count squared no matter how hot the window is, and the
+    * output is at most C(n_sources, 2) rows. Pairs with zero shared
+    * windows are absent (inner join). */
+  private val textOverlapMatrix: Q = (s, dir) => {
+    val wins = Tables.documents(s, dir)
+      .select(col("source"), expr("filter(split(text, ' '), x -> x != '')").as("t"))
+      .filter(size(col("t")) >= SpanK)
+      .select(col("source"),
+        explode(expr(
+          s"""transform(sequence(1, size(t) - ${SpanK - 1}),
+             |  i -> md5(concat_ws(' ', slice(t, i, $SpanK))))""".stripMargin))
+          .as("h"))
+      .distinct()
+    val perSrc = wins.groupBy("source").agg(count(lit(1)).as("n"))
+    wins.as("a").join(wins.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .join(perSrc.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(perSrc.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("shared_windows"),
+        (col("shared_windows").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_windows"))).as("overlap"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val textOverlapMatrixSql = {
+    val winConcat = (0 until SpanK).map(j => s"l[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT source, $toksSql AS l FROM documents
+       |), wins AS (
+       |  SELECT DISTINCT source, md5($winConcat) AS h
+       |  FROM toks, unnest(range(1, len(l) - ${SpanK - 2})) AS u(i)
+       |  WHERE len(l) >= $SpanK
+       |), per_src AS (
+       |  SELECT source, COUNT(*) AS n FROM wins GROUP BY source
+       |), shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_windows
+       |  FROM wins a JOIN wins b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT s.src_a, s.src_b,
+       |  pa.n AS n_a, pb.n AS n_b, s.shared_windows,
+       |  CAST(s.shared_windows AS DOUBLE) / (pa.n + pb.n - s.shared_windows)
+       |    AS overlap
+       |FROM shared s
+       |JOIN per_src pa ON s.src_a = pa.source
+       |JOIN per_src pb ON s.src_b = pb.source
+       |ORDER BY s.src_a, s.src_b""".stripMargin
+  }
+
   /** Curation verdict precedence thresholds ([[textCuration]]). */
   private val CurationQualityMin = 0.45
   private val CurationNoveltyMin = 0.5
@@ -1709,6 +1767,7 @@ object Extensions {
     "dedup_spans"         -> dedupSpans,
     "text_novelty"        -> textNovelty,
     "text_curation"       -> textCuration,
+    "text_overlap_matrix" -> textOverlapMatrix,
     "dedup_sorted_nbrs"   -> dedupSortedNeighbors,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
@@ -1759,6 +1818,7 @@ object Extensions {
     "dedup_spans"         -> dedupSpansSql,
     "text_novelty"        -> textNoveltySql,
     "text_curation"       -> textCurationSql,
+    "text_overlap_matrix" -> textOverlapMatrixSql,
     "dedup_sorted_nbrs"   -> dedupSortedNeighborsSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,

@@ -491,6 +491,28 @@ class DedupSpec extends SparkSpec {
       (4L, "low_quality"), (5L, "boilerplate"), (6L, "boilerplate")))
   }
 
+  test("source overlap matrix: shared-window counts and jaccard, no zero rows") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"ua ub uc ud ue $passage va vb vc vd ve", "srcA"),
+      (2L, s"wa wb wc $passage xa xb xc xd xe xf xg", "srcB"),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "), "srcC")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Extensions.queries("text_overlap_matrix")(spark, dir).collect()
+    // A and B share exactly the 3 windows inside the passage; C overlaps
+    // nothing and must be absent entirely (inner join, no zero rows)
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(0), r.getString(1)) == ("srcA", "srcB"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == (13L, 13L, 3L))
+    assert(r.getDouble(5) == 3.0 / 23)
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val pairs = Dedup.jaccardPairs(docs, 0.5).select("d1", "d2").collect()
     assume(pairs.nonEmpty)
