@@ -1481,9 +1481,10 @@ object Extensions {
        |WHERE gp.p1 <> gp.p2 OR m1.doc_id < m2.doc_id
        |ORDER BY d1, d2""".stripMargin
 
-  /** Window width (tokens) for [[dedupSpans]] — production substring dedup
-    * uses ~50; 8 keeps the fixtures' planted duplicates detectable. */
-  private val SpanK = 8
+  /** Window width (tokens) for [[dedupSpans]] and the novelty/curation
+    * family — see [[TextOps.WindowK]] (shared with streaming ingest
+    * curation so batch and stream agree on the window unit). */
+  private val SpanK = TextOps.WindowK
 
   /** Exact duplicated-substring spans — the training-data dedup that
     * removes repeated PASSAGES, not whole documents (the published method
@@ -1673,9 +1674,10 @@ object Extensions {
        |ORDER BY s.src_a, s.src_b""".stripMargin
   }
 
-  /** Curation verdict precedence thresholds ([[textCuration]]). */
-  private val CurationQualityMin = 0.45
-  private val CurationNoveltyMin = 0.5
+  /** Curation verdict precedence thresholds ([[textCuration]]) — shared
+    * with streaming ingest curation via [[TextOps]]. */
+  private val CurationQualityMin = TextOps.CurationQualityMin
+  private val CurationNoveltyMin = TextOps.CurationNoveltyMin
 
   /** One-pass corpus curation — the composed keep/drop decision a
     * training-data pipeline runs over every document, with the FIRST
@@ -1736,6 +1738,83 @@ object Extensions {
        |FROM base b JOIN canon c USING (h) LEFT JOIN nv USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Incremental curation ([[graft.streaming.IngestCuration.batchTwin]]):
+    * the hash-split 'train' fraction plays the accumulated corpus, the
+    * remaining 20% plays the arriving stream — each arriving doc gets the
+    * full curation verdict with FIRST-COPY-WINS incremental semantics
+    * (exact_dup on any earlier digest, corpus or stream; a window
+    * occurrence is non-novel iff seen in a corpus-canonical doc, an
+    * earlier canonical arrival, or an earlier position of the same doc).
+    * The streaming form over any batching lands this exact table —
+    * StreamingSpec proves it across a restart. */
+  private val textCurationInc: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val isEx = substring(md5(col("doc_id").cast("string")), 1, 12) <
+      graft.analytics.EventAnalytics.TrainBoundary
+    graft.streaming.IngestCuration.batchTwin(d.filter(isEx), d.filter(!isEx))
+  }
+
+  private val textCurationIncSql = {
+    val bd = graft.analytics.EventAnalytics.TrainBoundary
+    val split = s"substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '$bd'"
+    val winConcat = (0 until SpanK).map(j => s"l[i+$j]").mkString(" || ' ' || ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, text FROM documents WHERE $split
+       |), inc AS (
+       |  SELECT doc_id, text FROM documents WHERE NOT ($split)
+       |), exd AS (
+       |  SELECT DISTINCT md5(text) AS h FROM ex
+       |), exk AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS k FROM ex GROUP BY 1
+       |), ex_canon AS (
+       |  SELECT e.doc_id, e.text FROM ex e
+       |  JOIN exk ON md5(e.text) = exk.h AND e.doc_id = exk.k
+       |), ec_toks AS (
+       |  SELECT doc_id, $toksSql AS l FROM ex_canon
+       |), ecw AS (
+       |  SELECT DISTINCT md5($winConcat) AS h
+       |  FROM ec_toks, unnest(range(1, len(l) - ${SpanK - 2})) AS u(i)
+       |  WHERE len(l) >= $SpanK
+       |), inc_base AS (
+       |  SELECT doc_id, text, md5(text) AS h,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+       |    $qualityScalarSql AS quality_score
+       |  FROM inc
+       |), firsti AS (
+       |  SELECT h, min(doc_id) AS first_id FROM inc_base GROUP BY 1
+       |), flagged AS (
+       |  SELECT b.*, (exd.h IS NOT NULL OR b.doc_id > f.first_id) AS is_exact
+       |  FROM inc_base b
+       |  LEFT JOIN exd ON b.h = exd.h
+       |  JOIN firsti f ON b.h = f.h
+       |), ic_toks AS (
+       |  SELECT doc_id, $toksSql AS l FROM flagged WHERE NOT is_exact
+       |), occ AS (
+       |  SELECT o.doc_id, o.pos, o.h,
+       |    (ecw.h IS NOT NULL) AS in_idx,
+       |    row_number() OVER (PARTITION BY o.h ORDER BY o.doc_id, o.pos) AS rn
+       |  FROM (
+       |    SELECT doc_id, CAST(i AS BIGINT) AS pos, md5($winConcat) AS h
+       |    FROM ic_toks, unnest(range(1, len(l) - ${SpanK - 2})) AS u(i)
+       |    WHERE len(l) >= $SpanK
+       |  ) o LEFT JOIN ecw ON o.h = ecw.h
+       |), nv AS (
+       |  SELECT doc_id, COUNT(*) AS n_windows,
+       |    SUM(CASE WHEN in_idx OR rn > 1 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM occ GROUP BY doc_id
+       |)
+       |SELECT f.doc_id, f.n_toks, f.quality_score,
+       |  CAST(nv.n_windows - nv.n_dup AS DOUBLE) / nv.n_windows AS novelty,
+       |  CASE WHEN f.n_toks < $SpanK THEN 'too_short'
+       |       WHEN f.is_exact THEN 'exact_dup'
+       |       WHEN f.quality_score < ${TextOps.CurationQualityMin} THEN 'low_quality'
+       |       WHEN (CAST(nv.n_windows - nv.n_dup AS DOUBLE) / nv.n_windows)
+       |            < ${TextOps.CurationNoveltyMin} THEN 'boilerplate'
+       |       ELSE 'keep' END AS verdict
+       |FROM flagged f LEFT JOIN nv USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_stats"          -> textStats,
@@ -1768,6 +1847,7 @@ object Extensions {
     "text_novelty"        -> textNovelty,
     "text_curation"       -> textCuration,
     "text_overlap_matrix" -> textOverlapMatrix,
+    "text_curation_inc"   -> textCurationInc,
     "dedup_sorted_nbrs"   -> dedupSortedNeighbors,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
@@ -1819,6 +1899,7 @@ object Extensions {
     "text_novelty"        -> textNoveltySql,
     "text_curation"       -> textCurationSql,
     "text_overlap_matrix" -> textOverlapMatrixSql,
+    "text_curation_inc"   -> textCurationIncSql,
     "dedup_sorted_nbrs"   -> dedupSortedNeighborsSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,

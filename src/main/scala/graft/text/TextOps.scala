@@ -18,6 +18,19 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** Sliding-window width (tokens) shared by the substring-dedup /
+    * novelty / curation family (`dedup_spans`, `text_novelty`,
+    * `text_curation`, `text_overlap_matrix`, streaming ingest curation).
+    * Production substring dedup uses ~50; 8 keeps the fixtures' planted
+    * duplicates detectable. */
+  val WindowK = 8
+
+  /** Curation thresholds shared by the batch verdict query
+    * (`text_curation`) and streaming ingest curation: drop below these on
+    * the composite quality score / n-gram novelty respectively. */
+  val CurationQualityMin = 0.45
+  val CurationNoveltyMin = 0.5
+
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * other non-space chars. DuckDB twin:
     * `len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))`. */

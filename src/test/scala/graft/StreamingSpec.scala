@@ -432,6 +432,56 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("end-to-end ingest curation: verdicts survive a mid-stream restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_icur").toString
+    def good(prefix: String) =
+      (1 to 70).map(i => s"$prefix$i").mkString(" ") +
+        " the and of to in is a " + (71 to 85).map(i => s"$prefix$i").mkString(" ")
+    val corpus = Seq((1L, good("c")), (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    graft.streaming.IngestCuration.writeIndex(corpus, s"$dir/idx")
+    val stream = MemoryStream[(Long, String)]
+    def start() = graft.streaming.IngestCuration.start(
+      stream.toDS().toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    val all = Seq(
+      10L -> good("c"),               // corpus exact dup
+      11L -> good("n"),               // fresh, high quality -> keep
+      12L -> good("n"),               // stream exact dup of 11
+      13L -> (good("c") + " tailtok"),// corpus near-copy -> boilerplate
+      14L -> (good("n") + " tailtok"),// near-copy of 11 ACROSS the restart
+      15L -> "a b c",                 // too_short
+      16L -> (1 to 20).map(i => s"q$i").mkString(" "), // low_quality
+      17L -> good("z"))               // fresh -> keep
+    val q1 = start()
+    stream.addData(all.take(2): _*)
+    q1.processAllAvailable()
+    stream.addData(all.slice(2, 4): _*)
+    q1.processAllAvailable()
+    q1.stop() // crash/deploy boundary: offsets live in the checkpoint
+    val q2 = start()
+    try {
+      stream.addData(all.drop(4): _*)
+      q2.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> ((
+        r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getString(4)))
+      val got = spark.read.parquet(s"$dir/state/flags").collect().map(key).toMap
+      // spot semantics, incl. the cross-restart novelty probe: doc 14's
+      // boilerplate verdict requires doc 11's windows from the PRE-restart
+      // stream_wins table
+      assert(got(10L)._3 == "exact_dup" && got(12L)._3 == "exact_dup")
+      assert(got(13L)._3 == "boilerplate" && got(14L)._3 == "boilerplate")
+      assert(got(15L)._3 == "too_short" && got(16L)._3 == "low_quality")
+      assert(got(11L)._3 == "keep" && got(17L)._3 == "keep")
+      // the whole table equals the one-shot batch twin on the same data
+      val twin = graft.streaming.IngestCuration.batchTwin(
+          corpus, all.toDF("doc_id", "text")).collect().map(key).toMap
+      assert(got == twin, s"stream flags != batch twin\n$got\n$twin")
+    } finally q2.stop()
+  }
+
   test("upsert sink recovers prior state from a crash mid-swap") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rec").toString
