@@ -419,6 +419,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("window-hash family: partial aggregation, no nested-loop or cartesian") {
+    // the substring/novelty/curation/overlap family's only heavy stage is
+    // the corpus-wide count on the window hash — it must plan as a
+    // partial (map-side) HashAggregate before the exchange, and none of
+    // the joins (dup filter, canon digest, overlap self-join) may fall
+    // back to a nested loop or cartesian
+    Seq("dedup_spans", "text_novelty", "text_curation",
+        "text_overlap_matrix", "text_curation_inc").foreach { q =>
+      val plan = graft.queries.Extensions.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_"),
+        s"$q: no partial aggregate\n$plan")
+    }
+  }
+
   test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     val ivf = graft.sim.VectorOps.ivfTopK(emb, 0L, 10)
