@@ -87,7 +87,13 @@ object CorpusOps {
     * fixed-size training corpus is actually cut from a larger pool. The
     * order must be total (pass a tie-breaking id as the last `orderCols`
     * entry) or the kept set is not deterministic. One partitioned window +
-    * a filter; the budget cut needs no second pass. */
+    * a filter; the budget cut needs no second pass.
+    *
+    * WARNING: empty `strataCols` builds a GLOBAL ordered window — one task,
+    * `Exchange SinglePartition`, the engine's canonical scale-killer. It
+    * exists only as the small-data/parity form; every registered query
+    * passes strata (q_token_budget strata = lang). A single global budget
+    * at scale should rank via [[graft.queries.DistributedRank]] first. */
   def tokenBudget(df: DataFrame, tokensCol: Column, budget: Long,
                   orderCols: Seq[Column],
                   strataCols: Seq[Column]): DataFrame = {
@@ -157,7 +163,11 @@ object CorpusOps {
     * streaming-packing convention). One window + one aggregate; partition
     * the window by a shard column at scale (packing is per-shard there,
     * which is also what a distributed trainer wants). Returns per-bin
-    * (bin_id, n_docs, total_tokens, first_id, last_id). */
+    * (bin_id, n_docs, total_tokens, first_id, last_id).
+    *
+    * WARNING: empty `partitionCols` builds a GLOBAL ordered window — one
+    * task, `Exchange SinglePartition`; small-data/parity form only. Every
+    * registered query passes a shard column (q_pack_sequences = lang). */
   def packSequences(df: DataFrame, idCol: Column, tokensCol: Column,
                     binTokens: Long,
                     partitionCols: Seq[String] = Nil): DataFrame = {

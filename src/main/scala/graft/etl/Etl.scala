@@ -162,15 +162,26 @@ object DeFiSwapParser {
   * over a 100-row frame. The reference's global sort becomes a Spark window;
   * `orderCols` lets callers add a unique tiebreaker so frames are
   * deterministic under block_number ties (pandas' stable sort equivalent).
-  * At scale, pass a `partitionCol` (e.g. chain_id or a date bucket) to keep
-  * the window out of a single partition.
+  *
+  * The global-order window is computed DISTRIBUTED by default (halo
+  * exchange, [[graft.queries.DistributedRolling]]) — bit-identical to the
+  * single-partition `Window.orderBy` form, but parallel; the empty
+  * `Window.partitionBy()` plan was the engine's #1 scale-killer (one task,
+  * O(n·w) exact-percentile recompute). Pass `partitionCols` (e.g. chain_id
+  * or a date bucket) when the DOMAIN semantics shard the frame, or
+  * `distribute = false` for the plain global window (streaming-safe /
+  * tiny-data; also chosen automatically for streaming frames, which cannot
+  * run the eager rank pass).
   */
 object TransactionFeatureEngineer {
 
   val RollingWindow = 100
 
-  def engineer(tx: DataFrame, orderCols: Seq[String] = Seq("block_number", "nonce"),
-               partitionCols: Seq[String] = Nil): DataFrame = {
+  /** Per-row derived features only (no window) — the cheap prefix of
+    * [[engineer]]. Callers that never read `gas_p90`/`is_high_priority`
+    * (per-block aggregation, MEV scoring) use this to keep the rolling
+    * window out of their plan entirely. */
+  def engineerBase(tx: DataFrame): DataFrame = {
     // Mirror the reference's column-presence gating (etl_pipeline.py:203-233):
     // each feature is derived only when its source column exists.
     val cols = tx.columns.toSet
@@ -189,16 +200,30 @@ object TransactionFeatureEngineer {
           coalesce(element_at(typedlit(Envelope.TokenStandards), col("fn_selector")),
             lit("unknown")))
         .withColumn("is_defi_tx", col("fn_name") =!= "unknown")
+    df
+  }
 
+  def engineer(tx: DataFrame, orderCols: Seq[String] = Seq("block_number", "nonce"),
+               partitionCols: Seq[String] = Nil,
+               distribute: Boolean = true): DataFrame = {
+    val cols = tx.columns.toSet
+    if (cols.isEmpty) return tx
+    var df = engineerBase(tx)
     if (cols("gas_price")) {
-      val w0 = if (partitionCols.isEmpty) Window.partitionBy()
-               else Window.partitionBy(partitionCols.map(col): _*)
       val order = orderCols.filter(cols)
-      val w = w0.orderBy(order.map(col): _*)
-        .rowsBetween(-(RollingWindow - 1), Window.currentRow)
-      df = df
-        .withColumn("gas_p90", percentile(col("gas_price_gwei"), lit(0.9)).over(w))
-        .withColumn("is_high_priority", col("gas_price_gwei") > col("gas_p90"))
+      def features(w: org.apache.spark.sql.expressions.WindowSpec) = Seq(
+        "gas_p90" -> percentile(col("gas_price_gwei"), lit(0.9)).over(w),
+        "is_high_priority" -> (col("gas_price_gwei") > col("gas_p90")))
+      df =
+        if (partitionCols.isEmpty && distribute && !tx.isStreaming && order.nonEmpty)
+          graft.queries.DistributedRolling.withRolling(df, order, RollingWindow)(features)
+        else {
+          val w0 = if (partitionCols.isEmpty) Window.partitionBy()
+                   else Window.partitionBy(partitionCols.map(col): _*)
+          val w = w0.orderBy(order.map(col): _*)
+            .rowsBetween(-(RollingWindow - 1), Window.currentRow)
+          features(w).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+        }
     }
     df
   }

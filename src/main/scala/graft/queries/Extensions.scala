@@ -1240,6 +1240,31 @@ object Extensions {
     * The remaining scale lever is the key itself (finer buckets as the
     * corpus grows), which the paragraph above already frames as part of
     * the operator's definition on both engines. */
+  /** Distinct-prefix count above which a plain-[[dedupFuzzy]] block is
+    * flagged as quadratic-hot: a block of b distinct prefixes prices b²/2
+    * Levenshtein DPs, so 20k prefixes ≈ 2·10⁸ banded DPs per block — the
+    * point where [[dedupFuzzyBounded]]'s windowed form is the right tool. */
+  private[graft] val FuzzyGuardBlock = 20000L
+
+  /** Loud guard for the documented quadratic (plain fuzzy ER is O(Σ block²)
+    * by construction — PROFILE.md round 6 measured 31× at 10× rows).
+    * Returns the max distinct-prefix block size and warns on stderr above
+    * `cap`, pointing at the bounded twin. One cheap count pass — noise next
+    * to the DP it predicts. */
+  private[graft] def fuzzyBlockGuard(groups: DataFrame,
+                                     cap: Long = FuzzyGuardBlock): Long = {
+    val r = groups.groupBy("lang", "bucket", "c1").count()
+      .agg(max(col("count"))).collect()(0)
+    val maxBlock = if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (maxBlock > cap)
+      System.err.println(
+        s"[graft] WARNING: dedup_fuzzy block with $maxBlock distinct prefixes " +
+          s"(cap $cap): the all-pairs DP inside it is quadratic. Use " +
+          "dedup_fuzzy_bounded (block-capped, O(n·w)) above ~1M rows per " +
+          "block key — see DEPLOY.md.")
+    maxBlock
+  }
+
   private val dedupFuzzy: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
@@ -1250,6 +1275,7 @@ object Extensions {
       .groupBy(col("lang"), col("bucket"),
         substring(col("prefix"), 1, 1).as("c1"), col("prefix"))
       .agg(min(col("doc_id")).as("pid"))
+    fuzzyBlockGuard(groups)
     val members = groups.select(col("lang"), col("bucket"), col("c1"),
       col("prefix"), col("pid"))
       .join(d, Seq("lang", "bucket", "prefix"))
@@ -1496,11 +1522,16 @@ object Extensions {
     * linear in corpus tokens — keep windows seen at least twice anywhere
     * (second copy in the same doc counts, as in the suffix-array method),
     * then merge each doc's runs of consecutive duplicated windows into
-    * maximal spans with the islands trick (pos − row_number() is constant
-    * within a consecutive run). Returns one row per maximal duplicated
-    * span: (doc_id, span_start, span_end, span_tokens), token positions
-    * 1-based inclusive. At 100 TB every stage is a scan, one hash-shuffle
-    * agg, and a per-doc window — nothing quadratic, nothing global. */
+    * spans with the islands trick (pos − row_number() is constant within a
+    * consecutive run), and finally interval-merge spans that still overlap
+    * or touch in TOKEN space (two duplicated windows whose positions differ
+    * by a gap in (1, K) land in different islands but cover overlapping
+    * tokens — without the merge, summing span_tokens double-counts them).
+    * Returns one row per maximal duplicated span: (doc_id, span_start,
+    * span_end, span_tokens), token positions 1-based inclusive, spans
+    * disjoint and non-adjacent per doc. At 100 TB every stage is a scan,
+    * one hash-shuffle agg, and a per-doc window — nothing quadratic,
+    * nothing global. */
   private val dedupSpans: Q = (s, dir) => {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("t"))
@@ -1516,11 +1547,26 @@ object Extensions {
       .filter(col("c") >= 2).select("h")
     val islandW = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    wins.join(dup, Seq("h"))
+    val spans = wins.join(dup, Seq("h"))
       .withColumn("island", col("pos") - row_number().over(islandW))
       .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(SpanK - 1).cast("long")).as("span_end"))
+    // interval-merge: islands whose window positions differ by a gap in
+    // (1, K) overlap in token space; chain spans while each starts at or
+    // before the running max end + 1 (classic gaps-and-islands cumsum)
+    val mergeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+    val prevEnd = max(col("span_end"))
+      .over(mergeW.rowsBetween(Long.MinValue, -1))
+    spans
+      .withColumn("brk",
+        when(prevEnd.isNull || col("span_start") > prevEnd + 1L, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk"))
+        .over(mergeW.rowsBetween(Long.MinValue, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("span_start")).as("span_start"),
+        max(col("span_end")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
       .orderBy("doc_id", "span_start")
@@ -1540,11 +1586,26 @@ object Extensions {
        |  SELECT doc_id, pos,
        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |  FROM wins JOIN dup USING (h)
+       |), sp AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |    max(pos) + ${SpanK - 1} AS span_end
+       |  FROM isl GROUP BY doc_id, island
+       |), pe AS (
+       |  SELECT doc_id, span_start, span_end,
+       |    MAX(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM sp
+       |), mg AS (
+       |  SELECT doc_id, span_start, span_end,
+       |    SUM(CASE WHEN prev_end IS NULL OR span_start > prev_end + 1
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY span_start
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM pe
        |)
-       |SELECT doc_id, min(pos) AS span_start,
-       |  max(pos) + ${SpanK - 1} AS span_end,
-       |  max(pos) + ${SpanK - 1} - min(pos) + 1 AS span_tokens
-       |FROM isl GROUP BY doc_id, island
+       |SELECT doc_id, min(span_start) AS span_start, max(span_end) AS span_end,
+       |  max(span_end) - min(span_start) + 1 AS span_tokens
+       |FROM mg GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
   }
 

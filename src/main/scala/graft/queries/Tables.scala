@@ -48,8 +48,17 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as longs
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => // TIMESTAMP(MICROS): read as NTZ; align to TimestampType
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
+        // TIMESTAMP(MICROS): read as NTZ; align to TimestampType
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // a third fixture vintage must fail loudly, not silently cast to
+        // nulls (an open-ended `case _` would) — new physical types need a
+        // deliberate normalization branch here
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; " +
+            "add an explicit normalization branch in Tables.events")
     }
   }
 }

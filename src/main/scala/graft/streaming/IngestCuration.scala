@@ -19,7 +19,10 @@ import graft.text.TextOps
   *
   *  - `exact_dup`: the digest was seen in the corpus OR in an earlier
   *    arriving doc (smaller doc_id — with ingest-monotone ids, arrival
-  *    order).
+  *    order). Monotonicity is ENFORCED per batch, not assumed: a batch
+  *    containing an unseen doc_id at or below the max already-flagged id
+  *    fails loudly (crash replays still pass — their ids are already
+  *    flagged).
   *  - novelty: a window occurrence is NON-novel iff its hash was seen in
   *    a corpus-canonical doc, in an EARLIER canonical arriving doc, or at
   *    an earlier position of the same doc. The first-ever occurrence of a
@@ -167,6 +170,29 @@ object IngestCuration {
     val streamWins = readOr(s"$stateDir/stream_wins", emptyFirst)
 
     val base0 = scored(batch)
+
+    // Monotone-id guard — the replay-safety precondition, ENFORCED rather
+    // than assumed: the first-copy-wins guards compare doc_id to stored
+    // first_id, so a genuinely out-of-order source would silently diverge
+    // from batchTwin. A fresh doc's id must exceed every id already
+    // flagged; a crash-replayed batch still passes (its ids are already in
+    // flags — the anti-join removes them), so exactly-once restart is
+    // unaffected. Cost: one scalar max + one indexed anti-join per batch.
+    val priorIds = readOr(s"$stateDir/flags",
+      spark.range(0).select(col("id").as("doc_id"))).select("doc_id")
+    val maxSeenRow = priorIds.agg(max(col("doc_id"))).collect()(0)
+    if (!maxSeenRow.isNullAt(0)) {
+      val maxSeen = maxSeenRow.getLong(0)
+      val outOfOrder = base0.select("doc_id")
+        .filter(col("doc_id") <= maxSeen)
+        .join(priorIds, Seq("doc_id"), "left_anti")
+        .limit(1).count()
+      require(outOfOrder == 0L,
+        s"IngestCuration requires doc_ids monotone across micro-batches: " +
+          s"batch contains unseen doc_id <= max flagged id $maxSeen " +
+          "(out-of-order source). Re-key or buffer the source; see scaladoc.")
+    }
+
     val wInBatch = Window.partitionBy("h").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val base = base0

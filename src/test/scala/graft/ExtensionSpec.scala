@@ -522,6 +522,37 @@ class DedupSpec extends SparkSpec {
     val hamming = sh(d1).zip(sh(d2)).count { case (a, b) => a != b }
     assert(hamming <= 4, s"near-dup pair hamming=$hamming")
   }
+
+  test("fuzzy block guard measures the hot block and trips on oversize") {
+    import spark.implicits._
+    // 3 distinct prefixes in block (en,1,'a'), 1 in (de,1,'b')
+    val groups = Seq(
+      ("en", 1L, "a", "apple one", 1L), ("en", 1L, "a", "apple two", 2L),
+      ("en", 1L, "a", "apple six", 3L), ("de", 1L, "b", "birne", 4L))
+      .toDF("lang", "bucket", "c1", "prefix", "pid")
+    assert(Extensions.fuzzyBlockGuard(groups) == 3L) // silent under cap
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(err) { // cap 2 → the (en,1,a) block trips the loud path
+      assert(Extensions.fuzzyBlockGuard(groups, cap = 2L) == 3L)
+    }
+    assert(Extensions.fuzzyBlockGuard(groups.limit(0)) == 0L)
+  }
+
+  test("dedup_spans rows are maximal: disjoint, non-adjacent per doc") {
+    val spans = Extensions.queries("dedup_spans")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(spans.nonEmpty)
+    spans.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(s2 > e1 + 1, s"overlapping/adjacent spans: end=$e1 next=$s2")
+        case _ => ()
+      }
+      sorted.foreach { case (s, e) => assert(e >= s) }
+    }
+    spark.catalog.clearCache()
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

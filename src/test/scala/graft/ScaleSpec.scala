@@ -133,6 +133,64 @@ class ScaleSpec extends SparkSpec {
     assert(p0.toSeq == s0.toSeq)
   }
 
+  test("halo-exchange rolling == the single-partition global window, bit-for-bit") {
+    // the DEFAULT path for the reference's global rolling windows
+    // (DistributedRolling): rank blocks + (w−1)-row ghosts must reproduce
+    // the Window.partitionBy() result exactly, with no single-partition
+    // exchange anywhere in the window stage
+    import graft.etl.{EventEnvelopes, Ingest, TransactionFeatureEngineer}
+    val tx = Ingest.parseRaw(
+        EventEnvelopes.txEnvelopes(Tables.events(spark, dir)))
+      .filter(col("event_type") === "transaction")
+      .select(col("payload.*"), col("block_number"),
+        col("block_timestamp"), col("chain_id"))
+    val cols = Seq("block_number", "nonce", "gas_p90", "is_high_priority")
+    val dist = TransactionFeatureEngineer.engineer(tx)
+    val glob = TransactionFeatureEngineer.engineer(tx, distribute = false)
+      .select(cols.head, cols.tail: _*).orderBy("block_number", "nonce")
+    assert(dist.select(cols.head, cols.tail: _*)
+      .orderBy("block_number", "nonce").collect().toSeq == glob.collect().toSeq)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
+
+    val returns = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("idx"), (col("value") / 300.0 - 0.5).as("r"))
+    val m = new graft.model.HistoricalVaR(returns, "r")
+    val dVar = m.rollingVar(window = 30)
+    val gVar = m.rollingVar(window = 30, distribute = false)
+      .select("idx", "rolling_var").orderBy("idx").collect()
+    assert(dVar.select("idx", "rolling_var").orderBy("idx").collect()
+      .toSeq == gVar.toSeq)
+    assert(!dVar.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition"))
+  }
+
+  test("DistributedRolling survives adversarial shapes (ties, w=1, w>n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties in the leading order column (10 rows per key) exercise
+    // bucket boundaries; 257 rows ≠ any block-size multiple
+    val df = (1 to 257).map(i =>
+      (i.toLong / 10, i.toLong, (i * 37 % 101).toDouble))
+      .toDF("k", "id", "v").repartition(7)
+    for (w <- Seq(1, 3, 100, 400)) {
+      val dist = graft.queries.DistributedRolling
+        .withRolling(df, Seq("k", "id"), w)(ws => Seq(
+          "p90" -> percentile(col("v"), lit(0.9)).over(ws),
+          "cnt" -> count(col("v")).over(ws)))
+        .orderBy("id").collect()
+      val gw = Window.orderBy(col("k"), col("id"))
+        .rowsBetween(-(w - 1), Window.currentRow)
+      val exp = df
+        .withColumn("p90", percentile(col("v"), lit(0.9)).over(gw))
+        .withColumn("cnt", count(col("v")).over(gw))
+        .orderBy("id").collect()
+      assert(dist.toSeq == exp.toSeq, s"window=$w")
+    }
+  }
+
   test("salting spreads a skewed key across subkeys and recombines exactly") {
     import spark.implicits._
     // heavily skewed: 90% of rows share key 0
