@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 coverage batch: graph triangle counting (degree-ordered, the
+  * scale-correct orientation algorithm) and exact heavy hitters over the
+  * document token stream (the oracle-checked twin of the mergeable
+  * Misra–Gries sketch in [[graft.functions.MisraGriesAgg]]).
+  */
+object Relational4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic doc graph shared with `q_pagerank`'s chain, thickened
+    * with skip links so triangles exist: within each 50-doc block,
+    * undirected edges u—u+1 and u—u+2 (canonical u < v). Every interior
+    * block position closes the triangle (u, u+1, u+2). */
+  private def docEdges(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    def shift(d: Int): DataFrame =
+      ids.as("x")
+        .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + d)
+        .filter(col("x.doc_id") % 50 <= lit(50 - 1 - d))
+        .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
+    shift(1).union(shift(2))
+  }
+
+  private val docEdgesCte =
+    """e AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+      |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 50 <= 48
+      |  UNION ALL
+      |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+      |  JOIN documents b ON b.doc_id = a.doc_id + 2 WHERE a.doc_id % 50 <= 47
+      |)""".stripMargin
+
+  /** Per-node triangle counts via degree-ordered orientation — the
+    * algorithm that survives power-law graphs at scale. A naive triangle
+    * join enumerates every wedge at every node: a celebrity node of degree
+    * d contributes d² wedge rows, so one hot vertex with 10M followers
+    * yields 10¹⁴ intermediate rows. Orienting every edge from its
+    * lower-(degree, id) endpoint to the higher one makes each vertex's
+    * out-degree O(√m) on ANY graph (arboricity bound), so the wedge
+    * self-join — the only superlinear step — is bounded by m^(3/2) total
+    * and no single key explodes. Three hash shuffles (degree count, wedge
+    * join, closing-edge semi-join), no driver state.
+    *
+    * Each triangle is produced exactly once: its closing edge is oriented
+    * one specific way, so of the two wedge rows (a;b,c)/(a;c,b) only the
+    * one matching that orientation joins.
+    *
+    * The oracle twin counts the same triangles by canonical id order
+    * (u < v < w) — a different enumeration of the same set, so agreement
+    * is a genuine cross-check of the orientation logic, not an echo. */
+  private val triangles: Q = (s, dir) => {
+    val edges = docEdges(s, dir)
+    val deg = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
+    val du = deg.select(col("id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val tri = wedges.join(oriented,
+      col("b") === col("src") && col("c") === col("dst"), "left_semi")
+
+    tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+      .groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .select(col("doc_id"), col("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  private val trianglesSql =
+    s"""WITH $docEdgesCte, tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.u = e1.v
+       |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+       |)
+       |SELECT id AS doc_id, COUNT(*) AS n_triangles
+       |FROM (SELECT a AS id FROM tri
+       |      UNION ALL SELECT b FROM tri
+       |      UNION ALL SELECT c FROM tri)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact heavy hitters: tokens whose frequency exceeds n/64 of the
+    * corpus token stream — the stopword-mining / hot-key-detection pass,
+    * and the oracle-checked ground truth for the Misra–Gries sketch
+    * (MisraGriesSpec proves the sketch's superset-and-bounds guarantee
+    * against exactly this computation). One explode + one partial/final
+    * hash agg; the threshold compare is kept in exact integer form
+    * (tf·64 > n, never a double division) on both engines, as is the
+    * reported ppm share (integer div). */
+  private val heavyHitters: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    // total token count re-aggregated from the (vocab-sized) counts frame,
+    // not a second pass over the exploded stream
+    val total = counts.agg(sum(col("tf")).as("n"))
+    counts.join(broadcast(total))
+      .filter(col("tf") * 64 > col("n"))
+      .select(col("token"), col("tf"),
+        expr("tf * 1000000 div n").as("share_ppm"))
+      .orderBy(desc("tf"), col("token"))
+  }
+
+  private val heavyHittersSql =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS token
+      |  FROM documents
+      |), tot AS (SELECT COUNT(*) AS n FROM tok),
+      |cnt AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1)
+      |SELECT token, tf, (tf * 1000000) // (SELECT n FROM tot) AS share_ppm
+      |FROM cnt WHERE tf * 64 > (SELECT n FROM tot)
+      |ORDER BY tf DESC, token""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_triangles"         -> triangles,
+    "text_heavy_hitters"  -> heavyHitters,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_triangles"         -> trianglesSql,
+    "text_heavy_hitters"  -> heavyHittersSql,
+  )
+}

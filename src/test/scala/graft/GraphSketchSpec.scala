@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MisraGriesFunctions
+import graft.queries.{Relational4, Tables}
+
+/** Round-7 additions: degree-ordered triangle counting and the mergeable
+  * Misra–Gries heavy-hitters sketch. */
+class TriangleSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("per-node triangle counts match the closed-form block structure") {
+    // graph: within each 50-doc block, edges u—u+1 and u—u+2; triangles
+    // are exactly (u, u+1, u+2) for block positions 0..47. A node at block
+    // position p belongs to the triangles starting at p, p-1, p-2 (clamped
+    // to [0, 47]) — 3 for interior nodes, fewer at block edges.
+    val rows = Relational4.queries("q_triangles")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(nDocs % 50 === 0, "closed form below assumes complete 50-doc blocks")
+    for (id <- 0L until nDocs) {
+      val p = (id % 50).toInt
+      val expected = ((math.min(p, 47) - math.max(p - 2, 0)) + 1).toLong
+      assert(rows.getOrElse(id, 0L) === expected,
+        s"doc $id (block pos $p): got ${rows.getOrElse(id, 0L)}, want $expected")
+    }
+    // total triangle incidence = 3 triangles × 48 per block × #blocks
+    assert(rows.values.sum === 3L * 48L * (nDocs / 50))
+  }
+
+  test("wedge join is bounded by the orientation: no node explodes") {
+    // every vertex has degree ≤ 4 here, so oriented out-degree ≤ 4 — the
+    // point of the test is the per-triangle-once invariant: recount with
+    // naive u<v<w enumeration and compare
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def shift(d: Int) = docs.as("x")
+      .join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + d)
+      .filter(col("x.doc_id") % 50 <= lit(50 - 1 - d))
+      .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"))
+    val e = shift(1).union(shift(2)).cache()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"),
+        "left_semi")
+      .count()
+    val engineTotal = Relational4.queries("q_triangles")(spark, dir)
+      .agg(sum("n_triangles")).collect()(0).getLong(0)
+    assert(engineTotal === 3L * tri) // each triangle counted at 3 nodes
+    e.unpersist()
+  }
+}
+
+class MisraGriesSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tokenStream = Tables.documents(spark, dir)
+    .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+
+  test("MG guarantee: superset of true heavy hitters, estimates within n/(k+1)") {
+    MisraGriesFunctions.register(spark)
+    val exact = tokenStream.groupBy("token").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    for (k <- Seq(4, 16, 64); parts <- Seq(1, 3, 7)) {
+      val sketch = tokenStream.repartition(parts)
+        .agg(MisraGriesFunctions.misraGries(col("token"), k).as("mg"))
+        .collect()(0).getMap[String, Long](0)
+      val bound = n / (k + 1)
+      // 1. every item with true frequency > n/(k+1) survives every
+      //    partitioning/merge order
+      for ((tok, tf) <- exact if tf > bound)
+        assert(sketch.contains(tok),
+          s"k=$k parts=$parts: heavy hitter '$tok' (tf=$tf > $bound) missing")
+      // 2. estimates are lower bounds, short by at most n/(k+1)
+      for ((tok, est) <- sketch) {
+        val tf = exact(tok)
+        assert(est <= tf, s"k=$k parts=$parts: '$tok' overcounted $est > $tf")
+        assert(est >= tf - bound,
+          s"k=$k parts=$parts: '$tok' est=$est below $tf - $bound")
+      }
+      // 3. bounded buffer
+      assert(sketch.size <= k)
+    }
+  }
+
+  test("exact heavy-hitters query agrees with a driver-side recount") {
+    val hh = Relational4.queries("text_heavy_hitters")(spark, dir).collect()
+    val exact = tokenStream.groupBy("token").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val expected = exact.filter { case (_, tf) => tf * 64 > n }
+    assert(hh.map(_.getString(0)).toSet === expected.keySet)
+    for (r <- hh) {
+      assert(r.getLong(1) === expected(r.getString(0)))
+      assert(r.getLong(2) === r.getLong(1) * 1000000L / n)
+    }
+    // ordered by tf desc then token
+    val pairs = hh.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(pairs === pairs.sorted)
+  }
+}
