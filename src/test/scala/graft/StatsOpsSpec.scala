@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.{Relational5, Tables}
+
+/** Round-7 statistics batch: plan-shape guards (no single-task prefix sums)
+  * and semantic cross-checks of the two-phase forms against naive
+  * global-window twins. The DuckDB oracle is the value gate; these specs pin
+  * the SCALE properties the oracle can't see. */
+class StatsOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_concurrency two-phase carry-in matches the naive per-type sweep") {
+    import spark.implicits._
+    val twoPhase = Relational5.queries("q_concurrency")(spark, dir)
+      .as[(String, Long, java.sql.Timestamp)].collect().toSeq
+    // naive twin: one running sum per event_type over the full delta stream
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+        (col("event_id") % 600 + 300).as("dur"))
+    val deltas = ev.select(col("event_type"), col("ts").as("t"), lit(1).as("d"))
+      .union(ev.select(col("event_type"),
+        expr("timestampadd(SECOND, dur, ts)").as("t"), lit(-1).as("d")))
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = deltas.withColumn("running", sum("d").over(w))
+    val peak = r.groupBy("event_type").agg(max("running").as("peak"))
+    val naive = r.join(peak, Seq("event_type"))
+      .filter(col("running") === col("peak"))
+      .groupBy("event_type", "peak").agg(min("t").as("peak_at"))
+      .orderBy("event_type")
+      .as[(String, Long, java.sql.Timestamp)].collect().toSeq
+    assert(twoPhase == naive)
+  }
+
+  test("q_concurrency and q_ks_test never feed a Window from one partition") {
+    // q_ks_test legitimately ends in a scalar aggregate (its final stage
+    // merges #partitions partial rows through one task) — the anti-pattern
+    // is a WINDOW whose child sort collapsed to a single partition, which
+    // is all-rows-through-one-task. Assert no Window/Sort/Exchange
+    // SinglePartition chain exists in either plan.
+    val globalWindow =
+      "Window[^\\n]*\\n\\s*[+:]- Sort[^\\n]*\\n\\s*[+:]- Exchange SinglePartition".r
+    Seq("q_concurrency", "q_ks_test").foreach { name =>
+      val df = Relational5.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$name:\n$plan")
+      if (name == "q_concurrency")
+        assert(!plan.contains("Exchange SinglePartition"), s"$name:\n$plan")
+    }
+  }
+
+  test("q_ks_test matches a single-window ECDF twin and is bounded") {
+    import spark.implicits._
+    val (ksD, n1, n2) = Relational5.queries("q_ks_test")(spark, dir)
+      .as[(Double, Long, Long)].collect().head
+    assert(ksD >= 0.0 && ksD <= 1.0)
+    // naive twin: global-window cumulative counts (test scale only)
+    val f = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = f.withColumn("s1", sum("c1").over(w))
+      .withColumn("s2", sum("c2").over(w))
+      .agg(max(abs(col("s1") * n2 - col("s2") * n1)).as("dnum"))
+      .select(round(col("dnum") / (1.0 * n1 * n2), 6))
+      .as[Double].collect().head
+    assert(ksD == naive)
+  }
+
+  test("runtime bloom filter is injected above the fact scan") {
+    val df = Relational5.queries("q_runtime_filter")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("weighted median: hand-computed fixture") {
+    import spark.implicits._
+    // weights: value 1 w=1, value 2 w=2, value 3 w=1 -> total 4, half 2;
+    // cum at v=2 is 3 >= 2 -> lower weighted median = 2
+    val df = Seq(("A", 1.0, 1.0), ("A", 2.0, 2.0), ("A", 3.0, 1.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val g = df.groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(sum("l_quantity").as("w"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("l_returnflag")
+    val med = g.withColumn("cw", sum("w").over(wc))
+      .withColumn("tw", sum("w").over(wt))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag").agg(min("v").as("w_median"))
+      .as[(String, Double)].collect().head
+    assert(med == (("A", 2.0)))
+  }
+
+  test("bigram PMI output is deterministic, ranked, and count-thresholded") {
+    import spark.implicits._
+    val rows = Relational5.queries("text_bigram_pmi")(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.length <= 40 && rows.nonEmpty)
+    assert(rows.forall(_._3 >= 3))
+    val pmis = rows.map(_._4)
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    val again = Relational5.queries("text_bigram_pmi")(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("chi2 contributions are non-negative and cover every lang") {
+    import spark.implicits._
+    val rows = Relational5.queries("q_chi2")(spark, dir)
+      .as[(String, Double)].collect()
+    val langs = Tables.documents(spark, dir)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(rows.map(_._1).toSet == langs)
+    assert(rows.forall(_._2 >= 0.0))
+  }
+}
