@@ -320,6 +320,54 @@ object Relational5 {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Product-quantization ADC search — see [[graft.sim.ProductQuantization]]
+    * for the full scale rationale (32× corpus compression; one encode scan,
+    * broadcast query set, partitioned top-k). Queries are vec_id 16–25
+    * against the whole corpus; distances are exact fixed-point longs, so
+    * the DuckDB twin reproduces encode argmins and rankings bit-for-bit. */
+  private val pqTopK: Q = (s, dir) =>
+    graft.sim.ProductQuantization.pqTopK(
+      Tables.embeddings(s, dir), qFrom = 16L, qTo = 25L, k = 10)
+
+  private val pqTopKSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), sub AS (
+      |  SELECT vec_id, CAST((i-1) // 8 AS INT) AS m, (i-1) % 8 AS j, x FROM v
+      |), anch AS (
+      |  SELECT vec_id AS k, m, j, x FROM sub WHERE vec_id < 16
+      |), enc0 AS (
+      |  SELECT s.vec_id, s.m, a.k,
+      |    SUM(CAST(ROUND(a.x*a.x*1e12, 0) AS BIGINT))
+      |      - 2*SUM(CAST(ROUND(s.x*a.x*1e12, 0) AS BIGINT)) AS score
+      |  FROM sub s JOIN anch a ON a.m = s.m AND a.j = s.j
+      |  GROUP BY 1, 2, 3
+      |), enc AS (
+      |  SELECT vec_id, m, k FROM (
+      |    SELECT vec_id, m, k,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score, k) AS rn
+      |    FROM enc0) WHERE rn = 1
+      |), lut AS (
+      |  SELECT q.vec_id AS qid, a.m, a.k,
+      |    SUM(CAST(ROUND(q.x*q.x*1e12, 0) AS BIGINT))
+      |      + SUM(CAST(ROUND(a.x*a.x*1e12, 0) AS BIGINT))
+      |      - 2*SUM(CAST(ROUND(q.x*a.x*1e12, 0) AS BIGINT)) AS d2
+      |  FROM sub q JOIN anch a ON a.m = q.m AND a.j = q.j
+      |  WHERE q.vec_id BETWEEN 16 AND 25
+      |  GROUP BY 1, 2, 3
+      |), adc AS (
+      |  SELECT l.qid, e.vec_id, CAST(SUM(l.d2) AS BIGINT) AS dist_fx
+      |  FROM enc e JOIN lut l ON l.m = e.m AND l.k = e.k
+      |  GROUP BY 1, 2
+      |)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, dist_fx FROM (
+      |  SELECT qid, vec_id, dist_fx,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_fx, vec_id) AS rank
+      |  FROM adc)
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_mode_argmax"     -> modeArgmax,
     "q_weighted_median" -> weightedMedian,
@@ -327,6 +375,7 @@ object Relational5 {
     "q_ks_test"         -> ksTest,
     "q_chi2"            -> chi2,
     "q_runtime_filter"  -> runtimeFilter,
+    "sim_pq_topk"       -> pqTopK,
     "text_bigram_pmi"   -> bigramPmi,
   )
 
@@ -337,6 +386,7 @@ object Relational5 {
     "q_ks_test"         -> ksTestSql,
     "q_chi2"            -> chi2Sql,
     "q_runtime_filter"  -> runtimeFilterSql,
+    "sim_pq_topk"       -> pqTopKSql,
     "text_bigram_pmi"   -> bigramPmiSql,
   )
 }

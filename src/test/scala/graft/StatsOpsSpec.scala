@@ -112,6 +112,34 @@ class StatsOpsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("PQ ADC: partitioning-invariant, and recall tracks the exact top-10") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val pq = graft.sim.ProductQuantization.pqTopK(emb, 16L, 25L, 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // deterministic under any input partitioning (fixed-point arithmetic +
+    // total-order tie-breaks): a 7-way repartition must not move one row
+    val pq7 = graft.sim.ProductQuantization.pqTopK(emb.repartition(7), 16L, 25L, 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pq == pq7)
+    // recall vs exact squared-L2 top-10 (driver brute force at test scale):
+    // an untrained 16-code codebook is crude, but ADC must still surface a
+    // meaningful share of the true neighbors
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byId = all.toMap
+    val recalls = (16L to 25L).map { qid =>
+      val q = byId(qid)
+      val exact = all.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val got = pq.filter(_._1 == qid).map(_._3).toSet
+      exact.intersect(got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean recall@10 = $mean per-query: $recalls")
+  }
+
   test("chi2 contributions are non-negative and cover every lang") {
     import spark.implicits._
     val rows = Relational5.queries("q_chi2")(spark, dir)
