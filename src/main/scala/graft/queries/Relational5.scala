@@ -320,6 +320,126 @@ object Relational5 {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Lag-1 autocorrelation of the daily event volume per type — the
+    * trend/seasonality screening pass of a feature pipeline. The Pearson
+    * moments are integer-exact (counts): sums accumulate as DECIMAL(38,0)
+    * (DuckDB's HUGEINT twin is exact too — plain long sums would silently
+    * wrap at petabyte row counts), each moment casts to double once, and
+    * the final correlation combines those bit-identical doubles in the
+    * same IEEE sequence in both engines. The lead window partitions by
+    * type over the O(days) daily frame — never the raw stream. */
+  private val autocorr: Q = (s, dir) => {
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val l = d.withColumn("y", lead("v", 1).over(w))
+      .filter(col("y").isNotNull)
+      .select(col("event_type"), col("v").as("x"), col("y"))
+    def dsum0(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val st = l.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum0(col("x")).as("sx"), dsum0(col("y")).as("sy"),
+      dsum0(col("x") * col("y")).as("sxy"),
+      dsum0(col("x") * col("x")).as("sxx"),
+      dsum0(col("y") * col("y")).as("syy"))
+    st.select(col("event_type"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("autocorr_1d"),
+      col("n").cast("long").as("n_days"))
+      .orderBy("event_type")
+  }
+
+  private val autocorrSql =
+    """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS v
+      |           FROM events GROUP BY 1,2),
+      |l AS (SELECT event_type, v AS x,
+      |        LEAD(v) OVER (PARTITION BY event_type ORDER BY day) AS y
+      |      FROM d),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |        CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+      |        CAST(SUM(y*y) AS DOUBLE) AS syy
+      |      FROM l WHERE y IS NOT NULL GROUP BY 1)
+      |SELECT event_type,
+      |  ROUND((n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 6)
+      |    AS autocorr_1d,
+      |  CAST(n AS BIGINT) AS n_days
+      |FROM s ORDER BY 1""".stripMargin
+
+  /** Exponentially decayed value sum per type (half-life 7 days, decayed
+    * to the corpus max timestamp) — the feature-store recency weighting.
+    * Each term value·2^(−Δdays/7) rounds to a ×1e6 fixed-point long BEFORE
+    * summation, and the sum accumulates as DECIMAL(38,0): addition is then
+    * associative and exact, so the result is partitioning-independent and
+    * engine-identical (a naive double sum is neither). The max-ts scalar
+    * is a 1-row broadcast. */
+  private val decayedAgg: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val tmax = ev.agg(max("ts").as("tmax"))
+    val term = (col("value") *
+      pow(lit(0.5),
+        (unix_micros(col("tmax")) - unix_micros(col("ts"))) /
+          lit(86400000000.0) / lit(7.0)) * lit(1e6))
+    ev.crossJoin(broadcast(tmax))
+      .select(col("event_type"),
+        round(term, 0).cast("decimal(38,0)").as("t"))
+      .groupBy("event_type")
+      .agg((sum("t").cast("double") / lit(1e6)).as("decayed_sum"))
+      .orderBy("event_type")
+  }
+
+  private val decayedAggSql =
+    """WITH t AS (SELECT MAX(ts) AS tmax FROM events),
+      |w AS (SELECT event_type,
+      |        CAST(ROUND(value * POW(0.5,
+      |          (epoch_us(tmax) - epoch_us(ts)) / 86400000000.0 / 7.0) * 1e6, 0)
+      |          AS DECIMAL(38,0)) AS term
+      |      FROM events, t)
+      |SELECT event_type, CAST(SUM(term) AS DOUBLE) / 1e6 AS decayed_sum
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-type OLS trend (slope + intercept) of daily volume against the
+    * day index — drift detection over ingest volumes. Same exact-moments
+    * discipline as [[autocorr]]: integer sums in DECIMAL(38,0), one cast
+    * to double per moment, identical final arithmetic in both engines. */
+  private val linregTrend: Q = (s, dir) => {
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val i = d.withColumn("x", row_number().over(w).cast("long"))
+    def dsum0(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val st = i.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum0(col("x")).as("sx"), dsum0(col("v")).as("sy"),
+      dsum0(col("x") * col("v")).as("sxy"),
+      dsum0(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    st.select(col("event_type"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  private val linregTrendSql =
+    """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS v
+      |           FROM events GROUP BY 1,2),
+      |i AS (SELECT event_type, v,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS x
+      |      FROM d),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(v) AS DOUBLE) AS sy,
+      |        CAST(SUM(x*v) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+      |      FROM i GROUP BY 1)
+      |SELECT event_type,
+      |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+      |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
+      |FROM s ORDER BY 1""".stripMargin
+
   /** Product-quantization ADC search — see [[graft.sim.ProductQuantization]]
     * for the full scale rationale (32× corpus compression; one encode scan,
     * broadcast query set, partitioned top-k). Queries are vec_id 16–25
@@ -375,6 +495,9 @@ object Relational5 {
     "q_ks_test"         -> ksTest,
     "q_chi2"            -> chi2,
     "q_runtime_filter"  -> runtimeFilter,
+    "q_autocorr"        -> autocorr,
+    "q_decayed_agg"     -> decayedAgg,
+    "q_linreg_trend"    -> linregTrend,
     "sim_pq_topk"       -> pqTopK,
     "text_bigram_pmi"   -> bigramPmi,
   )
@@ -386,6 +509,9 @@ object Relational5 {
     "q_ks_test"         -> ksTestSql,
     "q_chi2"            -> chi2Sql,
     "q_runtime_filter"  -> runtimeFilterSql,
+    "q_autocorr"        -> autocorrSql,
+    "q_decayed_agg"     -> decayedAggSql,
+    "q_linreg_trend"    -> linregTrendSql,
     "sim_pq_topk"       -> pqTopKSql,
     "text_bigram_pmi"   -> bigramPmiSql,
   )
