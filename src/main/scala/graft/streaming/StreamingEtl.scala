@@ -262,4 +262,48 @@ object StreamingEtl {
           ContractUpdate(contract, next.transfers, next.volume)
       }
   }
+
+  /** Incrementally maintained exponentially-decayed value sums per key —
+    * the streaming form of the feature-store recency weighting
+    * (batch registry twin: `q_decayed_agg`).
+    *
+    * Exactness across ANY micro-batch slicing and restart: each event's
+    * term is anchored at `anchorMicros` (2^((t−T0)/h), so later events
+    * weigh more) and rounded to a ×1e6 fixed-point long BEFORE
+    * accumulation. Long addition is associative, so the state after N
+    * arbitrary batches is bit-identical to a one-shot batch sum of the
+    * same terms — the property the naive formulation (rescale the running
+    * sum by the elapsed decay each batch) destroys, because every rescale
+    * re-rounds and makes the result depend on where the batch boundaries
+    * fell. Reading the decayed value at horizon T is one final multiply by
+    * 2^(−(T−T0)/h) on the consumer side; state itself never rescales.
+    *
+    * Capacity: at a 30-day horizon with a 7-day half-life the anchor
+    * factor is ≈19.2, so values ≤ ~1e3 keep terms ≤ ~2e10 and one key
+    * absorbs ~4×10⁸ events before nearing the Long range; longer-lived
+    * deployments rotate the anchor epoch (one deliberate, logged
+    * re-rounding) rather than letting terms grow unbounded. */
+  case class DecayState(sumFx: Long, n: Long)
+  case class DecayUpdate(key: String, sum_fx: Long, n: Long)
+
+  def decayedTotals(events: DataFrame, anchorMicros: Long,
+                    halfLifeDays: Double): Dataset[DecayUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val term = round(col("value") * pow(lit(2.0),
+      (unix_micros(col("ts")) - lit(anchorMicros)) /
+        lit(86400e6 * halfLifeDays)) * lit(1e6), 0).cast("long")
+    events.select(col("event_type"), term.as("t")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DecayState, DecayUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[DecayState]) =>
+          val prev = state.getOption.getOrElse(DecayState(0L, 0L))
+          var s = prev.sumFx; var n = prev.n
+          rows.foreach { case (_, t) => s += t; n += 1 }
+          val next = DecayState(s, n)
+          state.update(next)
+          DecayUpdate(key, s, n)
+      }
+  }
 }

@@ -618,6 +618,47 @@ class StreamingSpec extends SparkSpec {
         .decode(Ingest.parseRaw(spark, msgs)).count())
   }
 
+  test("decayed feature state is exact under any micro-batch slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 60 events from the driver fixture, as (ts, type, value) tuples
+    val rows = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_type"), col("value"))
+      .orderBy("event_id").limit(60)
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val anchor = rows.map(_._1.getTime).min * 1000L // micros
+    def runSliced(slices: Seq[Seq[(java.sql.Timestamp, String, Double)]],
+                  name: String): Map[String, (Long, Long)] = {
+      val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val out = StreamingEtl.decayedTotals(
+        stream.toDS().toDF("ts", "event_type", "value"), anchor, 7.0)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      // positive values => sum_fx is monotone, so max == the final update
+      spark.table(name).groupBy("key")
+        .agg(max("sum_fx").as("s"), max("n").as("n"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val a = runSliced(Seq(rows.take(7), rows.slice(7, 40), rows.drop(40)), "decay_a")
+    val b = runSliced(rows.grouped(9).toSeq, "decay_b")
+    assert(a == b, "state must not depend on batch boundaries")
+    // one-shot batch twin: identical term expression, plain groupBy sum
+    val batch = spark.createDataset(rows).toDF("ts", "event_type", "value")
+      .select(col("event_type"),
+        round(col("value") * pow(lit(2.0),
+          (unix_micros(col("ts")) - lit(anchor)) / lit(86400e6 * 7.0))
+          * lit(1e6), 0).cast("long").as("t"))
+      .groupBy("event_type")
+      .agg(sum("t").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(a == batch, "streaming state must equal the one-shot batch sum")
+  }
+
   test("keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
