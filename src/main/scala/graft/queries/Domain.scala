@@ -393,11 +393,28 @@ object Domain {
       """CASE WHEN gas_med IS NULL OR gas_med = 0.0 THEN 0.0
         |    ELSE LEAST(100.0, GREATEST(0.0, (gas_max / gas_med - 1) * 20)) END"""
         .stripMargin
-    s"""WITH $txCte, gas AS (
-       |  SELECT block_number,
-       |    MAX(gas_price_gwei) AS gas_max,
-       |    quantile_cont(gas_price_gwei, 0.5) AS gas_med
-       |  FROM f GROUP BY 1
+    // the median mirrors the engine's rank-based form TERM FOR TERM:
+    // quantile_cont interpolates as (1-f)·l + f·h, whose double can differ
+    // from the engine's l + (h-l)·0.5 by one ulp (observed: l=24.16,
+    // h=78.24 → 51.2 vs 51.199999999999996), and that ulp crossed a
+    // ROUND(x, 2) boundary in mev_score at sf0.1 block 19045160
+    s"""WITH $txCte, gr AS (
+       |  SELECT block_number, gas_price_gwei AS g,
+       |    ROW_NUMBER() OVER (PARTITION BY block_number
+       |      ORDER BY gas_price_gwei NULLS FIRST) AS rn,
+       |    COUNT(gas_price_gwei) OVER (PARTITION BY block_number) AS nn,
+       |    COUNT(*) OVER (PARTITION BY block_number) AS nt,
+       |    MAX(gas_price_gwei) OVER (PARTITION BY block_number) AS gmax
+       |  FROM f
+       |), gmid AS (
+       |  SELECT block_number, g, gmax FROM gr
+       |  WHERE (nn > 0 AND (rn - (nt - nn) = FLOOR((nn + 1) / 2)
+       |                  OR rn - (nt - nn) = FLOOR(nn / 2) + 1))
+       |     OR (nn = 0 AND rn = 1)
+       |), gas AS (
+       |  SELECT block_number, MAX(gmax) AS gas_max,
+       |    MIN(g) + (MAX(g) - MIN(g)) * 0.5 AS gas_med
+       |  FROM gmid GROUP BY 1
        |), sw AS (
        |  SELECT 19000000 + (event_id // 3) * 10 AS block_number,
        |    (user_id % 4) AS pool, COUNT(*) AS c
