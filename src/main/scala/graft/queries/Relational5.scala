@@ -440,6 +440,103 @@ object Relational5 {
       |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
       |FROM s ORDER BY 1""".stripMargin
 
+  /** Sketch set operations — the Druid/Trino-style pattern for estimating
+    * |A ∪ B| and |A ∩ B| WITHOUT re-scanning the raw data: keep one tiny
+    * KMV sketch per segment/partition, merge sketches at query time. The
+    * union sketch is the k smallest digests of the two (capped) sketches;
+    * Jaccard ρ = |k-mins of the union present in both sketches| / k; the
+    * intersection estimate is ρ·union_est. When the union holds fewer than
+    * k digests the sketches ARE the exact sets and both estimates are
+    * exact. Estimate columns sit next to the exact COUNT DISTINCT twins,
+    * and the oracle reproduces the md5-prefix arithmetic digit for digit
+    * (the [[graft.functions.KmvFunctions]] pattern), so even the estimates
+    * hash-match. */
+  private val kmvSetOps: Q = (s, dir) => {
+    import graft.functions.KmvFunctions
+    KmvFunctions.register(s)
+    val k = KmvFunctions.DefaultK
+    val ev = Tables.events(s, dir)
+    val uid = col("user_id").cast("string")
+    val a = ev.filter(col("event_type") === "click")
+      .agg(KmvFunctions.kmvSketch(uid).as("sa"),
+        count_distinct(col("user_id")).as("na"))
+    val b = ev.filter(col("event_type") === "view")
+      .agg(KmvFunctions.kmvSketch(uid).as("sb"),
+        count_distinct(col("user_id")).as("nb"))
+    val exact = ev.filter(col("event_type").isin("click", "view"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("ia"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("ib"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(col("ia") * col("ib")).as("exact_inter"))
+    val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val kth = element_at(col("u"), k)
+    val prefix = conv(substring(kth, 1, 12), 16, 10).cast("double")
+    val unionEst = when(size(col("u")) < k, size(col("u")).cast("double"))
+      .otherwise(lit((k - 1).toDouble * KmvFunctions.FracScale) /
+        nullif(prefix, lit(0.0)))
+    val rho = size(array_intersect(col("u"),
+      array_intersect(col("sa"), col("sb")))).cast("double") /
+      least(lit(k), size(col("u"))).cast("double")
+    a.crossJoin(b).crossJoin(broadcast(exact))
+      .withColumn("u", u)
+      .select(unionEst.as("union_est"),
+        (rho * unionEst).as("inter_est"),
+        rho.as("jaccard_est"),
+        col("exact_union"),
+        col("exact_inter").cast("long").as("exact_inter"))
+  }
+
+  private val kmvSetOpsSql = {
+    val k = graft.functions.KmvFunctions.DefaultK
+    val frac = graft.functions.KmvFunctions.FracScale
+    s"""WITH da AS (
+       |  SELECT h FROM (
+       |    SELECT md5(CAST(user_id AS VARCHAR)) AS h,
+       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(user_id AS VARCHAR))) AS rn
+       |    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+       |  WHERE rn <= $k
+       |), db AS (
+       |  SELECT h FROM (
+       |    SELECT md5(CAST(user_id AS VARCHAR)) AS h,
+       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(user_id AS VARCHAR))) AS rn
+       |    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'))
+       |  WHERE rn <= $k
+       |), u AS (
+       |  SELECT h FROM (
+       |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT h
+       |          FROM (SELECT h FROM da UNION ALL SELECT h FROM db)))
+       |  WHERE rn <= $k
+       |), ustats AS (
+       |  SELECT COUNT(*) AS nu, MAX(h) AS kth FROM u
+       |), rho AS (
+       |  SELECT COUNT(*) AS nboth FROM u
+       |  WHERE h IN (SELECT h FROM da) AND h IN (SELECT h FROM db)
+       |), ex AS (
+       |  SELECT COUNT(*) AS exact_union,
+       |    CAST(SUM(ia * ib) AS BIGINT) AS exact_inter
+       |  FROM (SELECT user_id,
+       |          MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia,
+       |          MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ib
+       |        FROM events WHERE event_type IN ('click', 'view')
+       |        GROUP BY 1)
+       |), est AS (
+       |  SELECT
+       |    CASE WHEN nu < $k THEN CAST(nu AS DOUBLE)
+       |         ELSE ${(k - 1).toDouble} * $frac /
+       |              NULLIF(list_sum(list_transform(range(1, 13), i ->
+       |                (strpos('0123456789abcdef',
+       |                   substr(kth, CAST(i AS INTEGER), 1)) - 1)
+       |                * power(16, 12 - i))), 0.0) END AS union_est,
+       |    CAST(nboth AS DOUBLE) / LEAST($k, nu) AS jaccard_est
+       |  FROM ustats, rho
+       |)
+       |SELECT union_est, jaccard_est * union_est AS inter_est, jaccard_est,
+       |  exact_union, exact_inter
+       |FROM est, ex""".stripMargin
+  }
+
   /** Product-quantization ADC search — see [[graft.sim.ProductQuantization]]
     * for the full scale rationale (32× corpus compression; one encode scan,
     * broadcast query set, partitioned top-k). Queries are vec_id 16–25
@@ -498,6 +595,7 @@ object Relational5 {
     "q_autocorr"        -> autocorr,
     "q_decayed_agg"     -> decayedAgg,
     "q_linreg_trend"    -> linregTrend,
+    "q_kmv_setops"      -> kmvSetOps,
     "sim_pq_topk"       -> pqTopK,
     "text_bigram_pmi"   -> bigramPmi,
   )
@@ -512,6 +610,7 @@ object Relational5 {
     "q_autocorr"        -> autocorrSql,
     "q_decayed_agg"     -> decayedAggSql,
     "q_linreg_trend"    -> linregTrendSql,
+    "q_kmv_setops"      -> kmvSetOpsSql,
     "sim_pq_topk"       -> pqTopKSql,
     "text_bigram_pmi"   -> bigramPmiSql,
   )
