@@ -140,6 +140,38 @@ class StatsOpsSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 = $mean per-query: $recalls")
   }
 
+  test("KMV set-op estimates converge on the exact counts at small k") {
+    // k=16 forces the estimator branch even on the 150-user fixture; the
+    // KMV union/intersection estimators are unbiased with relative error
+    // ~1/sqrt(k) (~25% at k=16), so a loose band is the honest assertion
+    import spark.implicits._
+    import graft.functions.KmvFunctions
+    KmvFunctions.register(spark)
+    val k = 16
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val uid = col("user_id").cast("string")
+    val sa = ev.filter(col("event_type") === "click")
+      .agg(KmvFunctions.kmvSketch(uid, k).as("sa"))
+    val sb = ev.filter(col("event_type") === "view")
+      .agg(KmvFunctions.kmvSketch(uid, k).as("sb"))
+    val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val prefix = conv(substring(element_at(col("u"), k), 1, 12), 16, 10)
+      .cast("double")
+    val est = sa.crossJoin(sb).withColumn("u", u)
+      .select(
+        (lit((k - 1).toDouble * KmvFunctions.FracScale) / prefix).as("uEst"),
+        (size(array_intersect(col("u"),
+          array_intersect(col("sa"), col("sb")))).cast("double") / k).as("rho"))
+      .as[(Double, Double)].collect().head
+    val exact = ev.filter(col("event_type").isin("click", "view"))
+      .select("user_id").distinct().count()
+    assert(est._1 > exact * 0.5 && est._1 < exact * 2.0,
+      s"union est ${est._1} vs exact $exact")
+    // fixture users all appear in both types, so true Jaccard is 1.0 and
+    // every k-min of the union must be in both sketches
+    assert(est._2 == 1.0, s"rho ${est._2}")
+  }
+
   test("chi2 contributions are non-negative and cover every lang") {
     import spark.implicits._
     val rows = Relational5.queries("q_chi2")(spark, dir)
