@@ -48,7 +48,12 @@ object Bench {
         } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // cache hygiene between runs (outside the timed section): a query
-        // that persists intermediates must not warm or crowd the next one
+        // that persists intermediates must not warm or crowd the next one.
+        // NOTE: an explicit System.gc() here was tried (round 7) to drain
+        // the previous query's garbage and reduce adjacency noise — it did
+        // the opposite: the full GC evicts warm JIT/code-cache and
+        // broadcast state, inflating the MEASURED times by a median 1.25×
+        // across the registry. Leave collection to the JVM.
         spark.catalog.clearCache()
         (dt, ok)
       }

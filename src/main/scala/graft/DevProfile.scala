@@ -75,6 +75,85 @@ object DevProfile {
       spark.stop(); return
     }
 
+    // PQ study (PROFILE.md round 7): one-off encode + ADC lookup scan vs
+    // exact fixed-point L2 brute force, with recall@10 measured, on
+    // ×K-replicated jittered corpora. Run: DevProfile <sfDir> pq
+    if (args.contains("pq")) {
+      import graft.sim.ProductQuantization
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.FixedDotFunctions.register(spark)
+      val fdot = graft.functions.FixedDotFunctions.fixedDot _
+      val emb = Tables.embeddings(spark, sfDir)
+      val n0 = emb.count()
+      def timeMin(name: String, runs: Int = 3)(f: => Long): Double = {
+        val ts = (0 until runs).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val best = ts.map(_._1).min
+        println(f"$name%-36s ${best}%8.3f s   rows=${ts.head._2}")
+        best
+      }
+      for (k <- Seq(50, 500)) {
+        val out = s"/tmp/graft_profile/pq_x$k"
+        // replicate with id offsets and a small deterministic per-copy
+        // jitter so copies are near- but not exact duplicates (recall
+        // against exact top-10 stays a meaningful measurement)
+        val big = emb.crossJoin(spark.range(k))
+          .select((col("vec_id") + col("id") * 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(col("id") * 31 + i, lit(7)) - 3) / lit(1000.0))
+                .cast("float")).as("embedding"))
+        big.repartition(32).write.mode("overwrite").parquet(out)
+        val bigR = spark.read.parquet(out)
+        println(s"--- corpus x$k = ${n0 * k} vectors ---")
+        val anchors = ProductQuantization.anchorCodebook(bigR)
+        val queries = bigR.filter(col("vec_id").between(16L, 25L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        // exact brute force: fixed-point L2 of every (vector, query) pair
+        val d2b = fdot(col("embedding"), col("embedding")) +
+          fdot(col("qemb"), col("qemb")) -
+          lit(2L) * fdot(col("embedding"), col("qemb"))
+        val wTop = Window.partitionBy("qid")
+          .orderBy(col("dist_fx"), col("vec_id"))
+        def bruteTopK = bigR.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"), d2b.as("dist_fx"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 10)
+        timeMin(s"x$k exact brute L2 top-10") { bruteTopK.count() }
+        // one-off encode, persisted — the 8-byte/vector representation
+        val codes = s"/tmp/graft_profile/pq_x${k}_codes"
+        timeMin(s"x$k PQ encode (one-off)", runs = 1) {
+          ProductQuantization.encode(bigR, anchors)
+            .write.mode("overwrite").parquet(codes)
+          n0 * k
+        }
+        val codesR = spark.read.parquet(codes)
+        timeMin(s"x$k PQ ADC top-10 (codes scan)") {
+          ProductQuantization.adcTopK(codesR, queries, anchors, 10).count()
+        }
+        val exact = bruteTopK.select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+        def recallOf(cb: Array[Array[Float]], enc:
+            org.apache.spark.sql.DataFrame): Double = {
+          val got = ProductQuantization.adcTopK(enc, queries, cb, 10)
+            .select("qid", "vec_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+          val rs = exact.keys.toSeq.sorted
+            .map(q => exact(q).intersect(got.getOrElse(q, Set())).size / 10.0)
+          rs.sum / rs.size
+        }
+        println(f"x$k recall@10, anchor codebook  = ${recallOf(anchors, codesR)}%.2f")
+        // deployment-time recall lever: Lloyd-train the codebook
+        val tTrain = System.nanoTime()
+        val trained = ProductQuantization.train(bigR, anchors, iters = 3)
+        println(f"x$k codebook train (3 Lloyd rounds) ${(System.nanoTime() - tTrain) / 1e9}%.1f s")
+        val codesT = ProductQuantization.encode(bigR, trained)
+        println(f"x$k recall@10, trained codebook = ${recallOf(trained, codesT)}%.2f")
+      }
+      spark.stop(); return
+    }
+
     // Dedup/CC scale study (PROFILE.md): both connected-components variants
     // on adversarial synthetic pair graphs (chain = giant diameter, hub =
     // giant component + skew), plus the end-to-end nearDuplicates→CC chain

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * per-query lookup table without touching the original floats. The
   * asymmetric-distance (ADC) scan is the workhorse of IVF-PQ systems
   * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
-  * TPAMI 2011); the engine keeps the SAME plan shape here: one encode scan,
-  * one broadcast of the (tiny) query set, one partitioned top-k window.
+  * TPAMI 2011); the engine keeps the SAME plan shape here: one encode scan
+  * (run once, codes persisted), one broadcast of the (tiny) query LUTs, one
+  * partitioned top-k window over lookup-sum scores.
   *
   * Determinism contract (what makes this ORACLE-checkable, unlike most ANN
   * code): the codebook is not trained — subspace centroids are the
@@ -29,6 +30,7 @@ object ProductQuantization {
 
   val SubSpaces = 8
   val CodeBookSize = 16
+  private val SubW = 64 / SubSpaces
 
   private def fd(a: Column, b: Column): Column =
     graft.functions.FixedDotFunctions.fixedDot(a, b)
@@ -37,53 +39,119 @@ object ProductQuantization {
   private def d2(a: Column, b: Column): Column =
     fd(a, a) + fd(b, b) - lit(2L) * fd(a, b)
 
-  /** Top-k ADC search of every query (vec_id in [qFrom, qTo]) against the
-    * PQ-encoded corpus. Returns (qid, rank, vec_id, dist_fx) with dist_fx
-    * the exact fixed-point (×1e12) asymmetric squared distance. */
-  def pqTopK(emb: DataFrame, qFrom: Long, qTo: Long, k: Int): DataFrame = {
-    val s = emb.sparkSession
-    graft.functions.FixedDotFunctions.register(s)
-    val subW = 64 / SubSpaces
+  private def sub(e: Column, m: Int): Column =
+    slice(e, lit(m * SubW + 1), lit(SubW))
 
-    // codebook: the 16 anchor rows, collected like any broadcast codebook
-    // (K × dim floats — driver-bounded regardless of corpus size)
-    val anchors: Array[Array[Float]] = emb
+  /** The 16 anchor rows as a driver-side codebook — K × dim floats,
+    * driver-bounded regardless of corpus size, like any broadcast
+    * codebook. */
+  def anchorCodebook(emb: DataFrame): Array[Array[Float]] = {
+    val anchors = emb
       .filter(col("vec_id") < CodeBookSize).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     require(anchors.length == CodeBookSize, s"need $CodeBookSize anchors")
-    // per-subspace array-of-arrays literal: codebook(m)(k) = anchor k's
-    // m-th sub-vector
-    val codebook: IndexedSeq[Column] = (0 until SubSpaces).map { m =>
+    anchors
+  }
+
+  private def codebookCols(anchors: Array[Array[Float]]): IndexedSeq[Column] =
+    (0 until SubSpaces).map { m =>
       typedlit(anchors.toIndexedSeq.map(a =>
-        a.slice(m * subW, (m + 1) * subW).toIndexedSeq))
+        a.slice(m * SubW, (m + 1) * SubW).toIndexedSeq))
     }
 
-    def sub(e: Column, m: Int): Column = slice(e, lit(m * subW + 1), lit(subW))
-
-    // encode: one scan; per subspace the argmin over 16 codes of
-    // (cc − 2xc) — the aa term is common to every candidate. Ties break to
-    // the smallest code via array_position's first-match semantics.
-    def codeFor(m: Int): Column = {
+  /** Per-subspace nearest-code columns c0..c7. The argmin over 16 codes
+    * compares (cc − 2xc); the aa term is common to every candidate. Ties
+    * break to the smallest code via array_position's first-match
+    * semantics. */
+  private def codeCols(codebook: IndexedSeq[Column]): Seq[Column] =
+    (0 until SubSpaces).map { m =>
       val scores = transform(codebook(m),
         c => fd(c, c) - lit(2L) * fd(sub(col("embedding"), m), c))
-      array_position(scores, array_min(scores)).cast("int")
+      array_position(scores, array_min(scores)).cast("int").as(s"c$m")
     }
-    val encoded = emb.select(col("vec_id") +: (0 until SubSpaces)
-      .map(m => codeFor(m).as(s"c$m")): _*)
 
-    // queries: tiny frame, broadcast; ADC = Σ_m d²(q_m, codebook[m][c_m])
-    val queries = emb.filter(col("vec_id").between(qFrom, qTo))
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+  /** PQ-encode every vector: one scan producing (vec_id, c0..c7) — the
+    * 8-byte representation the ADC scan reads. Persist this output once;
+    * re-encode only on codebook change. */
+  def encode(emb: DataFrame, anchors: Array[Array[Float]]): DataFrame =
+    emb.select(col("vec_id") +: codeCols(codebookCols(anchors)): _*)
+
+  /** Per-subspace Lloyd training of the codebook, one full scan per
+    * iteration: encode against the current codebook, then one
+    * posexplode + hash-agg computes every (subspace, code, component)
+    * fixed-point mean at once (8×16×8 = 1024 driver rows — the same
+    * scalar boundary as [[KMeans]]'s update). Components quantize to
+    * Float32 each round, mirroring [[KMeans]]'s determinism discipline;
+    * a code that captured no vectors keeps its previous centroid. The
+    * registry query stays on the untrained anchor codebook (that is what
+    * keeps it oracle-exact) — training is the deployment-time recall
+    * lever, measured in PROFILE.md. */
+  def train(emb: DataFrame, init: Array[Array[Float]],
+            iters: Int): Array[Array[Float]] = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    var cb = init
+    for (_ <- 1 to iters) {
+      val coded = emb.select(col("embedding") +: codeCols(codebookCols(cb)): _*)
+      val cells = array((0 until SubSpaces).map(m => col(s"c$m")): _*)
+      val stats = coded
+        .select(cells.as("cells"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(
+          (col("i") / SubW).cast("int").as("m"),
+          (col("i") % SubW).cast("int").as("j"),
+          element_at(col("cells"), (col("i") / SubW).cast("int") + 1).as("cell"),
+          col("x"))
+        .groupBy("m", "cell", "j")
+        .agg(sum(round(col("x") * lit(1e12)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.clone())
+      stats.foreach { r =>
+        val m = r.getInt(0); val cell = r.getInt(1) - 1; val j = r.getInt(2)
+        next(cell)(m * SubW + j) =
+          (r.getLong(3).toDouble / 1e12 / r.getLong(4)).toFloat
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Top-k ADC search of `queries` (qid, qemb) against an encoded corpus.
+    * The trick that makes PQ a fast SCAN and not a disguised brute force:
+    * d²(q_m, codebook[m][k]) is precomputed ONCE PER QUERY into an 8×16
+    * lookup table (the broadcast carries ~128 longs per query), so the
+    * per-(vector, query) cost is 8 array lookups + 7 adds — versus 3
+    * sub-vector dot products per subspace if the distance were recomputed
+    * per row. */
+  def adcTopK(encoded: DataFrame, queries: DataFrame,
+              anchors: Array[Array[Float]], k: Int): DataFrame = {
+    val codebook = codebookCols(anchors)
+    val lut = array((0 until SubSpaces).map { m =>
+      transform(codebook(m), c => d2(sub(col("qemb"), m), c))
+    }: _*)
+    val withLut = queries.select(col("qid"), col("qemb"))
+      .withColumn("lut", lut).drop("qemb")
     val dist = (0 until SubSpaces).map { m =>
-      d2(sub(col("qemb"), m), element_at(codebook(m), col(s"c$m")))
+      element_at(element_at(col("lut"), m + 1), col(s"c$m"))
     }.reduce(_ + _)
-    val scored = encoded.crossJoin(broadcast(queries))
+    val scored = encoded.crossJoin(broadcast(withLut))
       .select(col("qid"), col("vec_id"), dist.as("dist_fx"))
     val w = Window.partitionBy("qid").orderBy(col("dist_fx"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("dist_fx"))
       .orderBy("qid", "rank")
+  }
+
+  /** Registry form: encode + ADC in one plan, queries drawn from the
+    * corpus (vec_id in [qFrom, qTo]). Returns (qid, rank, vec_id, dist_fx)
+    * with dist_fx the exact fixed-point (×1e12) asymmetric squared
+    * distance. */
+  def pqTopK(emb: DataFrame, qFrom: Long, qTo: Long, k: Int): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    val anchors = anchorCodebook(emb)
+    val queries = emb.filter(col("vec_id").between(qFrom, qTo))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    adcTopK(encode(emb, anchors), queries, anchors, k)
   }
 }

@@ -140,6 +140,52 @@ class StatsOpsSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 = $mean per-query: $recalls")
   }
 
+  test("stats invariants: correlation bounds, decay contraction, peak sanity") {
+    import spark.implicits._
+    // autocorrelation is a correlation: |r| <= 1 by Cauchy-Schwarz
+    val ac = Relational5.queries("q_autocorr")(spark, dir)
+      .as[(String, Double, Long)].collect()
+    assert(ac.nonEmpty && ac.forall(r => math.abs(r._2) <= 1.0))
+    // every decay weight is in (0, 1] (tmax >= ts), so the decayed sum is
+    // positive and strictly below the plain sum for any non-degenerate mix
+    val dec = Relational5.queries("q_decayed_agg")(spark, dir)
+      .as[(String, Double)].collect().toMap
+    val plain = Tables.events(spark, dir).groupBy("event_type")
+      .agg(sum("value")).as[(String, Double)].collect().toMap
+    assert(dec.keySet == plain.keySet)
+    dec.foreach { case (k, v) => assert(v > 0.0 && v <= plain(k), k) }
+    // peak concurrency is at least 1 while any session is open, and the
+    // peak instant lies inside the stream's active envelope
+    val conc = Relational5.queries("q_concurrency")(spark, dir)
+      .as[(String, Long, java.sql.Timestamp)].collect()
+    val (tsMin, tsMax) = Tables.events(spark, dir)
+      .agg(min("ts"), max("ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect().head
+    val envelopeEnd = new java.sql.Timestamp(tsMax.getTime + 900 * 1000L)
+    assert(conc.nonEmpty)
+    conc.foreach { case (t, peak, at) =>
+      assert(peak >= 1L, t)
+      assert(!at.before(tsMin) && !at.after(envelopeEnd), s"$t $at")
+    }
+    // weighted median is invariant under uniform weight scaling
+    val base = Relational5.queries("q_weighted_median")(spark, dir)
+      .as[(String, Double)].collect().toSeq
+    val scaled = {
+      val g = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg((sum("l_quantity") * 7.0).as("w"))
+      val wc = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("l_returnflag")
+      g.withColumn("cw", sum("w").over(wc))
+        .withColumn("tw", sum("w").over(wt))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag").agg(min("v").as("w_median"))
+        .orderBy("l_returnflag").as[(String, Double)].collect().toSeq
+    }
+    assert(base == scaled)
+  }
+
   test("KMV set-op estimates converge on the exact counts at small k") {
     // k=16 forces the estimator branch even on the 150-user fixture; the
     // KMV union/intersection estimators are unbiased with relative error
