@@ -585,6 +585,78 @@ object Relational5 {
       |  FROM adc)
       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** IVF-PQ composition — see [[graft.sim.ProductQuantization.ivfPqTopK]]:
+    * coarse-cell pruning to each query's 4 closest of 16 cells before the
+    * ADC scan (partition pruning at scale). The coarse argmin and the
+    * probe ranking are the same exact fixed-point arithmetic, so even the
+    * pruned result is hash-exact against the twin. */
+  private val ivfPqTopK: Q = (s, dir) =>
+    graft.sim.ProductQuantization.ivfPqTopK(
+      Tables.embeddings(s, dir), qFrom = 16L, qTo = 25L, k = 10, nprobe = 4)
+
+  private val ivfPqTopKSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), sub AS (
+      |  SELECT vec_id, CAST((i-1) // 8 AS INT) AS m, (i-1) % 8 AS j, x FROM v
+      |), anch AS (
+      |  SELECT vec_id AS k, m, j, x FROM sub WHERE vec_id < 16
+      |), fa AS (
+      |  SELECT s.vec_id, a.k,
+      |    SUM(CAST(ROUND(a.x*a.x*1e12, 0) AS BIGINT))
+      |      - 2*SUM(CAST(ROUND(s.x*a.x*1e12, 0) AS BIGINT)) AS score
+      |  FROM sub s JOIN anch a ON a.m = s.m AND a.j = s.j
+      |  GROUP BY 1, 2
+      |), ca AS (
+      |  SELECT vec_id, k AS cell FROM (
+      |    SELECT vec_id, k,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, k) AS rn
+      |    FROM fa) WHERE rn = 1
+      |), probe AS (
+      |  SELECT vec_id AS qid, k AS cell FROM (
+      |    SELECT vec_id, k,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, k) AS rn
+      |    FROM fa WHERE vec_id BETWEEN 16 AND 25) WHERE rn <= 4
+      |), cand AS (
+      |  SELECT DISTINCT qid, vec_id FROM (
+      |    SELECT p.qid, ca.vec_id FROM probe p JOIN ca ON ca.cell = p.cell
+      |    UNION ALL
+      |    SELECT vec_id AS qid, vec_id FROM embeddings
+      |    WHERE vec_id BETWEEN 16 AND 25)
+      |), enc0 AS (
+      |  SELECT s.vec_id, s.m, a.k,
+      |    SUM(CAST(ROUND(a.x*a.x*1e12, 0) AS BIGINT))
+      |      - 2*SUM(CAST(ROUND(s.x*a.x*1e12, 0) AS BIGINT)) AS score
+      |  FROM sub s JOIN anch a ON a.m = s.m AND a.j = s.j
+      |  GROUP BY 1, 2, 3
+      |), enc AS (
+      |  SELECT vec_id, m, k FROM (
+      |    SELECT vec_id, m, k,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score, k) AS rn
+      |    FROM enc0) WHERE rn = 1
+      |), lut AS (
+      |  SELECT q.vec_id AS qid, a.m, a.k,
+      |    SUM(CAST(ROUND(q.x*q.x*1e12, 0) AS BIGINT))
+      |      + SUM(CAST(ROUND(a.x*a.x*1e12, 0) AS BIGINT))
+      |      - 2*SUM(CAST(ROUND(q.x*a.x*1e12, 0) AS BIGINT)) AS d2
+      |  FROM sub q JOIN anch a ON a.m = q.m AND a.j = q.j
+      |  WHERE q.vec_id BETWEEN 16 AND 25
+      |  GROUP BY 1, 2, 3
+      |), adc AS (
+      |  SELECT c.qid, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS dist_fx
+      |  FROM cand c
+      |  JOIN enc e ON e.vec_id = c.vec_id
+      |  JOIN lut l ON l.qid = c.qid AND l.m = e.m AND l.k = e.k
+      |  GROUP BY 1, 2
+      |)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, dist_fx FROM (
+      |  SELECT qid, vec_id, dist_fx,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_fx, vec_id) AS rank
+      |  FROM adc)
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_mode_argmax"     -> modeArgmax,
     "q_weighted_median" -> weightedMedian,
@@ -597,6 +669,7 @@ object Relational5 {
     "q_linreg_trend"    -> linregTrend,
     "q_kmv_setops"      -> kmvSetOps,
     "sim_pq_topk"       -> pqTopK,
+    "sim_ivfpq_topk"    -> ivfPqTopK,
     "text_bigram_pmi"   -> bigramPmi,
   )
 
@@ -612,6 +685,7 @@ object Relational5 {
     "q_linreg_trend"    -> linregTrendSql,
     "q_kmv_setops"      -> kmvSetOpsSql,
     "sim_pq_topk"       -> pqTopKSql,
+    "sim_ivfpq_topk"    -> ivfPqTopKSql,
     "text_bigram_pmi"   -> bigramPmiSql,
   )
 }

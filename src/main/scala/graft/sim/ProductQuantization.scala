@@ -154,4 +154,62 @@ object ProductQuantization {
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     adcTopK(encode(emb, anchors), queries, anchors, k)
   }
+
+  /** IVF-PQ — the production composition: a coarse inverted-file cell per
+    * vector (nearest full-dimension anchor) prunes the candidate set to
+    * each query's `nprobe` closest cells BEFORE the ADC scan reads any
+    * codes. At 100 TB the codes table is partitioned by cell, so the probe
+    * filter is partition pruning: a query touches nprobe/nCells of the
+    * corpus. The query's own row always stays a candidate (its cell may
+    * not be probed).
+    *
+    * Determinism: coarse assignment is the exact fixed-point argmin over
+    * anchors (ties → lowest cell), and the per-query probe ranking orders
+    * by the same exact (aa − 2qa) score — the qq term is constant per
+    * query, so the order equals the d² order. Both are reproduced by the
+    * DuckDB twin, making even the PRUNED result hash-exact. */
+  def ivfPqTopK(emb: DataFrame, qFrom: Long, qTo: Long, k: Int,
+                nprobe: Int = 4): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    val anchors = anchorCodebook(emb)
+    val codebook = codebookCols(anchors)
+    val fullCb = typedlit(anchors.toIndexedSeq.map(_.toIndexedSeq))
+    val cellScores = transform(fullCb,
+      a => fd(a, a) - lit(2L) * fd(col("embedding"), a))
+    val cell = array_position(cellScores, array_min(cellScores)).cast("int")
+    val encoded = emb.select(
+      col("vec_id") +: cell.as("cell") +: codeCols(codebook): _*)
+    // driver-side probe table: |queries| × nprobe cells, exact long scores
+    def dot(a: Array[Float], b: Array[Float]): Long =
+      graft.functions.FixedDotOps.dot(a, b)
+    val probeMap: Map[Long, Seq[Int]] = emb
+      .filter(col("vec_id").between(qFrom, qTo))
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).toArray
+        val ranked = anchors.zipWithIndex.map { case (a, i) =>
+          (dot(a, a) - 2L * dot(q, a), i + 1)
+        }.sortBy { case (s, i) => (s, i) }.take(nprobe).map(_._2).toSeq
+        r.getLong(0) -> ranked
+      }.toMap
+    val lut = array((0 until SubSpaces).map { m =>
+      transform(codebook(m), c => d2(sub(col("qemb"), m), c))
+    }: _*)
+    val queries = emb.filter(col("vec_id").between(qFrom, qTo))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("lut", lut).drop("qemb")
+    val dist = (0 until SubSpaces).map { m =>
+      element_at(element_at(col("lut"), m + 1), col(s"c$m"))
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(queries))
+      .filter(array_contains(
+        element_at(typedlit(probeMap), col("qid")), col("cell")) ||
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("vec_id"), dist.as("dist_fx"))
+    val w = Window.partitionBy("qid").orderBy(col("dist_fx"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("dist_fx"))
+      .orderBy("qid", "rank")
+  }
 }

@@ -140,6 +140,26 @@ class StatsOpsSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 = $mean per-query: $recalls")
   }
 
+  test("IVF-PQ pruning can only lose candidates, never invent closer ones") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val pq = graft.sim.ProductQuantization.pqTopK(emb, 16L, 25L, 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq.groupBy(_._1)
+    val ivf = graft.sim.ProductQuantization.ivfPqTopK(emb, 16L, 25L, 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq.groupBy(_._1)
+    assert(ivf.keySet == pq.keySet)
+    // the IVF candidate set is a subset of the full-corpus set, so at each
+    // rank the pruned distance is >= the unpruned one — and rank 1 is
+    // still the query's own row (it is always a candidate)
+    ivf.keys.foreach { q =>
+      val p = pq(q).sortBy(_._2).map(_._4)
+      val v = ivf(q).sortBy(_._2).map(_._4)
+      assert(v.length == 10, s"q$q returned ${v.length}")
+      v.zip(p).foreach { case (dv, dp) => assert(dv >= dp, s"q$q") }
+      assert(ivf(q).minBy(_._2)._3 == q, s"q$q rank-1 not self")
+    }
+  }
+
   test("stats invariants: correlation bounds, decay contraction, peak sanity") {
     import spark.implicits._
     // autocorrelation is a correlation: |r| <= 1 by Cauchy-Schwarz
