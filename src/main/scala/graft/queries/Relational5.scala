@@ -440,6 +440,70 @@ object Relational5 {
       |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
       |FROM s ORDER BY 1""".stripMargin
 
+  /** Welch's two-sample t-test between the click and view value
+    * distributions — the parametric A/B-significance twin of [[ksTest]]
+    * (which is the distribution-free form). Moments follow the repo's
+    * parity discipline: the squared term multiplies in double (identical
+    * in both engines) and SUMS as DECIMAL(38,6) (associative, exact), one
+    * double cast per moment, then the t statistic and Welch–Satterthwaite
+    * df combine those bit-identical doubles in the same IEEE sequence.
+    * Two hash aggregates over the filtered scan; the 2-row pivot is
+    * driver-trivial. */
+  private val abTtest: Q = (s, dir) => {
+    val stats = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        Num.dsum(col("value")).as("sx"),
+        Num.dsum(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var"))
+    def side(c: String, f: String) =
+      max(when(col("event_type") === c, col(f))).as(s"${f}_$c")
+    val ab = stats.agg(
+      side("click", "mean"), side("view", "mean"),
+      side("click", "var"), side("view", "var"),
+      side("click", "n"), side("view", "n"))
+    val se2 = col("var_click") / col("n_click") + col("var_view") / col("n_view")
+    ab.select(
+      round((col("mean_click") - col("mean_view")) / sqrt(se2), 6).as("t_stat"),
+      round(pow(se2, 2) /
+        (pow(col("var_click") / col("n_click"), 2) / (col("n_click") - 1) +
+          pow(col("var_view") / col("n_view"), 2) / (col("n_view") - 1)), 6)
+        .as("welch_df"),
+      round(col("mean_click") - col("mean_view"), 6).as("mean_diff"),
+      col("n_click").cast("long").as("n1"),
+      col("n_view").cast("long").as("n2"))
+  }
+
+  private val abTtestSql =
+    """WITH s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+      |), m AS (
+      |  SELECT event_type, n, sx/n AS mean, (sxx - sx*sx/n) / (n-1) AS var
+      |  FROM s
+      |), ab AS (
+      |  SELECT
+      |    MAX(CASE WHEN event_type='click' THEN mean END) AS m1,
+      |    MAX(CASE WHEN event_type='view'  THEN mean END) AS m2,
+      |    MAX(CASE WHEN event_type='click' THEN var END) AS v1,
+      |    MAX(CASE WHEN event_type='view'  THEN var END) AS v2,
+      |    MAX(CASE WHEN event_type='click' THEN n END) AS n1,
+      |    MAX(CASE WHEN event_type='view'  THEN n END) AS n2
+      |  FROM m
+      |)
+      |SELECT ROUND((m1 - m2) / SQRT(v1/n1 + v2/n2), 6) AS t_stat,
+      |  ROUND(POW(v1/n1 + v2/n2, 2) /
+      |    (POW(v1/n1, 2)/(n1-1) + POW(v2/n2, 2)/(n2-1)), 6) AS welch_df,
+      |  ROUND(m1 - m2, 6) AS mean_diff,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+      |FROM ab""".stripMargin
+
   /** Sketch set operations — the Druid/Trino-style pattern for estimating
     * |A ∪ B| and |A ∩ B| WITHOUT re-scanning the raw data: keep one tiny
     * KMV sketch per segment/partition, merge sketches at query time. The
@@ -668,6 +732,7 @@ object Relational5 {
     "q_decayed_agg"     -> decayedAgg,
     "q_linreg_trend"    -> linregTrend,
     "q_kmv_setops"      -> kmvSetOps,
+    "q_ab_ttest"        -> abTtest,
     "sim_pq_topk"       -> pqTopK,
     "sim_ivfpq_topk"    -> ivfPqTopK,
     "text_bigram_pmi"   -> bigramPmi,
@@ -684,6 +749,7 @@ object Relational5 {
     "q_decayed_agg"     -> decayedAggSql,
     "q_linreg_trend"    -> linregTrendSql,
     "q_kmv_setops"      -> kmvSetOpsSql,
+    "q_ab_ttest"        -> abTtestSql,
     "sim_pq_topk"       -> pqTopKSql,
     "sim_ivfpq_topk"    -> ivfPqTopKSql,
     "text_bigram_pmi"   -> bigramPmiSql,
