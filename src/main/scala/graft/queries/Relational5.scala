@@ -440,6 +440,76 @@ object Relational5 {
       |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
       |FROM s ORDER BY 1""".stripMargin
 
+  /** Mann–Whitney U between the click and view value distributions — the
+    * rank-based member of the A/B trio ([[ksTest]] = distribution shape,
+    * [[abTtest]] = parametric means, this = stochastic dominance). Tied
+    * values get average ranks; everything before the final z-score is
+    * integer-exact: per-value rank blocks come from the same bucketed
+    * two-phase prefix sum as [[ksTest]], the rank-sum accumulates
+    * c1·(2·cumBefore + c + 1) (twice the average-rank sum, so halves stay
+    * exact) and the tie correction Σ(c³−c) in DECIMAL(38,0) (the oracle's
+    * HUGEINT twin; raw longs would overflow at c³ for billion-row tie
+    * groups), each moment casts to double once, and the z combination is
+    * the identical IEEE sequence in both engines. */
+  private val mannWhitney: Q = (s, dir) => {
+    val f = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+      .withColumn("bucket", floor(col("value") / 50).cast("long"))
+    val rawOff = f.groupBy("bucket").agg(sum("c").as("bc")).collect()
+    require(rawOff.forall(!_.isNullAt(0)), "value must be non-null")
+    var below = 0L
+    val off = scala.collection.mutable.Map[Long, Long]()
+    rawOff.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).foreach {
+      case (b, bc) => off(b) = below; below += bc
+    }
+    val wb = Window.partitionBy("bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val st = f
+      .withColumn("cb", sum("c").over(wb) +
+        element_at(typedlit(off.toMap), col("bucket")) - col("c"))
+      .agg(sum("c1").cast("double").as("n1"),
+        sum("c2").cast("double").as("n2"),
+        sum(dec(col("c1")) * (lit(2) * col("cb") + col("c") + 1))
+          .cast("double").as("r1x2"),
+        sum(dec(col("c")) * col("c") * col("c") - col("c"))
+          .cast("double").as("ties"))
+    val u1 = col("r1x2") / 2 - col("n1") * (col("n1") + 1) / 2
+    val n = col("n1") + col("n2")
+    st.select(round(u1, 1).as("u1"),
+      round((u1 - col("n1") * col("n2") / 2) /
+        sqrt(col("n1") * col("n2") / 12 *
+          ((n + 1) - col("ties") / (n * (n - 1)))), 6).as("z"),
+      col("n1").cast("long").as("n1"),
+      col("n2").cast("long").as("n2"))
+  }
+
+  private val mannWhitneySql =
+    """WITH f AS (
+      |  SELECT value, SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS c1,
+      |         SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click','view') GROUP BY 1
+      |), c AS (
+      |  SELECT c1, c2, c1 + c2 AS c,
+      |    SUM(c1 + c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+      |      - (c1 + c2) AS cb
+      |  FROM f
+      |), s AS (
+      |  SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2,
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * (2*cb + c + 1)) AS DOUBLE) AS r1x2,
+      |    CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS ties
+      |  FROM c
+      |)
+      |SELECT ROUND(r1x2/2 - n1*(n1+1)/2, 1) AS u1,
+      |  ROUND(((r1x2/2 - n1*(n1+1)/2) - n1*n2/2) /
+      |    SQRT(n1*n2/12 * ((n1+n2+1) - ties/((n1+n2)*(n1+n2-1)))), 6) AS z,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+      |FROM s""".stripMargin
+
   /** Welch's two-sample t-test between the click and view value
     * distributions — the parametric A/B-significance twin of [[ksTest]]
     * (which is the distribution-free form). Moments follow the repo's
@@ -733,6 +803,7 @@ object Relational5 {
     "q_linreg_trend"    -> linregTrend,
     "q_kmv_setops"      -> kmvSetOps,
     "q_ab_ttest"        -> abTtest,
+    "q_mannwhitney"     -> mannWhitney,
     "sim_pq_topk"       -> pqTopK,
     "sim_ivfpq_topk"    -> ivfPqTopK,
     "text_bigram_pmi"   -> bigramPmi,
@@ -750,6 +821,7 @@ object Relational5 {
     "q_linreg_trend"    -> linregTrendSql,
     "q_kmv_setops"      -> kmvSetOpsSql,
     "q_ab_ttest"        -> abTtestSql,
+    "q_mannwhitney"     -> mannWhitneySql,
     "sim_pq_topk"       -> pqTopKSql,
     "sim_ivfpq_topk"    -> ivfPqTopKSql,
     "text_bigram_pmi"   -> bigramPmiSql,
