@@ -440,6 +440,114 @@ object Relational5 {
       |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
       |FROM s ORDER BY 1""".stripMargin
 
+  /** Gini coefficient of the value distribution per event type — the
+    * concentration/inequality screen (in the DeFi domain: how skewed is
+    * volume across transactions). G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over
+    * ascending values; tied values make Σi·x invariant to tie order, so
+    * the statistic is deterministic without caring how ties rank. The
+    * within-type rank is the bucketed two-phase form (offsets per
+    * (type, bucket) collected like a codebook — no type-sized window
+    * partition); Σi·x accumulates DECIMAL(38,0) fixed-point (i reaches the
+    * row count and x·1e6 ~5e8, so the product overflows longs at petabyte
+    * scale), Σx is the standard decimal-exact sum, and the final ratio
+    * combines identically in both engines. */
+  private val gini: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("bucket", floor(col("value") / 50).cast("long"))
+    val rawOff = ev.groupBy("event_type", "bucket").count().collect()
+    val off: Map[String, Map[Long, Long]] = rawOff
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rows) =>
+        var below = 0L
+        t -> rows.sortBy(_._2).map { case (_, b, c) =>
+          val e = b -> below; below += c; e
+        }.toMap
+      }
+    val wb = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("value"), col("event_id"))
+    val xfx = round(col("value") * 1e6, 0).cast("decimal(38,0)")
+    val st = ev
+      .withColumn("i", row_number().over(wb).cast("long") +
+        element_at(element_at(typedlit(off), col("event_type")), col("bucket")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        Num.dsum(col("value")).as("sx"),
+        (sum(col("i").cast("decimal(38,0)") * xfx).cast("double") / 1e6)
+          .as("six"))
+    st.select(col("event_type"),
+      round(lit(2) * col("six") / (col("n") * col("sx")) -
+        (col("n") + 1) / col("n"), 6).as("gini"))
+      .orderBy("event_type")
+  }
+
+  private val giniSql =
+    """WITH r AS (
+      |  SELECT event_type, value AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS i
+      |  FROM events
+      |), s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(i AS DECIMAL(38,0)) *
+      |      CAST(ROUND(x*1e6, 0) AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS six
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT event_type, ROUND(2*six/(n*sx) - (n+1)/n, 6) AS gini
+      |FROM s ORDER BY 1""".stripMargin
+
+  /** Benford first-significant-digit deviation per event type — the
+    * classic financial-anomaly screen: natural multiplicative data has
+    * P(d) = log₁₀(1+1/d), and a chi-square against that expectation flags
+    * fabricated or capped value columns. The first digit comes from
+    * ROUND(value·1e6) stringified — ROUND-then-cast in BOTH engines,
+    * because a bare double→int cast truncates in Spark but rounds in
+    * DuckDB. One hash aggregate over the scan; the 9-digit expectation
+    * grid is a broadcast. */
+  private val benfords: Q = (s, dir) => {
+    val d = Tables.events(s, dir).filter(col("value") > 0)
+      .select(col("event_type"),
+        substring(round(col("value") * 1e6, 0).cast("long").cast("string"),
+          1, 1).cast("int").as("fd"))
+    val c = d.groupBy("event_type", "fd").agg(count(lit(1)).as("o"))
+    // t derives from c, so bare column refs would resolve to the SAME
+    // attribute on both join sides (a trivially-true predicate) — alias
+    // both lineages explicitly
+    val t = c.groupBy("event_type").agg(sum("o").as("n"))
+    val digits = s.range(1, 10).select(col("id").cast("int").as("d"))
+    val g = t.as("t").crossJoin(broadcast(digits))
+      .join(c.as("c"), col("c.fd") === col("d") &&
+        col("c.event_type") === col("t.event_type"), "left")
+      .select(col("t.event_type"), col("d"), col("t.n"),
+        coalesce(col("c.o"), lit(0L)).as("o"))
+      .withColumn("e", col("n") * log10(lit(1.0) + lit(1.0) / col("d")))
+    g.groupBy("event_type")
+      .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+        .as("benford_chi2"),
+        max(col("n")).as("n"))
+      .orderBy("event_type")
+  }
+
+  private val benfordsSql =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(substr(CAST(CAST(ROUND(value * 1e6, 0) AS BIGINT) AS VARCHAR),
+      |      1, 1) AS INT) AS fd
+      |  FROM events WHERE value > 0
+      |), c AS (
+      |  SELECT event_type, fd, COUNT(*) AS o FROM d GROUP BY 1, 2
+      |), t AS (SELECT event_type, SUM(o) AS n FROM c GROUP BY 1),
+      |g AS (
+      |  SELECT t.event_type, digits.d, t.n, COALESCE(c.o, 0) AS o,
+      |    t.n * log10(1.0 + 1.0/digits.d) AS e
+      |  FROM t CROSS JOIN (SELECT unnest(range(1, 10)) AS d) digits
+      |  LEFT JOIN c ON c.event_type = t.event_type AND c.fd = digits.d
+      |)
+      |SELECT event_type, ROUND(SUM(POW(o - e, 2) / e), 6) AS benford_chi2,
+      |  CAST(MAX(n) AS BIGINT) AS n
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Mann–Whitney U between the click and view value distributions — the
     * rank-based member of the A/B trio ([[ksTest]] = distribution shape,
     * [[abTtest]] = parametric means, this = stochastic dominance). Tied
@@ -804,6 +912,8 @@ object Relational5 {
     "q_kmv_setops"      -> kmvSetOps,
     "q_ab_ttest"        -> abTtest,
     "q_mannwhitney"     -> mannWhitney,
+    "q_gini"            -> gini,
+    "q_benfords"        -> benfords,
     "sim_pq_topk"       -> pqTopK,
     "sim_ivfpq_topk"    -> ivfPqTopK,
     "text_bigram_pmi"   -> bigramPmi,
@@ -822,6 +932,8 @@ object Relational5 {
     "q_kmv_setops"      -> kmvSetOpsSql,
     "q_ab_ttest"        -> abTtestSql,
     "q_mannwhitney"     -> mannWhitneySql,
+    "q_gini"            -> giniSql,
+    "q_benfords"        -> benfordsSql,
     "sim_pq_topk"       -> pqTopKSql,
     "sim_ivfpq_topk"    -> ivfPqTopKSql,
     "text_bigram_pmi"   -> bigramPmiSql,
