@@ -631,6 +631,35 @@ object Dedup {
       (caches :+ pairs) ++ ccCaches)
   }
 
+  /** Leak-safe train/val/test split from a PRECOMPUTED near-dup clusters
+    * frame ((doc_id, rep_id), e.g. [[PipelineResult.clusters]] or a
+    * parquet-materialized copy of it). The split key is the cluster
+    * representative, so near-duplicates always land in the same split;
+    * unclustered docs anchor on themselves. Returns
+    * (doc_id, anchor, split).
+    *
+    * This is the artifact-reuse form: the cluster assignment is the most
+    * expensive artifact in the stack (shingle → LSH → verify → CC), and a
+    * pipeline that has already run [[pipeline]] (or persisted its
+    * `clusters` output) must NOT pay for it again just to assign splits.
+    * Downstream consumers of cluster labels should all take the frame as
+    * an argument like this one does. */
+  def leakSplitFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val anchored = docs.select("doc_id")
+      .join(clusters.select("doc_id", "rep_id"), Seq("doc_id"), "left")
+      .withColumn("anchor", coalesce(col("rep_id"), col("doc_id")))
+    graft.analytics.EventAnalytics.hashSplit(anchored, col("anchor"))
+      .select("doc_id", "anchor", "split")
+  }
+
+  /** Inline fallback of [[leakSplitFromClusters]] for one-shot callers
+    * with no materialized artifacts: derives the clusters from scratch
+    * (full shingle → LSH → verify → CC chain) and splits. Prefer the
+    * artifact-fed form whenever a [[pipeline]] run exists. */
+  def leakSplit(docs: DataFrame, threshold: Double): DataFrame =
+    leakSplitFromClusters(docs,
+      connectedComponents(nearDuplicates(docs, threshold)))
+
   /** Incremental dedup — the production ingest form at 100 TB: flag each
     * document of a NEW batch against the accumulated corpus WITHOUT
     * re-clustering the world. Two layers, both index-shaped:

@@ -727,8 +727,13 @@ object Extensions {
     * near dedup_canonical's alone, not near the three queries' sum. The
     * oracle composes the same recursive-CTE closure + quality twin as
     * dedup_canonical, then joins the survivor back to every member doc. */
-  private val dedupPipelineQ: Q = (s, dir) =>
-    Dedup.pipeline(Tables.documents(s, dir), JaccardThreshold).verdict
+  private val dedupPipelineQ: Q = (s, dir) => {
+    val art = Dedup.pipeline(Tables.documents(s, dir), JaccardThreshold)
+    // publish the clusters leaf for downstream consumers (q_leak_split,
+    // pipeline_corpus) — the production dedup-then-consume order
+    graft.dedup.ClusterStore.publish(s, dir, JaccardThreshold, art.clusters)
+    art.verdict
+  }
 
   private val dedupPipelineSql = {
     val allStops = TextOps.LangStopwords.flatMap(_._2).distinct
@@ -1137,16 +1142,20 @@ object Extensions {
     * CLUSTER representative, not the document — near-duplicates always
     * land in the same split, so the test set can't be contaminated by a
     * training-set twin (the classic eval-leak a per-doc hash split
-    * permits). Unclustered docs anchor on themselves. */
+    * permits). Unclustered docs anchor on themselves.
+    *
+    * Artifact-reuse form: feeds the split from [[graft.dedup.Dedup.pipeline]]'s
+    * materialized `clusters` leaf (one shingle pass, checkpointed pairs)
+    * instead of re-deriving nearDuplicates→CC from scratch — the pattern
+    * every cluster consumer should follow. `DedupSpec` proves the inline
+    * fallback ([[graft.dedup.Dedup.leakSplit]]) produces identical output. */
   private val leakSplit: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val clusters = Dedup.connectedComponents(
-      Dedup.nearDuplicates(docs, JaccardThreshold))
-    val anchored = docs.select("doc_id")
-      .join(clusters, Seq("doc_id"), "left")
-      .withColumn("anchor", coalesce(col("rep_id"), col("doc_id")))
-    graft.analytics.EventAnalytics.hashSplit(anchored, col("anchor"))
-      .select("doc_id", "anchor", "split")
+    val clusters = graft.dedup.ClusterStore
+      .getOrCompute(s, dir, JaccardThreshold) {
+        Dedup.pipeline(docs, JaccardThreshold).clusters
+      }
+    Dedup.leakSplitFromClusters(docs, clusters)
       .orderBy("doc_id")
   }
 

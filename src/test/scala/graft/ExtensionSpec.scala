@@ -77,6 +77,23 @@ class DedupSpec extends SparkSpec {
     } finally { pl.close(); spark.catalog.clearCache() }
   }
 
+  test("artifact-fed leak split == inline leak split") {
+    val pl = Dedup.pipeline(docs, 0.5)
+    try {
+      val fromArtifact = Dedup.leakSplitFromClusters(docs, pl.clusters)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      spark.catalog.clearCache() // inline run starts cold
+      val inline = Dedup.leakSplit(docs, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(fromArtifact == inline && fromArtifact.nonEmpty)
+      // near-duplicates co-locate: every clustered doc's split matches its rep's
+      val splitOf = fromArtifact.map(t => t._1 -> t._3).toMap
+      val cl = pl.clusters.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cl.nonEmpty && cl.forall { case (d, rep) =>
+        splitOf(d) == splitOf(rep) })
+    } finally { pl.close(); spark.catalog.clearCache() }
+  }
+
   test("incremental dedup flags a batch against the accumulated side only") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
