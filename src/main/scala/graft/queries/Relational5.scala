@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
 object Relational5 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Equal-width bucket expression over the OBSERVED [min, max] of
+    * `raw`'s `value` column — the count-bounded grid
+    * [[DistributedRolling]] uses. The driver offset tables the two-phase
+    * prefix sums collect are ≤ nBuckets rows at ANY value domain;
+    * the previous floor(value/50) grid grew with range/50, so an
+    * unbounded value column could blow the driver table. Buckets are
+    * monotone in value by construction, which is all the prefix-sum
+    * decomposition needs — the final ranks (and hashes) are invariant
+    * to the grid. Costs one min/max aggregate scan of `raw` (column-
+    * pruned to `value`). */
+  private def observedRangeBucket(raw: DataFrame): Column = {
+    val s = raw.sparkSession
+    val r = raw.agg(min(col("value").cast("double")).as("mn"),
+      max(col("value").cast("double")).as("mx")).collect()(0)
+    val nBuckets = math.max(1, s.sparkContext.defaultParallelism * 4)
+    if (r.isNullAt(0)) lit(0L)
+    else {
+      val mn = r.getDouble(0)
+      val width = math.max((r.getDouble(1) - mn) / nBuckets,
+        java.lang.Double.MIN_NORMAL)
+      least(floor((col("value").cast("double") - lit(mn)) / lit(width)),
+        lit((nBuckets - 1).toLong)).cast("long")
+    }
+  }
+
   /** Deterministic mode + argmax per group. The built-in `mode()` is
     * nondeterministic on ties (both engines), so the modal value is computed
     * as row_number over (count DESC, value ASC) — a fixed total order — and
@@ -146,19 +171,20 @@ object Relational5 {
     * float summation order.
     *
     * The ECDF prefix sum is the two-phase histogram pattern
-    * ([[DistributedRank]]): per-value counts bucket by floor(value/50), the
-    * O(#buckets) bucket totals collect to a driver offset table (the same
-    * scalar boundary as a codebook collect), and the within-bucket
-    * cumulative sum is a window partitioned by bucket. No single-task
-    * exchange anywhere; at 100 TB the bucket width narrows so #buckets
-    * tracks task count. */
+    * ([[DistributedRank]]): per-value counts bucket on the
+    * [[observedRangeBucket]] grid (equal-width over the observed range,
+    * count-bounded), the ≤ nBuckets bucket totals collect to a driver
+    * offset table (the same scalar boundary as a codebook collect), and
+    * the within-bucket cumulative sum is a window partitioned by bucket.
+    * No single-task exchange anywhere at any value domain. */
   private val ksTest: Q = (s, dir) => {
-    val f = Tables.events(s, dir)
+    val raw = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "view"))
+    val f = raw
       .groupBy("value")
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
-      .withColumn("bucket", floor(col("value") / 50).cast("long"))
+      .withColumn("bucket", observedRangeBucket(raw.select("value")))
     val rawOff = f.groupBy("bucket")
       .agg(sum("c1").as("b1"), sum("c2").as("b2")).collect()
     require(rawOff.forall(!_.isNullAt(0)), "value must be non-null")
@@ -452,9 +478,9 @@ object Relational5 {
     * scale), Σx is the standard decimal-exact sum, and the final ratio
     * combines identically in both engines. */
   private val gini: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
+    val raw = Tables.events(s, dir)
       .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("bucket", floor(col("value") / 50).cast("long"))
+    val ev = raw.withColumn("bucket", observedRangeBucket(raw.select("value")))
     val rawOff = ev.groupBy("event_type", "bucket").count().collect()
     val off: Map[String, Map[Long, Long]] = rawOff
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -503,10 +529,18 @@ object Relational5 {
     * fabricated or capped value columns. The first digit comes from
     * ROUND(value·1e6) stringified — ROUND-then-cast in BOTH engines,
     * because a bare double→int cast truncates in Spark but rounds in
-    * DuckDB. One hash aggregate over the scan; the 9-digit expectation
-    * grid is a broadcast. */
+    * DuckDB. The screen covers the microunit-representable band
+    * [5e-7, ~9.2e12): below it ROUND(value·1e6) is 0 (a digit the 1-9
+    * grid can't hold — counting such rows in n while dropping their digit
+    * biased the chi-square); above it the long cast saturates in Spark but
+    * raises in DuckDB, so the parity only holds in-band. Out-of-band rows
+    * are excluded from BOTH engines — 19 decades of coverage, documented
+    * rather than silently skewed. One hash aggregate over the scan; the
+    * 9-digit expectation grid is a broadcast. */
   private val benfords: Q = (s, dir) => {
-    val d = Tables.events(s, dir).filter(col("value") > 0)
+    val d = Tables.events(s, dir)
+      .filter(round(col("value") * 1e6, 0) >= 1 &&
+        col("value") <= 9.0e12)
       .select(col("event_type"),
         substring(round(col("value") * 1e6, 0).cast("long").cast("string"),
           1, 1).cast("int").as("fd"))
@@ -534,7 +568,7 @@ object Relational5 {
       |  SELECT event_type,
       |    CAST(substr(CAST(CAST(ROUND(value * 1e6, 0) AS BIGINT) AS VARCHAR),
       |      1, 1) AS INT) AS fd
-      |  FROM events WHERE value > 0
+      |  FROM events WHERE ROUND(value * 1e6, 0) >= 1 AND value <= 9.0e12
       |), c AS (
       |  SELECT event_type, fd, COUNT(*) AS o FROM d GROUP BY 1, 2
       |), t AS (SELECT event_type, SUM(o) AS n FROM c GROUP BY 1),
@@ -560,13 +594,14 @@ object Relational5 {
     * groups), each moment casts to double once, and the z combination is
     * the identical IEEE sequence in both engines. */
   private val mannWhitney: Q = (s, dir) => {
-    val f = Tables.events(s, dir)
+    val raw = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "view"))
+    val f = raw
       .groupBy("value")
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
       .withColumn("c", col("c1") + col("c2"))
-      .withColumn("bucket", floor(col("value") / 50).cast("long"))
+      .withColumn("bucket", observedRangeBucket(raw.select("value")))
     val rawOff = f.groupBy("bucket").agg(sum("c").as("bc")).collect()
     require(rawOff.forall(!_.isNullAt(0)), "value must be non-null")
     var below = 0L

@@ -72,6 +72,40 @@ class StatsOpsSpec extends SparkSpec {
     assert(ksD == naive)
   }
 
+  test("gini survives a wide value domain; benford excludes out-of-band rows") {
+    import spark.implicits._
+    // values spanning 13 decades: the old floor(value/50) grid would have
+    // collected ~1e9 offset rows to the driver — the observed-range grid
+    // is ≤ 4×parallelism buckets at any domain, so this test finishing at
+    // all is the scale proof. Includes a sub-microunit value (rounds to
+    // first digit 0) and a long-saturating value (> 9.2e12) that the
+    // benford band filter must drop from BOTH o and n.
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val vals = Seq(2e-7, 0.004, 3.5, 47.0, 620.0, 8100.0, 5.0e10, 1.0e13)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, ts, 1L, "click", v, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val g = Relational5.queries("q_gini")(spark, dir)
+      .as[(String, Double)].collect().toMap
+    val sorted = vals.sorted
+    val n = sorted.size.toDouble
+    val six = sorted.zipWithIndex.map { case (x, i) =>
+      BigDecimal(i + 1) * BigDecimal(math.rint(x * 1e6)) / BigDecimal(1e6)
+    }.sum.toDouble
+    val expected = BigDecimal(2 * six / (n * sorted.sum) - (n + 1) / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(g("click") - expected) < 2e-6, s"${g("click")} vs $expected")
+    val b = Relational5.queries("q_benfords")(spark, dir)
+      .as[(String, Double, Long)].collect()
+    assert(b.length == 1)
+    val (_, chi2, bn) = b.head
+    assert(bn == 6, s"benford n must exclude the 2 out-of-band rows: $bn")
+    assert(!chi2.isNaN && chi2 >= 0.0)
+  }
+
   test("runtime bloom filter is injected above the fact scan") {
     val df = Relational5.queries("q_runtime_filter")(spark, dir)
     df.collect()

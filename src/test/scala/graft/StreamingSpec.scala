@@ -482,6 +482,34 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("ingest curation rejects an out-of-order batch loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_icur_ooo").toString
+    graft.streaming.IngestCuration.writeIndex(
+      Seq((1L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text"), s"$dir/idx")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestCuration.start(
+      stream.toDS().toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/state", s"$dir/ckpt")
+    try {
+      stream.addData(20L -> ((1 to 90).map(i => s"a$i").mkString(" ")
+        + " the and of to in is a"))
+      q.processAllAvailable()
+      // doc_id 5 was never flagged and is <= max seen (20): a genuinely
+      // out-of-order source. The first-copy-wins guards would silently
+      // diverge from batchTwin, so the batch must FAIL, not process.
+      stream.addData(5L -> ((1 to 90).map(i => s"b$i").mkString(" ")
+        + " the and of to in is a"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("monotone")), chain(e).mkString("\n"))
+      // crash-replay of an ALREADY-FLAGGED batch stays allowed (its ids
+      // anti-join away before the guard) — proven by the restart test above
+    } finally q.stop()
+  }
+
   test("upsert sink recovers prior state from a crash mid-swap") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rec").toString
