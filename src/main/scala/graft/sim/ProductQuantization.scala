@@ -136,8 +136,26 @@ object ProductQuantization {
     }.reduce(_ + _)
     val scored = encoded.crossJoin(broadcast(withLut))
       .select(col("qid"), col("vec_id"), dist.as("dist_fx"))
-    val w = Window.partitionBy("qid").orderBy(col("dist_fx"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Two-phase per-query top-k. A bare Window.partitionBy("qid") funnels
+    * every scored row for a query through ONE task's sort — corpus-sized
+    * with few queries. Phase 1 ranks within (qid, input-partition salt),
+    * so no task sorts more than one scan partition's rows; phase 2 ranks
+    * the ≤ k × #partitions survivors per query. The global top-k per qid
+    * is contained in the union of per-salt top-ks under the same total
+    * order (dist_fx, vec_id), so the result is identical to the
+    * single-window form at any partitioning — `StatsOpsSpec` pins the
+    * invariance. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val salted = scored.withColumn("__salt", spark_partition_id())
+    val w1 = Window.partitionBy("qid", "__salt")
+      .orderBy(col("dist_fx"), col("vec_id"))
+    val survivors = salted.withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k).drop("__r", "__salt")
+    val w2 = Window.partitionBy("qid").orderBy(col("dist_fx"), col("vec_id"))
+    survivors.withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("dist_fx"))
       .orderBy("qid", "rank")
@@ -206,10 +224,6 @@ object ProductQuantization {
         element_at(typedlit(probeMap), col("qid")), col("cell")) ||
         col("vec_id") === col("qid"))
       .select(col("qid"), col("vec_id"), dist.as("dist_fx"))
-    val w = Window.partitionBy("qid").orderBy(col("dist_fx"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("dist_fx"))
-      .orderBy("qid", "rank")
+    topKPerQuery(scored, k)
   }
 }

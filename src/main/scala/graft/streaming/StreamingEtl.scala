@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.etl.{DeFiSwapParser, Ingest, TokenTransferDecoder}
@@ -293,7 +293,19 @@ object StreamingEtl {
     val term = round(col("value") * pow(lit(2.0),
       (unix_micros(col("ts")) - lit(anchorMicros)) /
         lit(86400e6 * halfLifeDays)) * lit(1e6), 0).cast("long")
-    events.select(col("event_type"), term.as("t")).as[(String, Long)]
+    // a null value/ts/event_type makes the term (or key) null, which dies
+    // inside the (String, Long) tuple encoder as an opaque runtime NPE —
+    // fail with the same explicit precondition the batch twins
+    // (q_ks_test, q_mannwhitney) require of their inputs
+    def req(c: Column, msg: String) =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    val checked = events.select(col("event_type"), term.as("t"))
+      .select(
+        req(col("event_type"),
+          "decayedTotals requires non-null event_type").as("event_type"),
+        req(col("t"),
+          "decayedTotals requires non-null value and ts").as("t"))
+    checked.as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[DecayState, DecayUpdate](
         GroupStateTimeout.NoTimeout) {

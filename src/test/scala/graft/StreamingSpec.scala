@@ -687,6 +687,26 @@ class StreamingSpec extends SparkSpec {
     assert(a == batch, "streaming state must equal the one-shot batch sum")
   }
 
+  test("decayed totals fail loudly on null inputs, not with an encoder NPE") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val anchor = 1700000000000000L
+    val stream = MemoryStream[(Long, String, java.lang.Double)]
+    val out = StreamingEtl.decayedTotals(
+      stream.toDS().select(timestamp_micros(col("_1")).as("ts"),
+        col("_2").as("event_type"), col("_3").as("value")), anchor, 7.0)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("decay_null").start()
+    try {
+      stream.addData((anchor, "click", null: java.lang.Double))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("non-null value")),
+        chain(e).mkString("\n"))
+    } finally q.stop()
+  }
+
   test("keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[String]
