@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable rank-sketch surface (round 8).
+  *
+  * Two forms of the same deterministic-compaction quantile idea:
+  *
+  *  1. [[kllCanonical]] — a canonical-order Munro–Paterson halving tree:
+  *     rank-space chunks of k, then pairwise merge-and-halve levels until
+  *     one chunk remains. Every step is a pure function of the input
+  *     MULTISET (ranks come from the total order (v, id)), so a DuckDB
+  *     recursive CTE reproduces the sketch bit-for-bit and the registry
+  *     entry `q_kll_quantile` is hash-exact — the same trick that makes
+  *     [[graft.functions.KmvSketchAgg]]'s estimates oracle-checkable
+  *     where HLL++ is not.
+  *  2. [[graft.functions.KllSketchAgg]] — the arbitrary-order mergeable
+  *     aggregate (streaming / windowed form), whose rank-error bound (not
+  *     content) is partitioning-invariant; `KllSketchSpec` proves the
+  *     (L+2)·n/k bound across partitionings against exact ranks.
+  *
+  * Scale shape of the canonical tree: level 0 is the two-phase
+  * [[DistributedRank]] (bucketed, no global window); each halving level is
+  * one chunk-pair-partitioned window over a frame that HALVES per level
+  * (total work ≈ 2n across all ceil(log2(n/k)) levels, every partition
+  * ≤ 2k rows). The driver holds only the O(#buckets) rank offset table and
+  * the final ≤ k-item sketch.
+  */
+object Sketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sketch capacity: ≤ K items survive; rank error ≤ ~L·n/(2·K) with
+    * L = ceil(log2(n/K)) halving levels. */
+  val K = 256
+  private val Phis = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** Canonical Munro–Paterson halving tree over (v, id) rows. Returns the
+    * final ≤ k-item weighted sketch (v, id, w) — Σw == n exactly at every
+    * level (a dropped item's weight folds into its left neighbour) — and
+    * the input count. Deterministic function of the input multiset. */
+  def kllCanonical(df: DataFrame, k: Int): (DataFrame, Long) = {
+    val s = df.sparkSession
+    val r0 = df.agg(min(col("v").cast("double")).as("mn"),
+      max(col("v").cast("double")).as("mx")).collect()(0)
+    val nb = math.max(1, s.sparkContext.defaultParallelism * 4)
+    val bucket = if (r0.isNullAt(0)) lit(0L) else {
+      val mn = r0.getDouble(0)
+      val width = math.max((r0.getDouble(1) - mn) / nb,
+        java.lang.Double.MIN_NORMAL)
+      least(floor((col("v").cast("double") - lit(mn)) / lit(width)),
+        lit((nb - 1).toLong))
+    }
+    val (ranked, n) =
+      DistributedRank.withRank(df, bucket, Seq(col("v"), col("id")))
+    var cur = ranked
+      .select(col("v"), col("id"),
+        expr(s"(rank - 1) div $k").as("chunk"), lit(1L).as("w"))
+      .localCheckpoint(true)
+    var nChunks = (n + k - 1) / k
+    while (nChunks > 1) {
+      val pw = Window.partitionBy("nc").orderBy("v", "id")
+      cur = cur.withColumn("nc", expr("chunk div 2"))
+        .withColumn("rn", row_number().over(pw))
+        .withColumn("w2", col("w") + coalesce(lead("w", 1).over(pw), lit(0L)))
+        .filter(col("rn") % 2 === 1)
+        .select(col("v"), col("id"), col("nc").as("chunk"), col("w2").as("w"))
+        .localCheckpoint(true)
+      nChunks = (nChunks + 1) / 2
+    }
+    (cur, n)
+  }
+
+  /** Registry form: deterministic KLL/MP quantile estimates of
+    * events.value at the [[Phis]] grid. est(φ) = smallest sketch value
+    * whose cumulative weight reaches ceil(φ·n). The DuckDB twin replays
+    * the identical halving tree in a recursive CTE, so even the SKETCH
+    * content is oracle-exact — the bound proof for the arbitrary-order
+    * aggregate lives in `KllSketchSpec`. */
+  private val kllQuantile: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("value").as("v"), col("event_id").as("id"))
+    val (sk, n) = kllCanonical(ev, K)
+    val items = sk.select("v", "id", "w").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (v, id, _) => (v, id) }
+    val rows = Phis.map { phi =>
+      val target = math.ceil(phi * n).toLong
+      var cum = 0L
+      var est: Option[Double] = None
+      items.foreach { case (v, _, w) =>
+        cum += w
+        if (est.isEmpty && cum >= target) est = Some(v)
+      }
+      (phi, est.getOrElse(Double.NaN), n)
+    }
+    rows.toDF("phi", "kll_est", "n").orderBy("phi")
+  }
+
+  private val kllQuantileSql =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT value AS v, event_id AS id,
+       |    row_number() OVER (ORDER BY value, event_id) AS r
+       |  FROM events
+       |), h AS (
+       |  SELECT 0 AS lvl, CAST((r - 1) // $K AS BIGINT) AS chunk, v, id,
+       |    CAST(1 AS BIGINT) AS w
+       |  FROM base
+       |  UNION ALL
+       |  SELECT lvl + 1, chunk // 2, v, id, w2 FROM (
+       |    SELECT lvl, chunk, v, id,
+       |      w + COALESCE(LEAD(w) OVER (PARTITION BY chunk // 2
+       |        ORDER BY v, id), 0) AS w2,
+       |      row_number() OVER (PARTITION BY chunk // 2 ORDER BY v, id) AS rn,
+       |      MAX(chunk) OVER () AS mc
+       |    FROM h) s
+       |  WHERE rn % 2 = 1 AND mc > 0
+       |), fin AS (
+       |  SELECT v, id, w FROM h WHERE lvl = (SELECT MAX(lvl) FROM h)
+       |), tot AS (SELECT COUNT(*) AS n FROM events),
+       |c AS (
+       |  SELECT v, SUM(w) OVER (ORDER BY v, id ROWS UNBOUNDED PRECEDING)
+       |    AS cum
+       |  FROM fin
+       |), phis AS (
+       |  SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS phi
+       |)
+       |SELECT phi,
+       |  (SELECT MIN(c.v) FROM c, tot WHERE c.cum >= CEIL(phi * tot.n))
+       |    AS kll_est,
+       |  (SELECT CAST(n AS BIGINT) FROM tot) AS n
+       |FROM phis ORDER BY phi""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_kll_quantile" -> kllQuantile)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_kll_quantile" -> kllQuantileSql)
+}

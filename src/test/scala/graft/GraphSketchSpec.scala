@@ -100,3 +100,84 @@ class MisraGriesSpec extends SparkSpec {
     assert(pairs === pairs.sorted)
   }
 }
+
+class KllSketchSpec extends SparkSpec {
+  // deterministic pseudo-shuffled values with ties (mod keeps collisions)
+  private val n = 20000
+  private val values: Seq[Double] =
+    (1 to n).map(i => ((i * 2654435761L) % 10007).toDouble)
+  private val sortedVals = values.sorted.toIndexedSeq
+
+  private def rankInterval(v: Double): (Long, Long) = {
+    val lo = sortedVals.count(_ < v).toLong + 1
+    val hi = sortedVals.count(_ <= v).toLong
+    (lo, hi)
+  }
+
+  test("KLL: weight conservation and rank-error bound across partitionings") {
+    import spark.implicits._
+    graft.functions.KllFunctions.register(spark)
+    val k = 256
+    val base = values.toDF("v")
+    val variants = Seq(
+      "one part" -> base.repartition(1),
+      "13 parts" -> base.repartition(13),
+      "sorted" -> values.sorted.toDF("v").repartition(4),
+      "reversed" -> values.sorted.reverse.toDF("v").repartition(4))
+    for ((name, df) <- variants) {
+      val itemRows = df
+        .agg(graft.functions.KllFunctions.kllSketch(col("v"), k).as("s"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      val items = itemRows.map(r => (r.getDouble(0), r.getLong(1)))
+      // 1. exact weight conservation under any partitioning/merge order
+      assert(items.map(_._2).sum == n.toLong, s"$name: weight leaked")
+      // 2. bounded state: <= k items per level, L ~ log2(n/k) levels
+      val maxW = items.map(_._2).max
+      val L = 63 - java.lang.Long.numberOfLeadingZeros(maxW)
+      assert(items.length <= k * (L + 1), s"$name: oversized sketch")
+      // 3. the proven bound: each level-t compaction perturbs ranks by
+      //    <= 2^t and happens <= n/(k 2^t) times, so total <= (L+1)n/k;
+      //    +1 level of slack absorbs the read-off discretization
+      val bound = (L + 2).toDouble * n / k
+      for (phi <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+        val est = graft.functions.KllFunctions.kllQuantileOf(items, phi)
+        val target = math.ceil(phi * n).toLong
+        val (lo, hi) = rankInterval(est)
+        val err =
+          if (target < lo) lo - target else if (target > hi) target - hi else 0L
+        assert(err <= bound,
+          s"$name phi=$phi: rank err $err > bound $bound (est=$est)")
+      }
+    }
+  }
+
+  test("KLL: grouped aggregation exercises partial merge per key") {
+    import spark.implicits._
+    graft.functions.KllFunctions.register(spark)
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i % 3, v) }.toDF("g", "v").repartition(8)
+    val rows = df.groupBy("g")
+      .agg(graft.functions.KllFunctions.kllSketch(col("v"), 64).as("s"))
+      .collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val g = r.getInt(0)
+      val items = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1)))
+      val grpVals = values.zipWithIndex.collect {
+        case (v, i) if i % 3 == g => v }.sorted
+      assert(items.map(_._2).sum == grpVals.length.toLong)
+      val med = graft.functions.KllFunctions.kllQuantileOf(items, 0.5)
+      val target = math.ceil(0.5 * grpVals.length).toLong
+      val lo = grpVals.count(_ < med) + 1
+      val hi = grpVals.count(_ <= med)
+      val err = if (target < lo) lo - target
+        else if (target > hi) target - hi else 0L
+      // k=64 on n/3 values: L ~ log2(n/(3k)), generous (L+2)n'/k bound
+      val maxW = items.map(_._2).max
+      val L = 63 - java.lang.Long.numberOfLeadingZeros(maxW)
+      assert(err <= (L + 2).toDouble * grpVals.length / 64,
+        s"g=$g err=$err")
+    }
+  }
+}
