@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
 case class MediaMeta(width: Int, height: Int, sampleRate: Int,
   durationMs: Long, format: String)
 
+case class MediaHash(media_id: Long, ahash: Long, dhash: Long)
+
 case class MediaFile(media_id: Long, kind: String, content: Array[Byte],
   meta: MediaMeta)
 
@@ -69,6 +71,80 @@ object Codecs {
       r += 1
     }
     Some(out)
+  }
+
+  /** 8×8 (gw×gh) box-averaged grayscale grid of a decoded 24-bpp channel
+    * stream (rows of 3·width bytes). Pure integer math — Long channel
+    * sums, one integer division per cell — so the grid (and every hash
+    * derived from it) is bit-deterministic on any platform. Cells outside
+    * a short image (height < gh) read 0. */
+  private[mm] def grayGrid(samples: Array[Int], width: Int,
+                           gw: Int, gh: Int): Array[Long] = {
+    val rowBytes = width * 3
+    val height = samples.length / rowBytes
+    val out = new Array[Long](gw * gh)
+    if (height == 0) return out
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * height / gh
+      val y1 = math.max((gy + 1) * height / gh, y0 + 1)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * width / gw
+        val x1 = math.max((gx + 1) * width / gw, x0 + 1)
+        var sum = 0L; var cnt = 0L
+        var y = y0
+        while (y < height && y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = y * rowBytes + x * 3
+            sum += samples(p) + samples(p + 1) + samples(p + 2)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * gw + gx) = if (cnt == 0) 0L else sum / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Average hash: 64 bits, bit (y·8+x) set when the 8×8 grid cell's
+    * luminance exceeds the grid mean (exact cross-multiplied compare —
+    * no float). Robust to uniform recoloring and resizing; the classic
+    * first-pass perceptual image fingerprint. */
+  def aHash(samples: Array[Int], width: Int): Long = {
+    val g = grayGrid(samples, width, 8, 8)
+    val tot = g.sum
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i) * 64 > tot) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Difference hash: 9×8 grid, bit (y·8+x) set when cell (x+1, y)
+    * is brighter than cell (x, y). Captures gradient structure, so it
+    * survives brightness shifts exactly and small translations mostly —
+    * the pairing complement to [[aHash]]. */
+  def dHash(samples: Array[Int], width: Int): Long = {
+    val g = grayGrid(samples, width, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) h |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    h
   }
 
   /** PCM WAV → sample stream normalized to 0-255 (16-bit samples take their
@@ -340,6 +416,58 @@ object Multimodal {
   }
 
   val HistBins = 16
+
+  /** Perceptual hashes of the image rows: decode the BMP per partition,
+    * compute [[Codecs.aHash]]/[[Codecs.dHash]] — the near-dup fingerprint
+    * leg of multimodal curation (text has MinHash, embeddings have LSH;
+    * images get aHash/dHash). Undecodable payloads are dropped, like
+    * [[extractFeatures]]' stub path. Binary blobs never shuffle: the only
+    * thing that leaves the scan partition is (media_id, 2 longs). */
+  def perceptualHashes(media: Dataset[MediaFile]): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { m =>
+        Codecs.decodeBmp(m.content).map { samples =>
+          MediaHash(m.media_id, Codecs.aHash(samples, m.meta.width),
+            Codecs.dHash(samples, m.meta.width))
+        }
+      }
+    }
+  }
+
+  /** Hamming-banded near-duplicate image pairs over a (media_id, ahash,
+    * dhash) frame — the [[graft.dedup.Dedup]] LSH-banding pattern applied
+    * to perceptual bits: the 64-bit dhash splits into 4 bands of 16 bits;
+    * candidates share at least one exact band (pigeonhole: any pair
+    * within hamming distance 3 MUST agree on some band, so recall is
+    * complete at maxHamming ≤ 3); the exact hamming verify runs only on
+    * candidates. The only join key is the 16-bit band value — no
+    * all-pairs stage at any corpus size, same as text LSH. */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band/16-bit banding guarantees full recall only to hamming 3; " +
+        s"got $maxHamming — add bands before raising the radius")
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("dhash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"),
+        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("m1"), col("m2"), col("hamming").cast("int").as("hamming"))
+      .orderBy("m1", "m2")
+  }
 
   /** Partition-parallel decode + feature extraction. One codec invocation
     * per row, batched by partition — no per-row task overhead, no driver

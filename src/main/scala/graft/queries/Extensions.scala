@@ -1121,6 +1121,24 @@ object Extensions {
       .withColumn("hist", concat_ws(",", col("hist")))
       .orderBy("media_id")
 
+  /** Perceptual image hashes (aHash + dHash over the decoded BMP grid) —
+    * rows-only like mm_features (the codec is not SQL-expressible);
+    * MultimodalSpec pins the hash vectors (identical / 1-px-shifted /
+    * recolored / unrelated images). */
+  private val mmPhash: Q = (s, dir) =>
+    Multimodal.perceptualHashes(
+      Multimodal.syntheticMedia(Tables.documents(s, dir)))
+      .toDF().orderBy("media_id")
+
+  /** Hamming-banded near-duplicate image pairs (full recall to hamming 3
+    * by pigeonhole over 4×16-bit bands — the LSH banding pattern on
+    * perceptual bits). Rows-only; the banding completeness proof is the
+    * MultimodalSpec exhaustive cross-check. */
+  private val mmPhashPairs: Q = (s, dir) =>
+    Multimodal.nearDupImages(
+      Multimodal.perceptualHashes(
+        Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
+
   /** Per-label embedding centroids — class prototypes / drift monitors /
     * IVF seed codebook. Fixed-point element sums make the per-dimension
     * means bit-identical to the oracle. */
@@ -1931,6 +1949,8 @@ object Extensions {
     "q_kmv_quantile"      -> kmvQuantile,
     "sim_kmeans"          -> simKmeans,
     "mm_features"         -> mmFeatures,
+    "mm_phash"            -> mmPhash,
+    "mm_phash_pairs"      -> mmPhashPairs,
   )
 
   val oracleSql: Map[String, String] = Map(

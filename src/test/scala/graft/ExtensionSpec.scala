@@ -954,4 +954,60 @@ class MultimodalSpec extends SparkSpec {
       .groupBy("kind").count().collect().map(r => r.getString(0)).toSet
     assert(kinds == Set("image", "audio", "video"))
   }
+
+  test("perceptual hashes: identical / shifted / recolored / unrelated") {
+    import graft.mm.Codecs
+    // smooth horizontal gradient, 16 px wide, 24 rows (values <= 200 so a
+    // +40 recolor never clamps)
+    val w = 16; val h = 24
+    def px(x: Int, y: Int): Byte = ((x * 12 + y) % 200).toByte
+    def img(shift: Int, bright: Int): Array[Byte] = {
+      val raw = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        raw(y * w * 3 + x * 3 + c) =
+          ((px((x + shift + w) % w, y) & 0xff) + bright).min(255).toByte
+      Codecs.encodeBmp(raw, w)
+    }
+    def hashes(b: Array[Byte]): (Long, Long) = {
+      val s = Codecs.decodeBmp(b).get
+      (Codecs.aHash(s, w), Codecs.dHash(s, w))
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (a0, d0) = hashes(img(0, 0))
+    val (a1, d1) = hashes(img(0, 0))
+    assert(a0 == a1 && d0 == d1, "identical image must hash identically")
+    val (aS, dS) = hashes(img(1, 0))
+    assert(ham(d0, dS) <= 16, s"1-px shift moved dhash too far: ${ham(d0, dS)}")
+    val (aR, dR) = hashes(img(0, 40))
+    assert(ham(d0, dR) == 0, "uniform recolor must not change dhash")
+    assert(ham(a0, aR) <= 4, s"uniform recolor barely moves ahash: ${ham(a0, aR)}")
+    // unrelated content (decoded doc text) should sit far away
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(w * h * 3)((rnd.nextInt(256)).toByte)
+    val (aN, dN) = hashes(Codecs.encodeBmp(noise, w))
+    assert(ham(d0, dN) > 10 && ham(a0, aN) > 10, "unrelated images collide")
+  }
+
+  test("hamming-banded image pairs == exhaustive pairs at radius 3") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hashes = Multimodal.perceptualHashes(Multimodal.syntheticMedia(docs))
+      .toDF()
+    val banded = Multimodal.nearDupImages(hashes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val exhaustive = (for {
+      (m1, h1) <- hs; (m2, h2) <- hs if m1 < m2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (m1, m2, d)).toSet
+    assert(banded == exhaustive,
+      s"missing=${exhaustive -- banded} extra=${banded -- exhaustive}")
+    // near-dup family planted by the fixture generator (duplicated texts
+    // -> identical BMPs) guarantees the check is not vacuous
+    assert(exhaustive.nonEmpty, "fixture should contain identical images")
+    val guard = intercept[IllegalArgumentException] {
+      Multimodal.nearDupImages(hashes, 4)
+    }
+    assert(guard.getMessage.contains("hamming 3"))
+  }
 }
+
