@@ -412,6 +412,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("blocklist filter: broadcast anti-join, blocked domains gone, counts reconcile") {
+    val stats = graft.queries.Web.queries("text_domain_stats")(spark, dir)
+    val kept = graft.queries.Web.queries("text_blocklist_filter")(spark, dir)
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    val statsMap = stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptMap = kept.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no blocked domain survives; every surviving count matches the stats
+    assert(keptMap.keySet.intersect(graft.queries.Web.Blocklist.toSet).isEmpty)
+    assert(keptMap.forall { case (d, n) => statsMap(d) == n })
+    // the blocklist actually removed something (non-vacuous fixture)
+    assert(statsMap.keySet.intersect(graft.queries.Web.Blocklist.toSet).nonEmpty)
+  }
+
   test("range join plans as an equi-join, never a nested loop") {
     val plan = graft.queries.Behavioral.queries("q_range_join")(spark, dir)
       .queryExecution.executedPlan.toString
