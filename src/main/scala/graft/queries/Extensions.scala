@@ -1192,6 +1192,108 @@ object Extensions {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Token capacity of one packed training bin in [[pipelineCorpus]]. */
+  private val CorpusBinTokens = 2000L
+
+  /** The composed end-to-end "curate a corpus" entry — the proof that the
+    * artifact-reuse pattern composes: ONE registry query chaining
+    *
+    *   near-dup clusters (fetched from [[graft.dedup.ClusterStore]], so a
+    *   session that already ran `dedup_pipeline` pays nothing)
+    *   → near-dup survivor selection ([[Dedup.survivors]])
+    *   → curation verdicts ([[curationFrame]], the `text_curation` chain)
+    *   → leak-safe split ([[Dedup.leakSplitFromClusters]], same clusters
+    *     artifact — the expensive stage is computed AT MOST once)
+    *   → token-budget packing ([[CorpusOps.packSequences]] per split).
+    *
+    * A document ships iff its curation verdict is `keep` AND it is not a
+    * near-dup loser; survivors pack into [[CorpusBinTokens]]-token bins in
+    * doc_id order within each split. Output is the training-shard
+    * manifest: (split, bin_id, n_docs, total_tokens, first_id, last_id).
+    * The oracle replays every stage (recursive-CTE closure, quality +
+    * novelty twins, md5 split, windowed packing) in one statement. */
+  private val pipelineCorpus: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val clusters = graft.dedup.ClusterStore
+      .getOrCompute(s, dir, JaccardThreshold) {
+        Dedup.pipeline(docs, JaccardThreshold).clusters
+      }
+    val losers = clusters.join(Dedup.survivors(docs, clusters), "rep_id")
+      .filter(col("doc_id") =!= col("survivor_id")).select("doc_id")
+    val split = Dedup.leakSplitFromClusters(docs, clusters)
+      .select("doc_id", "split")
+    val kept = curationFrame(s, dir)
+      .filter(col("verdict") === "keep")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(split, "doc_id")
+    graft.analytics.CorpusOps.packSequences(kept, col("doc_id"),
+        col("n_toks"), CorpusBinTokens, partitionCols = Seq("split"))
+      .orderBy("split", "bin_id")
+  }
+
+  // lazy: interpolates SpanK and the curation thresholds, which are
+  // declared later in this file — an eager val would capture their
+  // pre-initialization zeros
+  private lazy val pipelineCorpusSql = {
+    import graft.analytics.EventAnalytics.{TrainBoundary, ValBoundary}
+    s"""$clusterCtes, cl AS (
+       |  SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a
+       |), q AS (
+       |  SELECT doc_id, $qualityScalarSql AS q FROM documents
+       |), ranked AS (
+       |  SELECT cl.rep_id, cl.doc_id,
+       |    row_number() OVER (PARTITION BY cl.rep_id
+       |      ORDER BY q.q DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN q USING (doc_id)
+       |), sv AS (
+       |  SELECT rep_id, doc_id AS survivor_id FROM ranked WHERE rn = 1
+       |), losers AS (
+       |  SELECT cl.doc_id FROM cl JOIN sv USING (rep_id)
+       |  WHERE cl.doc_id <> sv.survivor_id
+       |), base AS (
+       |  SELECT doc_id, text, md5(text) AS h,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+       |    $qualityScalarSql AS quality_score
+       |  FROM documents
+       |), canon AS (
+       |  SELECT h, min(doc_id) AS keeper FROM base GROUP BY h
+       |), canon_docs AS (
+       |  SELECT b.doc_id, b.text FROM base b JOIN canon c USING (h)
+       |  WHERE b.doc_id = c.keeper
+       |), ${noveltyCtesSql("canon_docs")}, verdicts AS (
+       |  SELECT b.doc_id, b.n_toks,
+       |    CASE WHEN b.n_toks < $SpanK THEN 'too_short'
+       |         WHEN b.doc_id <> c.keeper THEN 'exact_dup'
+       |         WHEN b.quality_score < $CurationQualityMin THEN 'low_quality'
+       |         WHEN nv.novelty < $CurationNoveltyMin THEN 'boilerplate'
+       |         ELSE 'keep' END AS verdict
+       |  FROM base b JOIN canon c USING (h) LEFT JOIN nv USING (doc_id)
+       |), spl AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN substr(md5(CAST(coalesce(cl.rep_id, d.doc_id)
+       |           AS VARCHAR)), 1, 12) < '$TrainBoundary' THEN 'train'
+       |         WHEN substr(md5(CAST(coalesce(cl.rep_id, d.doc_id)
+       |           AS VARCHAR)), 1, 12) < '$ValBoundary' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN cl USING (doc_id)
+       |), kept AS (
+       |  SELECT s.split, v.doc_id, v.n_toks
+       |  FROM verdicts v JOIN spl s USING (doc_id)
+       |  WHERE v.verdict = 'keep'
+       |    AND v.doc_id NOT IN (SELECT doc_id FROM losers)
+       |), packed AS (
+       |  SELECT split, doc_id, n_toks,
+       |    SUM(n_toks) OVER (PARTITION BY split ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM kept
+       |)
+       |SELECT split, CAST((cum - n_toks) // $CorpusBinTokens AS BIGINT)
+       |    AS bin_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+       |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Nearest-centroid confusion matrix: every vector assigned to its
     * closest label centroid (fixed-point squared distance, label-asc
     * ties), counted against its true label — the drift/quality check a
@@ -1783,7 +1885,7 @@ object Extensions {
     * poison the keeper's window uniqueness into a spurious `boilerplate`.
     * Short docs and non-keepers have NULL novelty: the NULL comparison
     * falls through the CASE identically on both engines. */
-  private val textCuration: Q = (s, dir) => {
+  private[queries] def curationFrame(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
@@ -1802,8 +1904,10 @@ object Extensions {
           .when(col("quality_score") < CurationQualityMin, "low_quality")
           .when(col("novelty") < CurationNoveltyMin, "boilerplate")
           .otherwise("keep").as("verdict"))
-      .orderBy("doc_id")
   }
+
+  private val textCuration: Q = (s, dir) =>
+    curationFrame(s, dir).orderBy("doc_id")
 
   private val textCurationSql =
     s"""WITH base AS (
@@ -1942,6 +2046,7 @@ object Extensions {
     "emb_centroids"       -> embCentroids,
     "sim_centroid_assign" -> simCentroidAssign,
     "q_leak_split"        -> leakSplit,
+    "pipeline_corpus"     -> pipelineCorpus,
     "sim_cosine_topk"     -> simTopK,
     "sim_ann_topk"        -> simAnnTopK,
     "sim_ivf_topk"        -> simIvfTopK,
@@ -1997,6 +2102,7 @@ object Extensions {
     "emb_centroids"       -> embCentroidsSql,
     "sim_centroid_assign" -> simCentroidAssignSql,
     "q_leak_split"        -> leakSplitSql,
+    "pipeline_corpus"     -> pipelineCorpusSql,
     "sim_cosine_topk"     -> simTopKSql,
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,
