@@ -133,9 +133,64 @@ object Sketches {
        |  (SELECT CAST(n AS BIGINT) FROM tot) AS n
        |FROM phis ORDER BY phi""".stripMargin
 
+  private val CmsDepth = graft.functions.CountMinFunctions.DefaultDepth
+  private val CmsWidth = graft.functions.CountMinFunctions.DefaultWidth
+
+  /** Count-Min frequency estimates for the full document-token vocabulary
+    * beside the true counts. The sketch matrix is built by ONE mergeable
+    * aggregate pass over the token stream (elementwise-sum merge — a pure
+    * function of the multiset, so the DuckDB twin recomputes every cell
+    * with a GROUP BY and the entry is hash-exact, where Spark's built-in
+    * count_min_sketch is engine-opaque); estimates then read d cells per
+    * token from the collected d×w matrix (2 k longs — a codebook-sized
+    * driver scalar) via literal lookups inside codegen. */
+  private val cmsCounts: Q = (s, dir) => {
+    import graft.functions.CountMinFunctions
+    CountMinFunctions.register(s)
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+    val matrix = toks
+      .agg(CountMinFunctions.countMin(col("token"), CmsDepth, CmsWidth))
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0)
+      .map(_.toIndexedSeq).toIndexedSeq
+    val est = (0 until CmsDepth).map { i =>
+      val h = conv(substring(md5(concat(lit(s"$i|"), col("token"))), 1, 8),
+        16, 10).cast("long") % CmsWidth
+      element_at(typedlit(matrix(i)), (h + 1).cast("int"))
+    }.reduce(least(_, _))
+    toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("tf"), est.as("cms_est"))
+      .orderBy("token")
+  }
+
+  private val cmsCountsSql = {
+    val hex = (i: String) =>
+      "CAST(list_sum(list_transform(range(1, 9), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(" + i +
+        " AS VARCHAR) || '|' || token), CAST(p AS INTEGER), 1)) - 1) " +
+        s"* power(16, 8 - p))) AS BIGINT) % $CmsWidth"
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |    AS token
+       |  FROM documents
+       |), cnt AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
+       |hi AS (
+       |  SELECT cnt.token, cnt.tf, ii.i, ${hex("ii.i")} AS c
+       |  FROM cnt, (SELECT unnest([0, 1, 2, 3]) AS i) ii
+       |), cells AS (
+       |  SELECT i, c, SUM(tf) AS cell FROM hi GROUP BY 1, 2
+       |)
+       |SELECT hi.token, CAST(hi.tf AS BIGINT) AS tf,
+       |  CAST(MIN(cells.cell) AS BIGINT) AS cms_est
+       |FROM hi JOIN cells ON cells.i = hi.i AND cells.c = hi.c
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_kll_quantile" -> kllQuantile)
+    "q_kll_quantile" -> kllQuantile,
+    "text_cms_counts" -> cmsCounts)
 
   val oracleSql: Map[String, String] = Map(
-    "q_kll_quantile" -> kllQuantileSql)
+    "q_kll_quantile" -> kllQuantileSql,
+    "text_cms_counts" -> cmsCountsSql)
 }

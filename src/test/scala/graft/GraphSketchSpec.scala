@@ -181,3 +181,37 @@ class KllSketchSpec extends SparkSpec {
     }
   }
 }
+
+class CountMinSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tokenStream = Tables.documents(spark, dir)
+    .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+
+  test("CMS: matrix is partitioning-invariant; est >= tf with bounded excess") {
+    graft.functions.CountMinFunctions.register(spark)
+    val exact = tokenStream.groupBy("token").agg(count(lit(1)).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    def matrixOf(parts: Int, d: Int, w: Int): Seq[Seq[Long]] =
+      tokenStream.repartition(parts)
+        .agg(graft.functions.CountMinFunctions.countMin(col("token"), d, w))
+        .collect()(0).getSeq[scala.collection.Seq[Long]](0).map(_.toSeq)
+    // 1. pure function of the multiset: identical matrix at any partitioning
+    val m1 = matrixOf(1, 4, 64)
+    assert(matrixOf(7, 4, 64) == m1 && matrixOf(32, 4, 64) == m1)
+    // 2. mass conservation per row: every row's cells sum to n
+    assert(m1.forall(_.sum == n))
+    // 3. estimates never undercount; overshoot stays within the classic
+    //    2n/w bound for most keys (d=4 rows -> expected failures ~ (1/2)^4)
+    val over = exact.map { case (tok, tf) =>
+      val est = graft.functions.CountMinFunctions.estimateFrom(m1, tok)
+      assert(est >= tf, s"'$tok' undercounted: $est < $tf")
+      if (est - tf > 2L * n / 64) 1 else 0
+    }.sum
+    assert(over <= math.max(1, exact.size / 8), s"$over keys beyond 2n/w")
+    // 4. a key never inserted still gets a sane (collision-only) estimate
+    val ghost = graft.functions.CountMinFunctions.estimateFrom(m1, "__absent__")
+    assert(ghost >= 0 && ghost <= 2L * n / 64 * 4)
+  }
+}
