@@ -286,6 +286,43 @@ object StreamingEtl {
   case class DecayState(sumFx: Long, n: Long)
   case class DecayUpdate(key: String, sum_fx: Long, n: Long)
 
+  case class QuantileUpdate(key: String, n: Long, p50: Double, p90: Double)
+
+  /** Incrementally maintained per-key rank sketch — the streaming
+    * quantile the batch registry's `q_kll_quantile` canonical tree cannot
+    * be: state is a serialized [[graft.functions.KllBuffer]] (bounded
+    * k·levels doubles per key), each micro-batch folds its rows in, and
+    * the emitted p50/p90 estimates carry the sketch's (L+1)·n/k rank
+    * bound REGARDLESS of how the stream was sliced into batches —
+    * exactly the mergeable-summary property `KllSketchSpec` proves for
+    * the batch aggregate. n is exact (weight conservation). */
+  def runningQuantiles(events: DataFrame, k: Int = 256): Dataset[QuantileUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.{KllBuffer, KllFunctions}
+    def req(c: Column, msg: String) =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    events.select(
+        req(col("event_type"),
+          "runningQuantiles requires non-null event_type").as("event_type"),
+        req(col("value").cast("double"),
+          "runningQuantiles requires non-null value").as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], QuantileUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption.map(KllBuffer.deserialize(k, _))
+            .getOrElse(new KllBuffer(k))
+          rows.foreach { case (_, v) => buf.update(v) }
+          state.update(buf.serialize())
+          val items = buf.weightedItems.toSeq
+          QuantileUpdate(key, items.map(_._2).sum,
+            KllFunctions.kllQuantileOf(items, 0.5),
+            KllFunctions.kllQuantileOf(items, 0.9))
+      }
+  }
+
   def decayedTotals(events: DataFrame, anchorMicros: Long,
                     halfLifeDays: Double): Dataset[DecayUpdate] = {
     val spark = events.sparkSession

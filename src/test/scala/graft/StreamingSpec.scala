@@ -687,6 +687,56 @@ class StreamingSpec extends SparkSpec {
     assert(a == batch, "streaming state must equal the one-shot batch sum")
   }
 
+  test("streaming KLL quantiles: exact n, rank bound holds under any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("value"))
+      .orderBy("event_id").limit(400)
+      .as[(String, Double)].collect().toSeq
+    val exact = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).sorted.toIndexedSeq }
+    def runSliced(slices: Seq[Seq[(String, Double)]], name: String) = {
+      val stream = MemoryStream[(String, Double)]
+      val out = StreamingEtl.runningQuantiles(
+        stream.toDS().toDF("event_type", "value"), k = 64)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      // n grows monotonically, so max(n) rows are the final updates
+      spark.table(name).groupBy("key")
+        .agg(max(struct(col("n"), col("p50"), col("p90"))).as("f"))
+        .select(col("key"), col("f.n"), col("f.p50"), col("f.p90"))
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    }
+    for ((slices, name) <- Seq(
+        (Seq(rows), "kll_one"),
+        (rows.grouped(37).toSeq, "kll_37"),
+        (Seq(rows.take(5), rows.slice(5, 300), rows.drop(300)), "kll_mix"))) {
+      val got = runSliced(slices, name)
+      assert(got.keySet == exact.keySet)
+      for ((key, (n, p50, p90)) <- got) {
+        val sorted = exact(key)
+        assert(n == sorted.length.toLong, s"$name/$key: n")
+        // rank bound: (L+2)·n/k with L from the deepest possible level
+        val l = math.max(1, 64 - java.lang.Long
+          .numberOfLeadingZeros(math.max(1L, n / 64)))
+        val bound = (l + 2).toDouble * n / 64
+        for ((phi, est) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+          val target = math.ceil(phi * n).toLong
+          val lo = sorted.count(_ < est) + 1
+          val hi = sorted.count(_ <= est)
+          val err = if (target < lo) lo - target
+            else if (target > hi) target - hi else 0L
+          assert(err <= bound, s"$name/$key phi=$phi err=$err bound=$bound")
+        }
+      }
+    }
+  }
+
   test("decayed totals fail loudly on null inputs, not with an encoder NPE") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
