@@ -186,11 +186,71 @@ object Sketches {
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
+  /** Bloom-join / membership-probe demo: a [[graft.functions.BloomSetAgg]]
+    * filter built over the distinct click user set, probed by every view
+    * user — beside the exact membership truth, so false positives are
+    * visible rows (never false negatives; `BloomSetSpec` proves it). The
+    * filter is a pure function of the build-side SET (elementwise-OR
+    * merge), so even the probe flags are oracle-exact; the probe itself
+    * is a codegen shift/AND over the collected 64-word literal — the
+    * pre-filter a 100 TB semi-join or decontamination pass ships to the
+    * scan instead of a shuffle. */
+  private val bloomMembership: Q = (s, dir) => {
+    import graft.functions.BloomSetFunctions
+    BloomSetFunctions.register(s)
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").cast("string").as("k")).distinct()
+    val words = clicks.agg(BloomSetFunctions.bloomSet(col("k")))
+      .collect()(0).getSeq[Long](0).toIndexedSeq
+    val clickUsers = ev.filter(col("event_type") === "click")
+      .select("user_id").distinct()
+    ev.filter(col("event_type") === "view").select("user_id").distinct()
+      .withColumn("might_click",
+        BloomSetFunctions.mightContain(words, col("user_id").cast("string")))
+      .join(clickUsers.withColumn("does_click", lit(true)),
+        Seq("user_id"), "left")
+      .withColumn("does_click", coalesce(col("does_click"), lit(false)))
+      .orderBy("user_id")
+  }
+
+  private val bloomMembershipSql = {
+    val bits = graft.functions.BloomSetFunctions.DefaultBits
+    val hex = (i: String, k: String) =>
+      "CAST(list_sum(list_transform(range(1, 9), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(" + i +
+        " AS VARCHAR) || '|' || " + k + "), CAST(p AS INTEGER), 1)) - 1) " +
+        s"* power(16, 8 - p))) AS BIGINT) % $bits"
+    s"""WITH b AS (
+       |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+       |  WHERE event_type = 'click'
+       |), pos AS (
+       |  SELECT DISTINCT ii.i, ${hex("ii.i", "b.k")} AS p
+       |  FROM b, (SELECT unnest([0, 1, 2]) AS i) ii
+       |), probe AS (
+       |  SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k FROM events
+       |  WHERE event_type = 'view'
+       |), pp AS (
+       |  SELECT probe.user_id, ii.i, ${hex("ii.i", "probe.k")} AS p
+       |  FROM probe, (SELECT unnest([0, 1, 2]) AS i) ii
+       |), flags AS (
+       |  SELECT pp.user_id, BOOL_AND(pos.p IS NOT NULL) AS might_click
+       |  FROM pp LEFT JOIN pos ON pos.i = pp.i AND pos.p = pp.p
+       |  GROUP BY 1
+       |)
+       |SELECT f.user_id, f.might_click,
+       |  EXISTS (SELECT 1 FROM events e WHERE e.event_type = 'click'
+       |          AND e.user_id = f.user_id) AS does_click
+       |FROM flags f ORDER BY f.user_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_kll_quantile" -> kllQuantile,
-    "text_cms_counts" -> cmsCounts)
+    "text_cms_counts" -> cmsCounts,
+    "q_bloom_membership" -> bloomMembership)
 
   val oracleSql: Map[String, String] = Map(
     "q_kll_quantile" -> kllQuantileSql,
-    "text_cms_counts" -> cmsCountsSql)
+    "text_cms_counts" -> cmsCountsSql,
+    "q_bloom_membership" -> bloomMembershipSql)
 }

@@ -215,3 +215,45 @@ class CountMinSpec extends SparkSpec {
     assert(ghost >= 0 && ghost <= 2L * n / 64 * 4)
   }
 }
+
+class BloomSetSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bloom: no false negatives, OR-merge invariance, bounded fp rate") {
+    import spark.implicits._
+    graft.functions.BloomSetFunctions.register(spark)
+    val keys = (1 to 600).map(i => s"k${i * 7}")
+    def wordsOf(parts: Int): Seq[Long] =
+      keys.toDF("k").repartition(parts)
+        .agg(graft.functions.BloomSetFunctions.bloomSet(col("k")))
+        .collect()(0).getSeq[Long](0)
+    // pure function of the SET: identical words at any partitioning, and
+    // duplicates are absorbed (idempotent OR)
+    val w1 = wordsOf(1)
+    assert(wordsOf(13) == w1)
+    val wDup = (keys ++ keys).toDF("k").repartition(5)
+      .agg(graft.functions.BloomSetFunctions.bloomSet(col("k")))
+      .collect()(0).getSeq[Long](0)
+    assert(wDup == w1)
+    val words = w1.toArray
+    // every inserted key probes true — the Bloom contract's hard half
+    assert(keys.forall(k =>
+      graft.functions.BloomSetFunctions.mightContainLocal(words, k)))
+    // false positives stay near (1 - e^(-dn/m))^d for absent keys
+    val absent = (1 to 2000).map(i => s"absent${i}")
+    val fp = absent.count(k =>
+      graft.functions.BloomSetFunctions.mightContainLocal(words, k))
+    val m = 4096.0; val d = 3.0; val n = keys.size.toDouble
+    val expected = math.pow(1 - math.exp(-d * n / m), d)
+    assert(fp < absent.size * (expected * 2 + 0.01),
+      s"fp rate ${fp.toDouble / absent.size} vs expected $expected")
+    // the codegen probe agrees with the local probe on mixed keys
+    val mixed = (keys.take(50) ++ absent.take(50)).toDF("k")
+    val expr = graft.functions.BloomSetFunctions
+      .mightContain(w1.toIndexedSeq, col("k"))
+    val got = mixed.select(col("k"), expr.as("m")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got.forall { case (k, v) =>
+      v == graft.functions.BloomSetFunctions.mightContainLocal(words, k) })
+  }
+}
