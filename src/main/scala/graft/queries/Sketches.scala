@@ -186,6 +186,68 @@ object Sketches {
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
+  /** Equi-join cardinality estimation from two Count-Min sketches alone —
+    * the optimizer-statistics application: est |A ⋈ B on k| = min over
+    * rows i of Σ_j cmsA[i][j]·cmsB[i][j] (the row-wise inner product; an
+    * upper bound that collisions only inflate, exact when no colliding
+    * pair exists, additive error ≤ ~n_A·n_B/w per the classic analysis —
+    * `CountMinSpec` pins it). At 100 TB this is how a planner sizes a
+    * join from two 2 k-long mergeable summaries WITHOUT touching either
+    * side again — sizing w to n_A·n_B/tolerance is the deployment lever
+    * (the fixture's w=512 demo keeps the registry cheap, so its estimate
+    * is bound-tight rather than sharp). Both sketches build in one pass
+    * each over the click/view user streams and the estimate sits beside
+    * the exact join size, all oracle-exact because the matrices are pure
+    * functions of the multisets. */
+  private val cmsJoinSize: Q = (s, dir) => {
+    import graft.functions.CountMinFunctions
+    CountMinFunctions.register(s)
+    val ev = Tables.events(s, dir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").cast("string").as("k"))
+    def matrixOf(t: String): IndexedSeq[IndexedSeq[Long]] = side(t)
+      .agg(CountMinFunctions.countMin(col("k"), CmsDepth, CmsWidth))
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0)
+      .map(_.toIndexedSeq).toIndexedSeq
+    val (a, b) = (matrixOf("click"), matrixOf("view"))
+    val est = (0 until CmsDepth).map { i =>
+      (0 until CmsWidth).map(j => a(i)(j) * b(i)(j)).sum
+    }.min
+    val exact = side("click").groupBy("k").agg(count(lit(1)).as("ca"))
+      .join(side("view").groupBy("k").agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_size"))
+    exact.select(lit(est).as("cms_join_est"), col("exact_join_size"))
+  }
+
+  private val cmsJoinSizeSql = {
+    val hex = (i: String, k: String) =>
+      "CAST(list_sum(list_transform(range(1, 9), p -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(" + i +
+        " AS VARCHAR) || '|' || " + k + "), CAST(p AS INTEGER), 1)) - 1) " +
+        s"* power(16, 8 - p))) AS BIGINT) % $CmsWidth"
+    s"""WITH ca AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS tf FROM events
+       |  WHERE event_type = 'click' GROUP BY 1
+       |), cb AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS tf FROM events
+       |  WHERE event_type = 'view' GROUP BY 1
+       |), ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |ma AS (
+       |  SELECT ii.i, ${hex("ii.i", "ca.k")} AS c, SUM(tf) AS cell
+       |  FROM ca, ii GROUP BY 1, 2
+       |), mb AS (
+       |  SELECT ii.i, ${hex("ii.i", "cb.k")} AS c, SUM(tf) AS cell
+       |  FROM cb, ii GROUP BY 1, 2
+       |), dots AS (
+       |  SELECT ma.i, SUM(ma.cell * mb.cell) AS dot
+       |  FROM ma JOIN mb ON ma.i = mb.i AND ma.c = mb.c
+       |  GROUP BY 1
+       |)
+       |SELECT (SELECT CAST(MIN(dot) AS BIGINT) FROM dots) AS cms_join_est,
+       |  (SELECT CAST(COALESCE(SUM(ca.tf * cb.tf), 0) AS BIGINT)
+       |   FROM ca JOIN cb USING (k)) AS exact_join_size""".stripMargin
+  }
+
   /** Bloom-join / membership-probe demo: a [[graft.functions.BloomSetAgg]]
     * filter built over the distinct click user set, probed by every view
     * user — beside the exact membership truth, so false positives are
@@ -247,10 +309,12 @@ object Sketches {
   val queries: Map[String, Q] = Map(
     "q_kll_quantile" -> kllQuantile,
     "text_cms_counts" -> cmsCounts,
-    "q_bloom_membership" -> bloomMembership)
+    "q_bloom_membership" -> bloomMembership,
+    "q_cms_join_size" -> cmsJoinSize)
 
   val oracleSql: Map[String, String] = Map(
     "q_kll_quantile" -> kllQuantileSql,
     "text_cms_counts" -> cmsCountsSql,
-    "q_bloom_membership" -> bloomMembershipSql)
+    "q_bloom_membership" -> bloomMembershipSql,
+    "q_cms_join_size" -> cmsJoinSizeSql)
 }

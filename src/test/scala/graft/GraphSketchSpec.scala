@@ -214,6 +214,27 @@ class CountMinSpec extends SparkSpec {
     val ghost = graft.functions.CountMinFunctions.estimateFrom(m1, "__absent__")
     assert(ghost >= 0 && ghost <= 2L * n / 64 * 4)
   }
+
+  test("CMS inner product bounds the equi-join size from both directions") {
+    import spark.implicits._
+    graft.functions.CountMinFunctions.register(spark)
+    val w = 256
+    val a = (1 to 3000).map(i => s"u${i % 400}")
+    val b = (1 to 2000).map(i => s"u${i % 700 + 100}")
+    def matrixOf(xs: Seq[String]) = xs.toDF("k").repartition(9)
+      .agg(graft.functions.CountMinFunctions.countMin(col("k"), 4, w))
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0).map(_.toSeq)
+    val (ma, mb) = (matrixOf(a), matrixOf(b))
+    val est = (0 until 4).map { i =>
+      (0 until w).map(j => ma(i)(j) * mb(i)(j)).sum }.min
+    val ca = a.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cb = b.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val exact = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+    // never an underestimate; overshoot within the n_A·n_B/w additive
+    // bound (x8 slack for the min-of-4-rows Markov tail)
+    assert(est >= exact, s"$est < $exact")
+    assert(est <= exact + 8L * a.size * b.size / w, s"$est vs $exact")
+  }
 }
 
 class BloomSetSpec extends SparkSpec {
