@@ -25,17 +25,21 @@ object Relational5 {
     * decomposition needs — the final ranks (and hashes) are invariant
     * to the grid. Costs one min/max aggregate scan of `raw` (column-
     * pruned to `value`). */
-  private def observedRangeBucket(raw: DataFrame): Column = {
+  private def observedRangeBucket(raw: DataFrame): Column =
+    observedRangeBucketOn(raw, col("value").cast("double"))
+
+  /** The general form over any numeric ordering expression (e.g. a
+    * timestamp's epoch micros for time-ordered prefix sums). */
+  private def observedRangeBucketOn(raw: DataFrame, lead: Column): Column = {
     val s = raw.sparkSession
-    val r = raw.agg(min(col("value").cast("double")).as("mn"),
-      max(col("value").cast("double")).as("mx")).collect()(0)
+    val r = raw.agg(min(lead).as("mn"), max(lead).as("mx")).collect()(0)
     val nBuckets = math.max(1, s.sparkContext.defaultParallelism * 4)
     if (r.isNullAt(0)) lit(0L)
     else {
       val mn = r.getDouble(0)
       val width = math.max((r.getDouble(1) - mn) / nBuckets,
         java.lang.Double.MIN_NORMAL)
-      least(floor((col("value").cast("double") - lit(mn)) / lit(width)),
+      least(floor((lead - lit(mn)) / lit(width)),
         lit((nBuckets - 1).toLong)).cast("long")
     }
   }
@@ -477,6 +481,95 @@ object Relational5 {
     * row count and x·1e6 ~5e8, so the product overflows longs at petabyte
     * scale), Σx is the standard decimal-exact sum, and the final ratio
     * combines identically in both engines. */
+  /** CUSUM changepoint per event type — the drift screen a training-data
+    * pipeline runs on every refresh: the index i (in (ts, event_id)
+    * order) maximizing |S_i − (i/n)·S_n|, i.e. where the mean before and
+    * after differ most. Everything before the final readout is
+    * integer-exact: values fix to ×1e6 longs, the prefix sum S_i is the
+    * bucketed two-phase form over the OBSERVED time range (offsets join
+    * back as a broadcast frame — DECIMAL(38,0) there because at petabyte
+    * event counts S_i outgrows Long), and the deviation is the
+    * cross-multiplied |S_i·n − i·S_n| in decimal, so the argmax (ties →
+    * smallest i) is deterministic and engine-exact; one double cast and
+    * one rounded division at the very end. */
+  private val cusum: Q = (s, dir) => {
+    import s.implicits._
+    val raw = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long").as("xfx"))
+    val ev = raw.withColumn("bucket",
+      observedRangeBucketOn(raw, unix_micros(col("ts")).cast("double")))
+    val rawOff = ev.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("c"),
+        sum(col("xfx").cast("decimal(38,0)")).as("sx")).collect()
+    val offRows = rawOff
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger)))
+      .groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+        var ci = 0L
+        var si = BigInt(0)
+        rows.sortBy(_._2).map { case (_, b, c, sx) =>
+          val e = (t, b, ci, si.toString)
+          ci += c; si += sx
+          e
+        }
+      }
+    val off = offRows.toDF("event_type", "bucket", "ioff", "soff_str")
+      .withColumn("soff", col("soff_str").cast("decimal(38,0)"))
+      .drop("soff_str")
+    val wb = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("ts"), col("event_id"))
+    val cums = ev.join(broadcast(off), Seq("event_type", "bucket"))
+      .withColumn("i", row_number().over(wb).cast("long") + col("ioff"))
+      .withColumn("s",
+        sum(col("xfx").cast("decimal(38,0)"))
+          .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + col("soff"))
+    val tot = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xfx").cast("decimal(38,0)")).as("sn"))
+    cums.join(broadcast(tot), "event_type")
+      .withColumn("dev", abs(col("s") * col("n") - col("i") * col("sn")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(struct((col("dev") * -1).as("nd"), col("i").as("i"),
+          col("ts").as("ts"))).as("m"))
+      .select(col("event_type"), col("n"), col("m.i").as("cp_i"),
+        col("m.ts").as("cp_ts"),
+        round((col("m.nd") * -1).cast("double") / col("n") / 1e6, 6)
+          .as("cusum_dev"))
+      .orderBy("event_type")
+  }
+
+  private val cusumSql =
+    """WITH e AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS xfx
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, ts, event_id, xfx,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS i,
+      |    SUM(CAST(xfx AS HUGEINT)) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM e
+      |), t AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(CAST(xfx AS HUGEINT)) AS sn
+      |  FROM e GROUP BY 1
+      |), d AS (
+      |  SELECT r.event_type, r.i, r.ts, t.n,
+      |    ABS(r.s * t.n - r.i * t.sn) AS dev
+      |  FROM r JOIN t USING (event_type)
+      |), p AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY dev DESC, i) AS rk
+      |  FROM d
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS cp_i,
+      |  date_trunc('microseconds', ts) AS cp_ts,
+      |  ROUND(CAST(dev AS DOUBLE) / n / 1e6, 6) AS cusum_dev
+      |FROM p WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   private val gini: Q = (s, dir) => {
     val raw = Tables.events(s, dir)
       .select(col("event_type"), col("value"), col("event_id"))
@@ -948,6 +1041,7 @@ object Relational5 {
     "q_ab_ttest"        -> abTtest,
     "q_mannwhitney"     -> mannWhitney,
     "q_gini"            -> gini,
+    "q_cusum"           -> cusum,
     "q_benfords"        -> benfords,
     "sim_pq_topk"       -> pqTopK,
     "sim_ivfpq_topk"    -> ivfPqTopK,
@@ -968,6 +1062,7 @@ object Relational5 {
     "q_ab_ttest"        -> abTtestSql,
     "q_mannwhitney"     -> mannWhitneySql,
     "q_gini"            -> giniSql,
+    "q_cusum"           -> cusumSql,
     "q_benfords"        -> benfordsSql,
     "sim_pq_topk"       -> pqTopKSql,
     "sim_ivfpq_topk"    -> ivfPqTopKSql,

@@ -426,6 +426,16 @@ class PlanSpec extends SparkSpec {
     assert(statsMap.keySet.intersect(graft.queries.Web.Blocklist.toSet).nonEmpty)
   }
 
+  test("domain stats scan prunes the text column") {
+    // the URL synthesizes from (source, lang, doc_id) — a scan that drags
+    // the document BODY along for a per-domain count is reading ~100× the
+    // bytes it needs at corpus scale
+    val plan = graft.queries.Web.queries("text_domain_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("text"), readSchema)
+  }
+
   test("range join plans as an equi-join, never a nested loop") {
     val plan = graft.queries.Behavioral.queries("q_range_join")(spark, dir)
       .queryExecution.executedPlan.toString

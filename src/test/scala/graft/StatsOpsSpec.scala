@@ -106,6 +106,30 @@ class StatsOpsSpec extends SparkSpec {
     assert(!chi2.isNaN && chi2 >= 0.0)
   }
 
+  test("CUSUM finds a planted mean shift; prefix sum never single-tasks") {
+    import spark.implicits._
+    // mean jumps 10 -> 50 at index 300 of 500; CUSUM's argmax of
+    // |S_i - (i/n)S_n| is exactly the boundary for a clean step
+    val ts0 = 1700000000000000L
+    val rows = (1 to 500).map { i =>
+      (i.toLong, new java.sql.Timestamp((ts0 + i * 1000000L) / 1000), 1L,
+        "click", if (i <= 300) 10.0 else 50.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Relational5.queries("q_cusum")(spark, dir)
+    val globalWindow =
+      "Window[^\\n]*\\n\\s*[+:]- Sort[^\\n]*\\n\\s*[+:]- Exchange SinglePartition".r
+    val plan = df.queryExecution.executedPlan.toString
+    assert(globalWindow.findFirstIn(plan).isEmpty, plan)
+    val r = df.as[(String, Long, Long, java.sql.Timestamp, Double)]
+      .collect().head
+    assert(r._2 == 500 && r._3 == 300, r)
+    // dev at the boundary: |S_300 - (300/500)S_500| = |3000 - 0.6*13000|
+    assert(math.abs(r._5 - 4800.0) < 1e-6, r)
+  }
+
   test("runtime bloom filter is injected above the fact scan") {
     val df = Relational5.queries("q_runtime_filter")(spark, dir)
     df.collect()
