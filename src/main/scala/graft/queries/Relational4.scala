@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 coverage batch: graph triangle counting (degree-ordered, the
@@ -129,13 +130,77 @@ object Relational4 {
       |FROM cnt WHERE tf * 64 > (SELECT n FROM tot)
       |ORDER BY tf DESC, token""".stripMargin
 
+  /** Synchronous rounds of deterministic label propagation. */
+  private val LpaRounds = 4
+
+  /** Label-propagation communities over the doc graph — the scalable
+    * community-detection pass (coarser than connected components, finer
+    * than nothing) a dedup/graph pipeline uses to group related docs.
+    * LPA is classically nondeterministic (random update order, random
+    * tie-breaks); this is the derandomized synchronous form: every round,
+    * every vertex simultaneously adopts the most frequent label among its
+    * neighbours, ties broken by the SMALLEST label, for a fixed
+    * [[LpaRounds]] rounds. That makes the result a pure function of the
+    * graph — the oracle replays the identical rounds as unrolled CTEs.
+    * Per round: one join (labels onto the symmetric edge list, shuffled
+    * on vertex id), one count aggregate, one vertex-partitioned
+    * row_number — no global window, no driver state; the same
+    * per-iteration shape as PageRank. */
+  private val lpaCommunities: Q = (s, dir) => {
+    val edges = docEdges(s, dir)
+    val nbrs = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = nbrs.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    val w = Window.partitionBy("u").orderBy(desc("c"), col("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val pick = nbrs
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("u").as("id"), col("lbl").as("newLbl"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("community"))
+      .orderBy("doc_id")
+  }
+
+  private val lpaCommunitiesSql = {
+    def round(i: Int) =
+      s"""c$i AS (
+         |  SELECT nb.u, l${i - 1}.lbl, COUNT(*) AS c
+         |  FROM nb JOIN l${i - 1} ON l${i - 1}.id = nb.v GROUP BY 1, 2
+         |), p$i AS (
+         |  SELECT u, lbl,
+         |    row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rk
+         |  FROM c$i
+         |), l$i AS (
+         |  SELECT l${i - 1}.id, COALESCE(p.lbl, l${i - 1}.lbl) AS lbl
+         |  FROM l${i - 1} LEFT JOIN (SELECT u, lbl FROM p$i WHERE rk = 1) p
+         |    ON p.u = l${i - 1}.id
+         |)""".stripMargin
+    s"""WITH $docEdgesCte, nb AS (
+       |  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+       |), l0 AS (
+       |  SELECT DISTINCT u AS id, u AS lbl FROM nb
+       |), ${(1 to LpaRounds).map(round).mkString(", ")}
+       |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
+       |FROM l$LpaRounds ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_triangles"         -> triangles,
+    "q_lpa_communities"   -> lpaCommunities,
     "text_heavy_hitters"  -> heavyHitters,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_triangles"         -> trianglesSql,
+    "q_lpa_communities"   -> lpaCommunitiesSql,
     "text_heavy_hitters"  -> heavyHittersSql,
   )
 }
