@@ -52,6 +52,31 @@ object CorpusOps {
       .drop("__b")
   }
 
+  /** √-temperature source rebalancing: keep each source at rate
+    * min(1, c/√n_s) — the α=0.5 temperature-sampling cap that shrinks a
+    * dominant source's contribution to ∝ √n_s while keeping small
+    * sources whole (the standard multilingual/multi-source mixture
+    * move). A pure filter: the draw is the [[hashSplit]] md5-prefix
+    * compare against an IN-PLAN fixed-point boundary
+    * floor(rate·16^12), so the kept set is deterministic, rerun- and
+    * repartition-stable, and cross-engine exact (÷, ×, √, floor are all
+    * correctly-rounded IEEE ops). The only extra work over a plain scan
+    * is the per-source count dimension, broadcast back — no shuffle of
+    * the corpus, no per-source window, no hot partitions at any source
+    * skew. */
+  def temperatureSample(df: DataFrame, idCol: Column, sourceCol: Column,
+                        c: Double): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("__src")).agg(count(lit(1)).as("__n"))
+    val bound = floor(least(lit(1.0), lit(c) / sqrt(col("__n")))
+      * lit(281474976710656.0)).cast("long")
+    val prefix = conv(substring(md5(idCol.cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    df.withColumn("__src", sourceCol)
+      .join(broadcast(counts), "__src")
+      .filter(prefix < bound)
+      .drop("__src", "__n")
+  }
+
   /** Bottom-k hash sample: the `k` rows with globally smallest md5(id) —
     * the KMV construction applied to whole rows. A deterministic uniform
     * sample that is mergeable (union two samples, keep the k smallest) and

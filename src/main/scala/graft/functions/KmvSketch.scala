@@ -54,19 +54,7 @@ case class KmvSketchAgg(
   override def createAggregationBuffer(): java.util.TreeSet[String] =
     new java.util.TreeSet[String]()
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    val hex = "0123456789abcdef".toCharArray
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      val v = d(i) & 0xff
-      out(2 * i) = hex(v >>> 4); out(2 * i + 1) = hex(v & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  private def md5Hex(s: String): String = KmvFunctions.md5Hex(s)
 
   override def update(buffer: java.util.TreeSet[String],
                       input: InternalRow): java.util.TreeSet[String] = {
@@ -118,6 +106,33 @@ case class KmvSketchAgg(
 
 object KmvFunctions {
   val DefaultK = 256
+
+  /** Lowercase-hex md5 of a string — the digest the sketch keeps mins of
+    * (shared with the streaming state form in
+    * [[graft.streaming.StreamingEtl.runningDistinct]]). */
+  private[graft] def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = "0123456789abcdef".toCharArray
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val v = d(i) & 0xff
+      out(2 * i) = hex(v >>> 4); out(2 * i + 1) = hex(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The scalar estimate from a SORTED k-min digest list — the exact
+    * driver/streaming twin of [[kmvDistinct]]'s column form: exact count
+    * below k, else (k−1)·16^12 / prefix48(h_(k)). */
+  private[graft] def estimateFromSorted(sorted: Seq[String], k: Int): Double =
+    if (sorted.size < k) sorted.size.toDouble
+    else {
+      val v = java.lang.Long.parseLong(sorted(k - 1).substring(0, 12), 16)
+      if (v == 0L) Double.NaN else (k - 1).toDouble * FracScale / v.toDouble
+    }
 
   /** 16^12 — the scale of the 12-hex-digit digest prefix used as the (0,1)
     * fraction. 48-bit values are exact in double on every engine. */

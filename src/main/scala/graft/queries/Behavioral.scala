@@ -248,6 +248,50 @@ object Behavioral {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** √-temperature coefficient for [[tempSample]]: at the fixture's ~25
+    * docs/source this keeps ~40%; at sf1's ~2500 it keeps ~4% — the cap
+    * tightening exactly ∝ 1/√n_s as sources grow. */
+  private val TempC = 2.0
+
+  /** Per-source outcome of the α=0.5 temperature cap
+    * ([[graft.analytics.CorpusOps.temperatureSample]]): kept counts beside
+    * totals and the effective rate. The kept SET is deterministic (md5
+    * draw vs an in-plan fixed-point boundary), so even the sampled counts
+    * are oracle-exact. */
+  private val tempSample: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val kept = graft.analytics.CorpusOps
+      .temperatureSample(docs, col("doc_id"), col("source"), TempC)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("rate",
+        round(least(lit(1.0), lit(TempC) / sqrt(col("n_docs"))), 6))
+      .orderBy("source")
+  }
+
+  private val tempSampleSql = {
+    val prefix48 =
+      "CAST(list_sum(list_transform(range(1, 13), i -> " +
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), " +
+        "CAST(i AS INTEGER), 1)) - 1) * power(16, 12 - i))) AS BIGINT)"
+    s"""WITH n AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+       |), k AS (
+       |  SELECT d.source, COUNT(*) AS n_kept
+       |  FROM documents d JOIN n USING (source)
+       |  WHERE $prefix48 <
+       |    CAST(FLOOR(LEAST(1.0, $TempC / sqrt(n.n_docs))
+       |      * 281474976710656.0) AS BIGINT)
+       |  GROUP BY 1
+       |)
+       |SELECT n.source, CAST(n.n_docs AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  ROUND(LEAST(1.0, $TempC / sqrt(n.n_docs)), 6) AS rate
+       |FROM n LEFT JOIN k USING (source) ORDER BY n.source""".stripMargin
+  }
+
   /** Quality deciles per language over n_chars — the corpus-distribution
     * look that precedes threshold picking. ntile ties broken by doc_id so
     * both engines bin identically. */
@@ -957,6 +1001,7 @@ object Behavioral {
     "q_stratified_sample" -> stratifiedSample,
     "q_pack_sequences"    -> packSequences,
     "q_mixture_sample"    -> mixtureSample,
+    "q_temp_sample"       -> tempSample,
     "q_asof_join"         -> asofJoin,
     "q_range_join"        -> rangeJoin,
     "q_skew_join"         -> skewJoin,
@@ -992,6 +1037,7 @@ object Behavioral {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_pack_sequences"    -> packSequencesSql,
     "q_mixture_sample"    -> mixtureSampleSql,
+    "q_temp_sample"       -> tempSampleSql,
     "q_asof_join"         -> asofJoinSql,
     "q_range_join"        -> rangeJoinSql,
     "q_skew_join"         -> skewJoinSql,

@@ -286,6 +286,54 @@ object StreamingEtl {
   case class DecayState(sumFx: Long, n: Long)
   case class DecayUpdate(key: String, sum_fx: Long, n: Long)
 
+  case class DistinctUpdate(key: String, n_rows: Long, distinct_est: Double)
+
+  /** Incrementally maintained per-key KMV distinct-count estimate — the
+    * streaming twin of `q_kmv_distinct`, and the strongest-contract
+    * member of the streaming-sketch states: the k-min digest set is a
+    * pure function of the value SET (min-merge is order-invariant and
+    * duplicate-absorbing), so after any batching/restart the state — and
+    * therefore the estimate — is BIT-IDENTICAL to the one-shot batch
+    * sketch of the same rows (StreamingSpec asserts equality, not a
+    * bound). State per key is ≤ k 32-char digests. */
+  def runningDistinct(events: DataFrame, k: Int = 256): Dataset[DistinctUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.KmvFunctions
+    def req(c: Column, msg: String) =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    events.select(
+        req(col("event_type"),
+          "runningDistinct requires non-null event_type").as("event_type"),
+        req(col("user_id").cast("string"),
+          "runningDistinct requires non-null user_id").as("v"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, String), DistinctUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, String)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, ""))
+          val set = new java.util.TreeSet[String]()
+          if (s0.nonEmpty) s0.split(",").foreach(set.add)
+          var n = n0
+          rows.foreach { case (_, v) =>
+            n += 1
+            val h = KmvFunctions.md5Hex(v)
+            if (set.size < k || h < set.last()) {
+              set.add(h)
+              if (set.size > k) set.pollLast()
+            }
+          }
+          state.update((n, String.join(",", set)))
+          val sorted = {
+            val it = set.iterator(); val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next()
+            b.result()
+          }
+          DistinctUpdate(key, n, KmvFunctions.estimateFromSorted(sorted, k))
+      }
+  }
+
   case class QuantileUpdate(key: String, n: Long, p50: Double, p90: Double)
 
   /** Incrementally maintained per-key rank sketch — the streaming

@@ -687,6 +687,49 @@ class StreamingSpec extends SparkSpec {
     assert(a == batch, "streaming state must equal the one-shot batch sum")
   }
 
+  test("streaming KMV distinct == the batch sketch EXACTLY, any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 8 // small k so the estimator branch engages on the fixture
+    val rows = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id"))
+      .orderBy("event_id").limit(500)
+      .as[(String, Long)].collect().toSeq
+    graft.functions.KmvFunctions.register(spark)
+    val batch = spark.createDataset(rows).toDF("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(graft.functions.KmvFunctions
+        .kmvDistinct(col("user_id").cast("string"), k).as("est"))
+      .as[(String, Double)].collect().toMap
+    def runSliced(slices: Seq[Seq[(String, Long)]], name: String) = {
+      val stream = MemoryStream[(String, Long)]
+      val out = StreamingEtl.runningDistinct(
+        stream.toDS().toDF("event_type", "user_id"), k)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).groupBy("key")
+        .agg(max(struct(col("n_rows"), col("distinct_est"))).as("f"))
+        .select(col("key"), col("f.distinct_est"))
+        .as[(String, Double)].collect().toMap
+    }
+    val a = runSliced(Seq(rows), "kmv_one")
+    val b = runSliced(rows.grouped(41).toSeq, "kmv_41")
+    // order-invariant min-merge: streaming state == one-shot batch sketch
+    // BIT-IDENTICALLY, not within a bound
+    assert(a == batch, s"$a\n$batch")
+    assert(b == batch)
+    // estimator branch engaged iff some type exceeds k distinct users —
+    // assert from ground truth so the test can't silently go vacuous
+    val trueDistinct = rows.groupBy(_._1).map { case (t, vs) =>
+      t -> vs.map(_._2).distinct.size }
+    assert(trueDistinct.values.exists(_ > k),
+      s"fixture prefix never exceeds k=$k distinct: $trueDistinct")
+    assert(batch.values.exists(v => v != math.rint(v)))
+  }
+
   test("streaming KLL quantiles: exact n, rank bound holds under any slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
