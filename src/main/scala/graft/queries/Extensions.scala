@@ -1294,6 +1294,83 @@ object Extensions {
        |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Power-iteration rounds for [[embPowerPc1]]. */
+  private val PowerRounds = 3
+
+  /** Top principal direction of the (uncentered) embedding corpus by
+    * [[PowerRounds]] rounds of exact fixed-point power iteration — the
+    * dimension-reduction / drift-monitoring primitive (XᵀX's dominant
+    * eigenvector) computed WITHOUT materializing the 64×64 Gram matrix:
+    * each round is two aggregates over the unnested corpus (per-vector
+    * dot x·v as an integer sum in dimension order, then per-dimension
+    * Σ x_d·(x·v) in DECIMAL(38,0)), normalized by max|s| (an
+    * order-invariant max, not a float L2 sum) and re-quantized to the
+    * ×1e6 grid HALF_UP — so every round's iterate is bit-identical in
+    * both engines and the ORACLE replays the unrolled rounds. The
+    * iterate vector is a 64-entry driver literal per round, the same
+    * codebook-sized boundary as the k-means/IVF anchors. */
+  private val embPowerPc1: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val d = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("xfx"))
+      .localCheckpoint(true)
+    var v: Array[Long] =
+      Array.tabulate(dims)(i => if (i == 0) 1000000L else 0L)
+    for (_ <- 1 to PowerRounds) {
+      val vMap = typedlit(
+        v.zipWithIndex.map { case (w, i) => (i + 1).toLong -> w }.toMap)
+      val dot = d.withColumn("vfx", element_at(vMap, col("dim")))
+        .groupBy("vec_id").agg(sum(col("xfx") * col("vfx")).as("dotv"))
+      val sRows = d.join(dot, "vec_id")
+        .groupBy("dim")
+        .agg(sum(col("xfx").cast("decimal(38,0)") * col("dotv")).as("sd"))
+        .collect()
+      val sArr = new Array[BigInt](dims)
+      sRows.foreach(r =>
+        sArr(r.getLong(0).toInt - 1) = BigInt(r.getDecimal(1).toBigInteger))
+      val mx = new java.math.BigDecimal(sArr.map(_.abs).max.bigInteger)
+        .doubleValue
+      v = sArr.map { x =>
+        BigDecimal(new java.math.BigDecimal(x.bigInteger).doubleValue
+          / mx * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    v.zipWithIndex.map { case (w, i) => (i + 1, w.toDouble / 1e6) }.toSeq
+      .toDF("dim", "pc1").orderBy("dim")
+  }
+
+  private lazy val embPowerPc1Sql = {
+    def round(i: Int) =
+      s"""dot$i AS (
+         |  SELECT d.vec_id, SUM(d.xfx * v${i - 1}.vfx) AS dotv
+         |  FROM d JOIN v${i - 1} USING (dim) GROUP BY 1
+         |), s$i AS (
+         |  SELECT d.dim, SUM(CAST(d.xfx AS HUGEINT) * dot$i.dotv) AS sd
+         |  FROM d JOIN dot$i USING (vec_id) GROUP BY 1
+         |), m$i AS (SELECT MAX(ABS(sd)) AS mx FROM s$i),
+         |v$i AS (
+         |  SELECT dim, CAST(ROUND(CAST(sd AS DOUBLE) / CAST(mx AS DOUBLE)
+         |    * 1e6, 0) AS BIGINT) AS vfx
+         |  FROM s$i, m$i
+         |)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT)
+       |      AS dim,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0)
+       |      AS BIGINT) AS xfx
+       |  FROM embeddings
+       |), v0 AS (
+       |  SELECT dim, CASE WHEN dim = 1 THEN 1000000 ELSE 0 END AS vfx
+       |  FROM (SELECT DISTINCT dim FROM d)
+       |), ${(1 to PowerRounds).map(round).mkString(", ")}
+       |SELECT CAST(dim AS INTEGER) AS dim, CAST(vfx AS DOUBLE) / 1e6 AS pc1
+       |FROM v$PowerRounds ORDER BY dim""".stripMargin
+  }
+
   /** Nearest-centroid confusion matrix: every vector assigned to its
     * closest label centroid (fixed-point squared distance, label-asc
     * ties), counted against its true label — the drift/quality check a
@@ -2044,6 +2121,7 @@ object Extensions {
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
     "emb_centroids"       -> embCentroids,
+    "emb_power_pc1"       -> embPowerPc1,
     "sim_centroid_assign" -> simCentroidAssign,
     "q_leak_split"        -> leakSplit,
     "pipeline_corpus"     -> pipelineCorpus,
@@ -2100,6 +2178,7 @@ object Extensions {
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "emb_lsh_pairs"       -> embLshPairsSql,
     "emb_centroids"       -> embCentroidsSql,
+    "emb_power_pc1"       -> embPowerPc1Sql,
     "sim_centroid_assign" -> simCentroidAssignSql,
     "q_leak_split"        -> leakSplitSql,
     "pipeline_corpus"     -> pipelineCorpusSql,

@@ -106,6 +106,33 @@ class StatsOpsSpec extends SparkSpec {
     assert(!chi2.isNaN && chi2 >= 0.0)
   }
 
+  test("power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // 64-dim vectors = scale * u + deterministic small noise, u fixed:
+    // the top principal direction of X'X must align with u
+    val dims = 64
+    val u = Array.tabulate(dims)(i => math.cos(i * 0.7)).map(_.toFloat)
+    val unorm = math.sqrt(u.map(x => x.toDouble * x).sum)
+    val rows = (1 to 300).map { r =>
+      val scale = 0.5f + (r % 7) * 0.1f
+      val emb = Array.tabulate(dims) { i =>
+        u(i) * scale + 0.02f * math.sin(r * 13 + i * 5).toFloat
+      }
+      (r.toLong, emb.toSeq, r % 3)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pc").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pc = graft.queries.Extensions.queries("emb_power_pc1")(spark, dir)
+      .collect().map(r => r.getDouble(1))
+    val dot = pc.zip(u).map { case (a, b) => a * b }.sum
+    val pcn = math.sqrt(pc.map(x => x * x).sum)
+    val cos = math.abs(dot / (pcn * unorm))
+    assert(cos > 0.99, s"cos(pc1, planted)=$cos")
+  }
+
   test("CUSUM finds a planted mean shift; prefix sum never single-tasks") {
     import spark.implicits._
     // mean jumps 10 -> 50 at index 300 of 500; CUSUM's argmax of
