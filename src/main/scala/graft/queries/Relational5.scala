@@ -481,6 +481,86 @@ object Relational5 {
     * row count and x·1e6 ~5e8, so the product overflows longs at petabyte
     * scale), Σx is the standard decimal-exact sum, and the final ratio
     * combines identically in both engines. */
+  /** Rolling 100-row lag-1 autocorrelation over the global (ts, event_id)
+    * order — the drift/regime monitor that [[q_autocorr]] computes once
+    * for the whole series, evaluated continuously. Runs through
+    * [[DistributedRolling]] (halo-exchange blocks, no single-partition
+    * window) with window = 101 so the halo is one row deeper than the
+    * 100-row frame: every frame row's lag-1 predecessor is physically in
+    * the block, making the pair set identical to the global window's.
+    * Every windowed moment is an exact Long sum of ×1e6 fixed-point
+    * values (frame-order independent), and the Pearson combination casts
+    * each moment to double once and runs the identical IEEE sequence in
+    * both engines; windows with fewer than 30 pairs or degenerate
+    * variance are NULL on both. */
+  private val rollingCorr: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsus"),
+        round(col("value") * 1e6, 0).cast("long").as("xfx"))
+    val rolled = DistributedRolling.withRolling(
+        ev, Seq("tsus", "event_id"), 101) { ws =>
+      val lagW = ws.rowsBetween(-1, -1)
+      val fw = ws.rowsBetween(-99, 0)
+      Seq(
+        "yfx" -> first(col("xfx")).over(lagW),
+        "n" -> count(col("yfx")).over(fw),
+        "sx" -> sum(when(col("yfx").isNotNull, col("xfx"))).over(fw),
+        "sy" -> sum(col("yfx")).over(fw),
+        "sxy" -> sum(when(col("yfx").isNotNull,
+          col("xfx") * col("yfx"))).over(fw),
+        "sxx" -> sum(when(col("yfx").isNotNull,
+          col("xfx") * col("xfx"))).over(fw),
+        "syy" -> sum(col("yfx") * col("yfx")).over(fw))
+    }
+    def d(c: Column) = c.cast("double")
+    val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    rolled
+      .withColumn("rcorr100",
+        when(col("n") < 30 || vx <= 0 || vy <= 0, lit(null))
+          .otherwise(round(cov / (sqrt(vx) * sqrt(vy)), 6)))
+      .select("event_id", "rcorr100")
+      .orderBy("event_id")
+  }
+
+  private val rollingCorrSql =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS tsus,
+      |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS xfx
+      |  FROM events
+      |), l AS (
+      |  SELECT event_id, tsus, xfx,
+      |    LAG(xfx) OVER (ORDER BY tsus, event_id) AS yfx
+      |  FROM e
+      |), r AS (
+      |  SELECT event_id,
+      |    COUNT(yfx) OVER w AS n,
+      |    SUM(CASE WHEN yfx IS NOT NULL THEN xfx END) OVER w AS sx,
+      |    SUM(yfx) OVER w AS sy,
+      |    SUM(CASE WHEN yfx IS NOT NULL THEN xfx * yfx END) OVER w AS sxy,
+      |    SUM(CASE WHEN yfx IS NOT NULL THEN xfx * xfx END) OVER w AS sxx,
+      |    SUM(yfx * yfx) OVER w AS syy
+      |  FROM l
+      |  WINDOW w AS (ORDER BY tsus, event_id
+      |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id,
+      |  CASE WHEN n < 30
+      |    OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+      |    OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+      |  THEN NULL
+      |  ELSE ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS rcorr100
+      |FROM r ORDER BY event_id""".stripMargin
+
   /** CUSUM changepoint per event type — the drift screen a training-data
     * pipeline runs on every refresh: the index i (in (ts, event_id)
     * order) maximizing |S_i − (i/n)·S_n|, i.e. where the mean before and
@@ -1042,6 +1122,7 @@ object Relational5 {
     "q_mannwhitney"     -> mannWhitney,
     "q_gini"            -> gini,
     "q_cusum"           -> cusum,
+    "q_rolling_corr"    -> rollingCorr,
     "q_benfords"        -> benfords,
     "sim_pq_topk"       -> pqTopK,
     "sim_ivfpq_topk"    -> ivfPqTopK,
@@ -1063,6 +1144,7 @@ object Relational5 {
     "q_mannwhitney"     -> mannWhitneySql,
     "q_gini"            -> giniSql,
     "q_cusum"           -> cusumSql,
+    "q_rolling_corr"    -> rollingCorrSql,
     "q_benfords"        -> benfordsSql,
     "sim_pq_topk"       -> pqTopKSql,
     "sim_ivfpq_topk"    -> ivfPqTopKSql,
