@@ -1986,6 +1986,32 @@ object Extensions {
   private val textCuration: Q = (s, dir) =>
     curationFrame(s, dir).orderBy("doc_id")
 
+  /** The curation CTE chain (base → canon → canon_docs → novelty →
+    * verdicts(doc_id, n_toks, quality_score, novelty, verdict)) without a
+    * WITH prefix — the SQL twin of [[curationFrame]] for composing
+    * oracles ([[graft.queries.Web]]'s per-domain curation). Lazy for the
+    * same declaration-order reason as pipelineCorpusSql. */
+  private[queries] lazy val curationCtesSql =
+    s"""base AS (
+       |  SELECT doc_id, text, md5(text) AS h,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+       |    $qualityScalarSql AS quality_score
+       |  FROM documents
+       |), canon AS (
+       |  SELECT h, min(doc_id) AS keeper FROM base GROUP BY h
+       |), canon_docs AS (
+       |  SELECT b.doc_id, b.text FROM base b JOIN canon c USING (h)
+       |  WHERE b.doc_id = c.keeper
+       |), ${noveltyCtesSql("canon_docs")}, verdicts AS (
+       |  SELECT b.doc_id, b.n_toks, b.quality_score, nv.novelty,
+       |    CASE WHEN b.n_toks < $SpanK THEN 'too_short'
+       |         WHEN b.doc_id <> c.keeper THEN 'exact_dup'
+       |         WHEN b.quality_score < $CurationQualityMin THEN 'low_quality'
+       |         WHEN nv.novelty < $CurationNoveltyMin THEN 'boilerplate'
+       |         ELSE 'keep' END AS verdict
+       |  FROM base b JOIN canon c USING (h) LEFT JOIN nv USING (doc_id)
+       |)""".stripMargin
+
   private val textCurationSql =
     s"""WITH base AS (
        |  SELECT doc_id, text, md5(text) AS h,

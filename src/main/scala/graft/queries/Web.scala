@@ -152,11 +152,42 @@ object Web {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Per-domain curation outcomes — the CCNet-style per-domain quality
+    * signal: join each document's registrable domain to its curation
+    * verdict ([[Extensions.curationFrame]]) and aggregate keep/drop
+    * counts plus the mean quality score per domain. The table a crawler
+    * feeds back into its seed list (domains with low keep rates get
+    * down-prioritized at the SOURCE, before fetch cost is paid). One
+    * extra broadcast-sized join over the two existing chains; the mean
+    * rounds to 6 dp off a decimal-exact sum so the float is identical in
+    * both engines. */
+  private val domainCuration: Q = (s, dir) =>
+    parsed(s, dir).select("doc_id", "domain")
+      .join(Extensions.curationFrame(s, dir), "doc_id")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        round(sum(col("quality_score").cast("decimal(38,12)"))
+          .cast("double") / count(lit(1)), 6).as("mean_quality"))
+      .orderBy("domain")
+
+  private val domainCurationSql =
+    s"""WITH $parsedCteSql, ${Extensions.curationCtesSql}
+       |SELECT d.domain, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN v.verdict = 'keep' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_keep,
+       |  ROUND(CAST(SUM(CAST(v.quality_score AS DECIMAL(38,12)))
+       |    AS DOUBLE) / COUNT(*), 6) AS mean_quality
+       |FROM d JOIN verdicts v USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_domain_stats" -> domainStats,
-    "text_blocklist_filter" -> blocklistFilter)
+    "text_blocklist_filter" -> blocklistFilter,
+    "text_domain_curation" -> domainCuration)
 
   val oracleSql: Map[String, String] = Map(
     "text_domain_stats" -> domainStatsSql,
-    "text_blocklist_filter" -> blocklistFilterSql)
+    "text_blocklist_filter" -> blocklistFilterSql,
+    "text_domain_curation" -> domainCurationSql)
 }
