@@ -1250,25 +1250,7 @@ object Extensions {
        |), losers AS (
        |  SELECT cl.doc_id FROM cl JOIN sv USING (rep_id)
        |  WHERE cl.doc_id <> sv.survivor_id
-       |), base AS (
-       |  SELECT doc_id, text, md5(text) AS h,
-       |    CAST(len($toksSql) AS BIGINT) AS n_toks,
-       |    $qualityScalarSql AS quality_score
-       |  FROM documents
-       |), canon AS (
-       |  SELECT h, min(doc_id) AS keeper FROM base GROUP BY h
-       |), canon_docs AS (
-       |  SELECT b.doc_id, b.text FROM base b JOIN canon c USING (h)
-       |  WHERE b.doc_id = c.keeper
-       |), ${noveltyCtesSql("canon_docs")}, verdicts AS (
-       |  SELECT b.doc_id, b.n_toks,
-       |    CASE WHEN b.n_toks < $SpanK THEN 'too_short'
-       |         WHEN b.doc_id <> c.keeper THEN 'exact_dup'
-       |         WHEN b.quality_score < $CurationQualityMin THEN 'low_quality'
-       |         WHEN nv.novelty < $CurationNoveltyMin THEN 'boilerplate'
-       |         ELSE 'keep' END AS verdict
-       |  FROM base b JOIN canon c USING (h) LEFT JOIN nv USING (doc_id)
-       |), spl AS (
+       |), $curationCtesSql, spl AS (
        |  SELECT d.doc_id,
        |    CASE WHEN substr(md5(CAST(coalesce(cl.rep_id, d.doc_id)
        |           AS VARCHAR)), 1, 12) < '$TrainBoundary' THEN 'train'
