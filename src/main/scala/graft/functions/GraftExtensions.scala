@@ -39,5 +39,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .getOrElse(KmvFunctions.DefaultK)
         KmvSketchAgg(exprs.head, k)
       }))
+    e.injectFunction((FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      exprs => {
+        val k = exprs.lift(1).map(_.eval(null).asInstanceOf[Int])
+          .getOrElse(MisraGriesFunctions.DefaultK)
+        MisraGriesAgg(exprs.head, k)
+      }))
+    e.injectFunction((FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
+      exprs => {
+        val d = exprs.lift(1).map(_.eval(null).asInstanceOf[Int])
+          .getOrElse(CountMinFunctions.DefaultDepth)
+        val w = exprs.lift(2).map(_.eval(null).asInstanceOf[Int])
+          .getOrElse(CountMinFunctions.DefaultWidth)
+        CountMinAgg(exprs.head, d, w)
+      }))
+    e.injectFunction((FunctionIdentifier("bloom_set"),
+      new ExpressionInfo(classOf[BloomSetAgg].getName, "bloom_set"),
+      exprs => {
+        val m = exprs.lift(1).map(_.eval(null).asInstanceOf[Int])
+          .getOrElse(BloomSetFunctions.DefaultBits)
+        val d = exprs.lift(2).map(_.eval(null).asInstanceOf[Int])
+          .getOrElse(BloomSetFunctions.DefaultHashes)
+        BloomSetAgg(exprs.head, m, d)
+      }))
+    e.injectFunction((FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
+      exprs => {
+        val k = exprs.lift(1).map(_.eval(null).asInstanceOf[Int])
+          .getOrElse(KllFunctions.DefaultK)
+        KllSketchAgg(exprs.head, k)
+      }))
   }
 }
