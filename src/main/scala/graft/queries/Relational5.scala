@@ -481,6 +481,65 @@ object Relational5 {
     * row count and x·1e6 ~5e8, so the product overflows longs at petabyte
     * scale), Σx is the standard decimal-exact sum, and the final ratio
     * combines identically in both engines. */
+  /** Join-key skew report for events.user_id — the diagnostics a 100 TB
+    * operator runs BEFORE picking a salting factor ([[graft.analytics.SkewJoin]])
+    * or trusting AQE's skew split: row/key counts, the hottest key's
+    * share, and exact key-size quantiles. Shape: one hash aggregate to
+    * per-key counts, a second to the count-of-counts histogram (≤ as many
+    * rows as distinct key SIZES — tiny at any scale), which collects to
+    * the driver like a codebook; quantiles walk the histogram in Scala
+    * and the single output row is exact integer arithmetic in both
+    * engines. */
+  private val skewReport: Q = (s, dir) => {
+    import s.implicits._
+    val cnt = Tables.events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("c"))
+    val hist = cnt.groupBy("c").agg(count(lit(1)).as("keys"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val nKeys = hist.map(_._2).sum
+    val nRows = hist.map { case (c, k) => c * k }.sum
+    val maxKey = if (hist.isEmpty) 0L else hist.last._1
+    def q(phi: Double): Long = {
+      val target = math.ceil(phi * nKeys).toLong
+      var cum = 0L
+      hist.foreach { case (c, k) =>
+        cum += k
+        if (cum >= target) return c
+      }
+      maxKey
+    }
+    Seq((nRows, nKeys, maxKey,
+        if (nRows == 0) 0L else maxKey * 1000000L / nRows,
+        q(0.5), q(0.99)))
+      .toDF("n_rows", "n_keys", "max_key_rows", "top1_share_ppm",
+        "p50_key_rows", "p99_key_rows")
+  }
+
+  private val skewReportSql =
+    """WITH cnt AS (
+      |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1
+      |), hist AS (
+      |  SELECT c, COUNT(*) AS keys FROM cnt GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(c * keys) AS BIGINT) AS n_rows,
+      |    CAST(SUM(keys) AS BIGINT) AS n_keys,
+      |    MAX(c) AS max_key_rows
+      |  FROM hist
+      |), cum AS (
+      |  SELECT c, SUM(keys) OVER (ORDER BY c
+      |    ROWS UNBOUNDED PRECEDING) AS ck
+      |  FROM hist
+      |)
+      |SELECT tot.n_rows, tot.n_keys, tot.max_key_rows,
+      |  CASE WHEN tot.n_rows = 0 THEN 0
+      |    ELSE tot.max_key_rows * 1000000 // tot.n_rows END
+      |    AS top1_share_ppm,
+      |  (SELECT MIN(c) FROM cum, tot
+      |   WHERE ck >= CEIL(0.5 * tot.n_keys)) AS p50_key_rows,
+      |  (SELECT MIN(c) FROM cum, tot
+      |   WHERE ck >= CEIL(0.99 * tot.n_keys)) AS p99_key_rows
+      |FROM tot""".stripMargin
+
   /** Rolling 100-row lag-1 autocorrelation over the global (ts, event_id)
     * order — the drift/regime monitor that [[q_autocorr]] computes once
     * for the whole series, evaluated continuously. Runs through
@@ -1123,6 +1182,7 @@ object Relational5 {
     "q_gini"            -> gini,
     "q_cusum"           -> cusum,
     "q_rolling_corr"    -> rollingCorr,
+    "q_skew_report"     -> skewReport,
     "q_benfords"        -> benfords,
     "sim_pq_topk"       -> pqTopK,
     "sim_ivfpq_topk"    -> ivfPqTopK,
@@ -1145,6 +1205,7 @@ object Relational5 {
     "q_gini"            -> giniSql,
     "q_cusum"           -> cusumSql,
     "q_rolling_corr"    -> rollingCorrSql,
+    "q_skew_report"     -> skewReportSql,
     "q_benfords"        -> benfordsSql,
     "sim_pq_topk"       -> pqTopKSql,
     "sim_ivfpq_topk"    -> ivfPqTopKSql,
