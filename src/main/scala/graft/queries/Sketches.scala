@@ -133,6 +133,136 @@ object Sketches {
        |  (SELECT CAST(n AS BIGINT) FROM tot) AS n
        |FROM phis ORDER BY phi""".stripMargin
 
+  /** Grouped canonical tree: the per-key production shape (per-segment
+    * quantile summaries). Same halving recursion as [[kllCanonical]] but
+    * rank-space chunks live within each group, pair windows partition by
+    * (group, chunk pair), and a group whose tree already collapsed to one
+    * chunk passes through later levels unchanged (so every group is
+    * present at the final level — the property the oracle's recursive
+    * twin needs to terminate globally while types finish at different
+    * depths). Group count is assumed dimension-like (the per-(group,
+    * bucket) rank offsets and the final ≤ k-item-per-group sketch collect
+    * to the driver like codebooks). */
+  def kllCanonicalGrouped(df: DataFrame, k: Int): DataFrame = {
+    val s = df.sparkSession
+    // per-group two-phase rank on the observed global value grid
+    val r0 = df.agg(min(col("v").cast("double")).as("mn"),
+      max(col("v").cast("double")).as("mx")).collect()(0)
+    val nb = math.max(1, s.sparkContext.defaultParallelism * 4)
+    val bucket = if (r0.isNullAt(0)) lit(0L) else {
+      val mn = r0.getDouble(0)
+      val width = math.max((r0.getDouble(1) - mn) / nb,
+        java.lang.Double.MIN_NORMAL)
+      least(floor((col("v").cast("double") - lit(mn)) / lit(width)),
+        lit((nb - 1).toLong)).cast("long")
+    }
+    val ev = df.withColumn("bucket", bucket)
+    val rawOff = ev.groupBy("g", "bucket").count().collect()
+    val off: Map[String, Map[Long, Long]] = rawOff
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (g, rows) =>
+        var below = 0L
+        g -> rows.sortBy(_._2).map { case (_, b, c) =>
+          val e = b -> below; below += c; e
+        }.toMap
+      }
+    val wb = Window.partitionBy("g", "bucket").orderBy("v", "id")
+    var cur = ev
+      .withColumn("i", row_number().over(wb).cast("long") +
+        element_at(element_at(typedlit(off), col("g")), col("bucket")))
+      .select(col("g"), col("v"), col("id"),
+        expr(s"(i - 1) div $k").as("chunk"), lit(1L).as("w"))
+      .localCheckpoint(true)
+    var gmx = cur.agg(max("chunk")).collect()(0).getLong(0)
+    while (gmx > 0) {
+      val tmx = cur.groupBy("g").agg(max("chunk").as("tmx"))
+      val pw = Window.partitionBy("g", "nc").orderBy("v", "id")
+      cur = cur.join(broadcast(tmx), "g")
+        .withColumn("nc", expr("chunk div 2"))
+        .withColumn("rn", row_number().over(pw))
+        .withColumn("w2", col("w") + coalesce(lead("w", 1).over(pw), lit(0L)))
+        .filter(col("tmx") === 0 || col("rn") % 2 === 1)
+        .select(col("g"), col("v"), col("id"),
+          when(col("tmx") === 0, col("chunk")).otherwise(col("nc"))
+            .as("chunk"),
+          when(col("tmx") === 0, col("w")).otherwise(col("w2")).as("w"))
+        .localCheckpoint(true)
+      gmx = cur.agg(max("chunk")).collect()(0).getLong(0)
+    }
+    cur
+  }
+
+  /** Per-event-type KLL/MP quantile estimates — the per-segment summary a
+    * 100 TB pipeline materializes per partition and merges. Same
+    * determinism story as [[kllQuantile]]; the oracle's recursive CTE
+    * halves each type's tree at its own depth and passes finished types
+    * through. */
+  private val kllGrouped: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("g"), col("value").as("v"),
+        col("event_id").as("id"))
+    val sk = kllCanonicalGrouped(ev, K)
+    val byG = sk.select("g", "v", "id", "w").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val rows = byG.toSeq.flatMap { case (g, items) =>
+      val sorted = items.sortBy { case (_, v, id, _) => (v, id) }
+      val n = sorted.map(_._4).sum
+      Seq(0.5, 0.9, 0.99).map { phi =>
+        val target = math.ceil(phi * n).toLong
+        var cum = 0L
+        var est: Option[Double] = None
+        sorted.foreach { case (_, v, _, w) =>
+          cum += w
+          if (est.isEmpty && cum >= target) est = Some(v)
+        }
+        (g, phi, est.getOrElse(Double.NaN), n)
+      }
+    }
+    rows.toDF("event_type", "phi", "kll_est", "n")
+      .orderBy("event_type", "phi")
+  }
+
+  private val kllGroupedSql =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT event_type AS g, value AS v, event_id AS id,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS r
+       |  FROM events
+       |), h AS (
+       |  SELECT 0 AS lvl, g, CAST((r - 1) // $K AS BIGINT) AS chunk, v, id,
+       |    CAST(1 AS BIGINT) AS w
+       |  FROM base
+       |  UNION ALL
+       |  SELECT lvl + 1, g,
+       |    CASE WHEN tmx = 0 THEN chunk ELSE chunk // 2 END,
+       |    v, id,
+       |    CASE WHEN tmx = 0 THEN w ELSE w2 END
+       |  FROM (
+       |    SELECT lvl, g, chunk, v, id, w,
+       |      MAX(chunk) OVER () AS gmx,
+       |      MAX(chunk) OVER (PARTITION BY g) AS tmx,
+       |      row_number() OVER (PARTITION BY g, chunk // 2
+       |        ORDER BY v, id) AS rn,
+       |      w + COALESCE(LEAD(w) OVER (PARTITION BY g, chunk // 2
+       |        ORDER BY v, id), 0) AS w2
+       |    FROM h) s
+       |  WHERE gmx > 0 AND (tmx = 0 OR rn % 2 = 1)
+       |), fin AS (
+       |  SELECT g, v, id, w FROM h WHERE lvl = (SELECT MAX(lvl) FROM h)
+       |), tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS n FROM fin GROUP BY 1),
+       |c AS (
+       |  SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v, id
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM fin
+       |), phis AS (SELECT unnest([0.5, 0.9, 0.99]) AS phi)
+       |SELECT tot.g AS event_type, phis.phi,
+       |  (SELECT MIN(c.v) FROM c
+       |   WHERE c.g = tot.g AND c.cum >= CEIL(phis.phi * tot.n)) AS kll_est,
+       |  tot.n
+       |FROM tot, phis ORDER BY event_type, phi""".stripMargin
+
   private val CmsDepth = graft.functions.CountMinFunctions.DefaultDepth
   private val CmsWidth = graft.functions.CountMinFunctions.DefaultWidth
 
@@ -308,12 +438,14 @@ object Sketches {
 
   val queries: Map[String, Q] = Map(
     "q_kll_quantile" -> kllQuantile,
+    "q_kll_grouped" -> kllGrouped,
     "text_cms_counts" -> cmsCounts,
     "q_bloom_membership" -> bloomMembership,
     "q_cms_join_size" -> cmsJoinSize)
 
   val oracleSql: Map[String, String] = Map(
     "q_kll_quantile" -> kllQuantileSql,
+    "q_kll_grouped" -> kllGroupedSql,
     "text_cms_counts" -> cmsCountsSql,
     "q_bloom_membership" -> bloomMembershipSql,
     "q_cms_join_size" -> cmsJoinSizeSql)
