@@ -106,6 +106,18 @@ class StatsOpsSpec extends SparkSpec {
     assert(!chi2.isNaN && chi2 >= 0.0)
   }
 
+  test("KLL trees and the skew report never feed a Window from one partition") {
+    val globalWindow =
+      "Window[^\\n]*\\n\\s*[+:]- Sort[^\\n]*\\n\\s*[+:]- Exchange SinglePartition".r
+    for (name <- Seq("q_kll_quantile", "q_kll_grouped", "q_skew_report",
+        "q_cusum", "q_rolling_corr")) {
+      val df = (graft.queries.Sketches.queries ++ Relational5.queries)
+        .apply(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(globalWindow.findFirstIn(plan).isEmpty, s"$name:\n$plan")
+    }
+  }
+
   test("power iteration recovers a planted dominant direction") {
     import spark.implicits._
     // 64-dim vectors = scale * u + deterministic small noise, u fixed:
