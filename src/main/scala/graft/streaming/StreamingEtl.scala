@@ -334,6 +334,35 @@ object StreamingEtl {
       }
   }
 
+  case class ImageDedupFlag(media_id: Long, first_id: Long, is_dup: Boolean)
+
+  /** Streaming image dedup over perceptual hashes — the multimodal leg of
+    * ingest dedup: each arriving (media_id, dhash) is flagged against the
+    * FIRST media_id ever seen with that hash (state = one Long per
+    * distinct hash; first-copy-wins exactly like
+    * [[graft.streaming.IngestDedup]]'s digest layer, with the same
+    * monotone-id expectation within a hash group). Radius-0 matching —
+    * identical perceptual content; the banded radius-3 pair search stays
+    * a batch job (`mm_phash_pairs`) because hamming balls don't shard
+    * into disjoint state keys. */
+  def imageDedupStream(hashes: DataFrame): Dataset[ImageDedupFlag] = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    hashes.select(col("media_id").cast("long"), col("dhash").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, ImageDedupFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          val first = state.getOption.getOrElse(sorted.head._1)
+          if (!state.exists) state.update(first)
+          sorted.iterator.map { case (id, _) =>
+            ImageDedupFlag(id, first, id != first)
+          }
+      }
+  }
+
   case class QuantileUpdate(key: String, n: Long, p50: Double, p90: Double)
 
   /** Incrementally maintained per-key rank sketch — the streaming

@@ -687,6 +687,35 @@ class StreamingSpec extends SparkSpec {
     assert(a == batch, "streaming state must equal the one-shot batch sum")
   }
 
+  test("streaming image dedup flags perceptual duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.mm.Codecs
+    val w = 16
+    def img(seed: Int): Array[Byte] =
+      Codecs.encodeBmp(Array.tabulate(w * 24 * 3)(i =>
+        ((i * seed + seed * 7) % 251).toByte), w)
+    def dh(b: Array[Byte]) = Codecs.dHash(Codecs.decodeBmp(b).get, w)
+    // ids 1..6: 1 and 4 identical content; 2 and 6 identical; rest unique
+    val imgs = Map(1L -> img(3), 2L -> img(5), 3L -> img(11),
+      4L -> img(3), 5L -> img(17), 6L -> img(5))
+    val rows = imgs.toSeq.sortBy(_._1).map { case (id, b) => (id, dh(b)) }
+    val stream = MemoryStream[(Long, Long)]
+    val q = StreamingEtl.imageDedupStream(
+        stream.toDS().toDF("media_id", "dhash"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("img_dedup").start()
+    try {
+      stream.addData(rows.take(3)); q.processAllAvailable()
+      stream.addData(rows.drop(3)); q.processAllAvailable() // 4,6 dup across batches
+      val got = spark.table("img_dedup").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(got(1L) == ((1L, false)) && got(4L) == ((1L, true)))
+      assert(got(2L) == ((2L, false)) && got(6L) == ((2L, true)))
+      assert(got(3L) == ((3L, false)) && got(5L) == ((5L, false)))
+    } finally q.stop()
+  }
+
   test("streaming KMV distinct == the batch sketch EXACTLY, any slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
