@@ -135,8 +135,37 @@ object DistributedRolling {
 
     val w = Window.partitionBy("__grp").orderBy(col("__rrank"))
       .rowsBetween(-(window - 1), Window.currentRow)
-    val out = features(w).foldLeft(main.unionByName(halo)) {
-      case (d, (name, c)) => d.withColumn(name, c)
+    // Batch features into as few projections as possible: a per-feature
+    // withColumn fold leaves one Window node per feature (CollapseWindow
+    // can't see through the interleaved Projects), i.e. one extra pass
+    // over every block per feature. Features that don't reference an
+    // earlier feature's NAME share one select — a 7-feature rolling
+    // correlation plans 3 window passes instead of 8. Dependency
+    // detection is by unresolved attribute name, so "a later feature may
+    // reference an earlier one" still holds (it just starts a new batch).
+    val fs = features(w)
+    // Dependency detection is textual (Spark 4's Column hides its
+    // expression tree): a feature whose printed form mentions a name from
+    // the batch under construction starts a new projection. A referenced
+    // column always appears verbatim in Column.toString, so detection
+    // never MISSES a dependency; a false positive merely costs one extra
+    // (correct) projection. Names from earlier batches are materialized
+    // columns by the time the next select runs.
+    def mentions(c: Column, names: Set[String]): Boolean = {
+      val text = c.toString
+      names.exists { n =>
+        ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(n) +
+          "(?![A-Za-z0-9_])").r.findFirstIn(text).isDefined
+      }
+    }
+    val batches = fs.foldLeft(Vector.empty[Vector[(String, Column)]]) {
+      case (acc, (name, c)) =>
+        if (acc.isEmpty || mentions(c, acc.last.map(_._1).toSet))
+          acc :+ Vector(name -> c)
+        else acc.init :+ (acc.last :+ (name -> c))
+    }
+    val out = batches.foldLeft(main.unionByName(halo)) { (d, batch) =>
+      d.select(col("*") +: batch.map { case (n, c) => c.as(n) }: _*)
     }
     out.filter(!col("__halo")).drop("__rrank", "__grp", "__halo")
   }
