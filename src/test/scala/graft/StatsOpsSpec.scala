@@ -345,3 +345,47 @@ class StatsOpsSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 0.0))
   }
 }
+
+class Round8EdgeSpec extends SparkSpec {
+  test("canonical KLL below capacity is exact; grouped handles 1-row groups") {
+    import spark.implicits._
+    val tiny = (1 to 10).map(i => ((i * 7 % 10).toDouble, i.toLong))
+      .toDF("v", "id")
+    val (sk, n) = graft.queries.Sketches.kllCanonical(tiny, 256)
+    val items = sk.select("v", "id", "w").collect()
+      .map(r => (r.getDouble(0), r.getLong(2)))
+    // no halving happened: every row survives at weight 1
+    assert(n == 10 && items.length == 10 && items.forall(_._2 == 1L))
+    val grouped = (1 to 9).map(i =>
+        (if (i == 9) "solo" else "big", i.toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val gsk = graft.queries.Sketches.kllCanonicalGrouped(grouped, 4)
+      .select("g", "v", "w")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // weights conserved per group, the 1-row group intact
+    val byG = gsk.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byG == Map("big" -> 8L, "solo" -> 1L), byG.toString)
+  }
+
+  test("temperature sample keeps a tiny source whole; cusum handles 1-row types") {
+    import spark.implicits._
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"text $i", "en", if (i <= 25) "huge" else "tiny", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // c=3: rate(tiny, n=5) = min(1, 3/sqrt(5)) = 1 -> all 5 kept
+    val kept = graft.analytics.CorpusOps
+      .temperatureSample(docs, col("doc_id"), col("source"), 3.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("tiny") == 5L, kept.toString)
+    assert(kept.getOrElse("huge", 0L) < 25L) // rate 3/5 downsampled
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((1L, ts, 1L, "lonely", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.Relational5.queries("q_cusum")(spark, dir).collect()
+    // one row: the only index is the changepoint, deviation 0
+    assert(r.length == 1 && r(0).getLong(2) == 1L && r(0).getDouble(4) == 0.0)
+  }
+}
