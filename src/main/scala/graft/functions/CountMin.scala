@@ -113,7 +113,7 @@ object CountMinFunctions {
     * — the first 8 hex digits, so `conv(substring(md5(...), 1, 8), 16,
     * 10)` in Spark SQL and the per-digit power sum in DuckDB rebuild the
     * identical index. */
-  private[functions] def cell(i: Int, value: String, width: Int): Int = {
+  private[graft] def cell(i: Int, value: String, width: Int): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$i|$value".getBytes(StandardCharsets.UTF_8))
     val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |

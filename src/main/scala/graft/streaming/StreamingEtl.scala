@@ -334,6 +334,49 @@ object StreamingEtl {
       }
   }
 
+  case class CmsUpdate(key: String, n_rows: Long, cells: Array[Long])
+
+  /** Incrementally maintained per-key Count-Min matrix — frequency
+    * sketches in streaming state. Like [[runningDistinct]] (and unlike
+    * KLL), the state is a pure function of the rows seen: cell updates
+    * are Long additions, so after any micro-batch slicing the flattened
+    * d×w matrix equals the one-shot batch
+    * [[graft.functions.CountMinAgg]] BIT-IDENTICALLY (StreamingSpec
+    * asserts equality). State per key is d·w longs, fixed. */
+  def runningFrequencies(events: DataFrame, depth: Int = 4,
+                         width: Int = 512): Dataset[CmsUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.CountMinFunctions
+    def req(c: Column, msg: String) =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    events.select(
+        req(col("event_type"),
+          "runningFrequencies requires non-null event_type").as("event_type"),
+        req(col("user_id").cast("string"),
+          "runningFrequencies requires non-null user_id").as("v"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Long]), CmsUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Array[Long])]) =>
+          val (n0, cells0) = state.getOption
+            .getOrElse((0L, new Array[Long](depth * width)))
+          val cells = cells0.clone()
+          var n = n0
+          rows.foreach { case (_, v) =>
+            n += 1
+            var i = 0
+            while (i < depth) {
+              cells(i * width + CountMinFunctions.cell(i, v, width)) += 1L
+              i += 1
+            }
+          }
+          state.update((n, cells))
+          CmsUpdate(key, n, cells)
+      }
+  }
+
   case class ImageDedupFlag(media_id: Long, first_id: Long, is_dup: Boolean)
 
   /** Streaming image dedup over perceptual hashes — the multimodal leg of

@@ -759,6 +759,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists(v => v != math.rint(v)))
   }
 
+  test("streaming CMS matrix == the batch sketch EXACTLY, any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (d, w) = (4, 64)
+    val rows = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id"))
+      .orderBy("event_id").limit(400)
+      .as[(String, Long)].collect().toSeq
+    graft.functions.CountMinFunctions.register(spark)
+    val batch = spark.createDataset(rows).toDF("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(graft.functions.CountMinFunctions
+        .countMin(col("user_id").cast("string"), d, w).as("m"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[scala.collection.Seq[Long]](1).flatMap(_.toSeq).toVector)
+      .toMap
+    def runSliced(slices: Seq[Seq[(String, Long)]], name: String) = {
+      val stream = MemoryStream[(String, Long)]
+      val out = StreamingEtl.runningFrequencies(
+        stream.toDS().toDF("event_type", "user_id"), d, w)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).groupBy("key")
+        .agg(max(struct(col("n_rows"), col("cells"))).as("f"))
+        .select(col("key"), col("f.cells"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[Long](1).toVector).toMap
+    }
+    assert(runSliced(Seq(rows), "cms_one") == batch)
+    assert(runSliced(rows.grouped(53).toSeq, "cms_53") == batch)
+  }
+
   test("streaming KLL quantiles: exact n, rank bound holds under any slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
