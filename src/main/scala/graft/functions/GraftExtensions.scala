@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .getOrElse(BloomSetFunctions.DefaultHashes)
         BloomSetAgg(exprs.head, m, d)
       }))
+    e.injectFunction((FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      exprs => {
+        val p = exprs.lift(1).map(_.eval(null).asInstanceOf[Int])
+          .getOrElse(HllFunctions.DefaultPrecision)
+        HllSketchAgg(exprs.head, p)
+      }))
     e.injectFunction((FunctionIdentifier("kll_sketch"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
       exprs => {

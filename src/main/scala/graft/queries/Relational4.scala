@@ -16,7 +16,7 @@ object Relational4 {
     * with skip links so triangles exist: within each 50-doc block,
     * undirected edges u—u+1 and u—u+2 (canonical u < v). Every interior
     * block position closes the triangle (u, u+1, u+2). */
-  private def docEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def docEdges(s: SparkSession, dir: String): DataFrame = {
     val ids = Tables.documents(s, dir).select(col("doc_id"))
     def shift(d: Int): DataFrame =
       ids.as("x")
@@ -26,7 +26,7 @@ object Relational4 {
     shift(1).union(shift(2))
   }
 
-  private val docEdgesCte =
+  private[queries] val docEdgesCte =
     """e AS (
       |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
       |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 50 <= 48

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 continuation batch: k-hop BFS reach, association rules,
+  * k-anonymity generalization, and seeded-Laplace DP counts — four more
+  * first-class pipeline screens over the driver tables, each with a
+  * DuckDB twin that evaluates by a different strategy than the engine
+  * (recursive CTE vs iterative join; direct SQL vs staged frames), so
+  * the hash gate cross-checks semantics rather than echoing the plan.
+  */
+object Relational6 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** k-hop reach profile of the doc graph from the block-head seed set —
+    * multi-source BFS ([[graft.analytics.Bfs]]) bounded at 8 hops, then a
+    * histogram of min-hop distances with -1 = "outside the 8-hop
+    * neighbourhood". The within-k-hops contract is the shape that
+    * survives 100 TB (unbounded BFS is a diameter-length job chain); the
+    * oracle twin walks the same graph with a depth-limited recursive CTE
+    * whose UNION-dedup bounds the walk at one row per (node, depth). */
+  private val bfsReach: Q = (s, dir) => {
+    val edges = Relational4.docEdges(s, dir)
+    val nbrs = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val sources = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("id"))
+    val d = graft.analytics.Bfs.run(nbrs, sources, maxHops = 8)
+    docs.join(d, docs("doc_id") === d("id"), "left")
+      .select(coalesce(col("dist"), lit(-1)).as("dist"))
+      .groupBy("dist").agg(count(lit(1)).as("n_docs"))
+      .orderBy("dist")
+  }
+
+  private val bfsReachSql =
+    s"""WITH RECURSIVE ${Relational4.docEdgesCte}, nbr AS (
+       |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+       |), walk AS (
+       |  SELECT doc_id, 0 AS d FROM documents WHERE doc_id % 50 = 0
+       |  UNION
+       |  SELECT nbr.v AS doc_id, walk.d + 1 AS d
+       |  FROM walk JOIN nbr ON nbr.u = walk.doc_id WHERE walk.d < 8
+       |), md AS (SELECT doc_id, MIN(d) AS dist FROM walk GROUP BY 1)
+       |SELECT CAST(COALESCE(md.dist, -1) AS INTEGER) AS dist,
+       |  COUNT(*) AS n_docs
+       |FROM documents LEFT JOIN md USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Pairwise association rules over order baskets (basket = order,
+    * item = part brand): support / confidence / lift for every brand
+    * pair clearing 0.5% support. The quadratic step is bounded by the
+    * per-basket item count (≤ lineitems per order), never by the catalog
+    * — the same block-capped shape as `dedup_fuzzy_bounded` — and the
+    * support threshold is the exact integer compare cab·200 ≥ n, so the
+    * cut is hash-stable. Basket count rides along as a broadcast 1-row
+    * frame; the only floats are three divisions + round(·, 6), written
+    * in the same IEEE order as the twin. */
+  private val assocRules: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val baskets = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
+      .distinct()
+    val n = baskets.agg(countDistinct(col("oid")).as("n"))
+    val itemCnt = baskets.groupBy("item").agg(count(lit(1)).as("ci"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.oid") === col("b.oid") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("cab"))
+    pairs
+      .join(broadcast(itemCnt.select(col("item").as("ia"), col("ci").as("ca"))), "ia")
+      .join(broadcast(itemCnt.select(col("item").as("ib"), col("ci").as("cb"))), "ib")
+      .crossJoin(broadcast(n))
+      .filter(col("cab") * 200 >= col("n"))
+      .select(col("ia"), col("ib"), col("cab"),
+        round(col("cab").cast("double") / col("n"), 6).as("support"),
+        round(col("cab").cast("double") / col("ca"), 6).as("confidence"),
+        round(col("cab").cast("double") * col("n") / col("ca") / col("cb"), 6)
+          .as("lift"))
+      .orderBy("ia", "ib")
+  }
+
+  private val assocRulesSql =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |), nn AS (SELECT COUNT(DISTINCT oid) AS n FROM b),
+      |ic AS (SELECT item, COUNT(*) AS ci FROM b GROUP BY 1),
+      |pc AS (
+      |  SELECT a.item AS ia, bb.item AS ib, COUNT(*) AS cab
+      |  FROM b a JOIN b bb ON bb.oid = a.oid AND a.item < bb.item
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ia, ib, cab,
+      |  ROUND(CAST(cab AS DOUBLE) / n, 6) AS support,
+      |  ROUND(CAST(cab AS DOUBLE) / ca.ci, 6) AS confidence,
+      |  ROUND(CAST(cab AS DOUBLE) * n / ca.ci / cb.ci, 6) AS lift
+      |FROM pc
+      |JOIN ic ca ON ca.item = pc.ia
+      |JOIN ic cb ON cb.item = pc.ib
+      |CROSS JOIN nn
+      |WHERE cab * 200 >= n
+      |ORDER BY ia, ib""".stripMargin
+
+  /** k-anonymity generalization ladder over the customer quasi-identifier
+    * (nation, segment): a bucket publishing fewer than k=5 customers is
+    * generalized one level up the taxonomy to (region, segment); a
+    * level-1 bucket still under k is suppressed. Output is the published
+    * bucket table — level, bucket key, size — i.e. the anonymization
+    * DECISION, not just the violation flag; the privacy screen a
+    * training-data release pipeline runs before shipping grouped stats.
+    * Two grouped counts + one broadcast taxonomy join; no row-level
+    * shuffle beyond the first groupBy. */
+  private val kAnonymity: Q = (s, dir) => {
+    val k = 5
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    val taxo = broadcast(nat.join(broadcast(reg),
+      nat("n_regionkey") === reg("r_regionkey")))
+    val l0 = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .join(taxo, col("c_nationkey") === col("n_nationkey"))
+    val pass0 = l0.filter(col("n") >= k)
+      .select(lit(0).as("level"),
+        concat(col("n_name"), lit("|"), col("c_mktsegment")).as("bucket"),
+        col("n"))
+    val promoted = l0.filter(col("n") < k)
+    val l1 = promoted.groupBy(col("r_name"), col("c_mktsegment"))
+      .agg(sum(col("n")).as("n"))
+    val pass1 = l1.filter(col("n") >= k)
+      .select(lit(1).as("level"),
+        concat(col("r_name"), lit("|"), col("c_mktsegment")).as("bucket"),
+        col("n"))
+    val suppressed = l1.filter(col("n") < k)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+      .select(lit(2).as("level"), lit("*suppressed*").as("bucket"), col("n"))
+    pass0.select(col("level"), col("bucket"), col("n").cast("long").as("n"))
+      .unionByName(pass1.select(col("level"), col("bucket"),
+        col("n").cast("long").as("n")))
+      .unionByName(suppressed)
+      .orderBy("level", "bucket")
+  }
+
+  private val kAnonymitySql =
+    """WITH l0 AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2
+      |), t AS (
+      |  SELECT l0.*, n_name, r_name
+      |  FROM l0 JOIN nation ON n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |), pass0 AS (
+      |  SELECT 0 AS level, n_name || '|' || c_mktsegment AS bucket,
+      |    CAST(n AS BIGINT) AS n
+      |  FROM t WHERE n >= 5
+      |), l1 AS (
+      |  SELECT r_name, c_mktsegment, SUM(n) AS n FROM t WHERE n < 5
+      |  GROUP BY 1, 2
+      |), pass1 AS (
+      |  SELECT 1 AS level, r_name || '|' || c_mktsegment AS bucket,
+      |    CAST(n AS BIGINT) AS n
+      |  FROM l1 WHERE n >= 5
+      |), supp AS (
+      |  SELECT 2 AS level, '*suppressed*' AS bucket,
+      |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n
+      |  FROM l1 WHERE n < 5
+      |)
+      |SELECT * FROM pass0 UNION ALL SELECT * FROM pass1
+      |UNION ALL SELECT * FROM supp
+      |ORDER BY level, bucket""".stripMargin
+
+  /** Differentially-private event-type counts via seeded inverse-CDF
+    * Laplace noise (ε=1, sensitivity 1): u = first 32 md5 bits of the
+    * group key mapped to [0,1), noise = ±ln(1−2|u−½|) — deterministic,
+    * so the release is reproducible AND the DuckDB twin computes the
+    * identical noise (the md5-uniform trick every graft sketch uses;
+    * a production release would swap the seed hash for a secret-keyed
+    * one, which changes nothing structurally). The true counts ride
+    * along for the demo; one hash aggregate, noise applied post-agg to
+    * ONE row per group. */
+  private val dpCounts: Q = (s, dir) => {
+    val u = conv(substring(md5(concat(lit("dp|"), col("event_type"))), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val c = u - lit(0.5)
+    val noise = when(c < 0, log(lit(1.0) + lit(2.0) * c))
+      .otherwise(-log(lit(1.0) - lit(2.0) * c))
+    Tables.events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+      .select(col("event_type"), col("exact_n"),
+        round(col("exact_n") + noise, 2).as("dp_n"),
+        lit(1.0).as("epsilon"))
+      .orderBy("event_type")
+  }
+
+  private val dpCountsSql =
+    """WITH g AS (
+      |  SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY 1
+      |), u AS (
+      |  SELECT event_type, exact_n,
+      |    CAST(list_sum(list_transform(range(1, 9), p ->
+      |      (strpos('0123456789abcdef',
+      |        substr(md5('dp|' || event_type), CAST(p AS INTEGER), 1)) - 1)
+      |      * power(16, 8 - p))) AS BIGINT) / 4294967296.0 - 0.5 AS c
+      |  FROM g
+      |)
+      |SELECT event_type, exact_n,
+      |  ROUND(exact_n + CASE WHEN c < 0 THEN ln(1.0 + 2.0 * c)
+      |    ELSE -ln(1.0 - 2.0 * c) END, 2) AS dp_n,
+      |  1.0 AS epsilon
+      |FROM u ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_bfs_reach" -> bfsReach,
+    "q_assoc_rules" -> assocRules,
+    "q_k_anonymity" -> kAnonymity,
+    "q_dp_counts" -> dpCounts)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bfs_reach" -> bfsReachSql,
+    "q_assoc_rules" -> assocRulesSql,
+    "q_k_anonymity" -> kAnonymitySql,
+    "q_dp_counts" -> dpCountsSql)
+}

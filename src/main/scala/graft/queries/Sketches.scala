@@ -436,17 +436,99 @@ object Sketches {
        |FROM flags f ORDER BY f.user_id""".stripMargin
   }
 
+  /** Oracle-exact HyperLogLog — the sketch Spark's own
+    * `approx_count_distinct` can never oracle-check (its HLL++ hash
+    * stream is engine-private; `q_approx_distinct` is rows-only for that
+    * reason). [[graft.functions.HllSketchAgg]] hashes with md5, so the
+    * register array is a pure function of the input SET (max-merge) and
+    * the DuckDB twin rebuilds every register with a GROUP BY .. MAX.
+    * Two regimes side by side: per-event-type user cardinalities at
+    * p=12 exercise the linear-counting branch (sparse registers), and a
+    * whole-table event_id sketch at p=8 exercises the raw
+    * harmonic-mean branch (saturated registers) — both estimate columns
+    * hash-exact because the float path is one division of exact
+    * integers (+ one log), written in the same IEEE order in both
+    * engines. At 100 TB this is the per-segment distinct-users column
+    * computed in one mergeable pass, 4 KB of state per segment. */
+  private val hllDistinct: Q = (s, dir) => {
+    import graft.functions.HllFunctions
+    HllFunctions.register(s)
+    val ev = Tables.events(s, dir)
+    def shaped(keyExpr: Column, value: Column, p: Int): DataFrame = {
+      val g = ev.groupBy(keyExpr.as("key"))
+        .agg(HllFunctions.hllSketch(value.cast("string"), p).as("regs"),
+          countDistinct(value).as("exact_distinct"))
+      val (v, t, est) = HllFunctions.estimateColumns(col("regs"), p)
+      g.select(col("key"), v.as("v_empty"), t.as("t_harmonic"),
+        est.as("hll_est"), col("exact_distinct"))
+    }
+    shaped(col("event_type"), col("user_id"), 12)
+      .unionByName(shaped(lit("all:event_id"), col("event_id"), 8))
+      .orderBy("key")
+  }
+
+  private val hllDistinctSql = {
+    // h60 = first 15 md5 hex digits as a 60-bit integer, built with
+    // integer shifts (a double power-sum would round above 2^53)
+    val h60 = (k: String) =>
+      "CAST(list_sum(list_transform(range(1, 16), pp -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(" + k +
+        " AS VARCHAR)), CAST(pp AS INTEGER), 1)) - 1 AS BIGINT) " +
+        "* (1::BIGINT << ((15 - CAST(pp AS INTEGER)) * 4)))) AS BIGINT)"
+    def block(key: String, value: String, p: Int, where: String): String = {
+      val m = 1 << p
+      val wBits = 60 - p
+      val r = wBits + 1
+      val crossover = 2.5 * m
+      s"""SELECT key, v_empty, t_harmonic,
+         |  ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0
+         |      * power(2.0, $r.0) / CAST(t_harmonic AS DOUBLE) <= $crossover
+         |      AND v_empty > 0
+         |    THEN $m.0 * ln($m.0 / CAST(v_empty AS DOUBLE))
+         |    ELSE 0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0
+         |      * power(2.0, $r.0) / CAST(t_harmonic AS DOUBLE) END, 2)
+         |    AS hll_est,
+         |  exact_distinct
+         |FROM (
+         |  SELECT key,
+         |    CAST($m - COUNT(*) AS BIGINT) AS v_empty,
+         |    CAST(SUM(1::BIGINT << ($r - mr))
+         |      + ($m - COUNT(*)) * (1::BIGINT << $r) AS BIGINT)
+         |      AS t_harmonic
+         |  FROM (
+         |    SELECT key, bucket, MAX(rho) AS mr FROM (
+         |      SELECT key, h60 >> $wBits AS bucket,
+         |        CASE WHEN (h60 & ((1::BIGINT << $wBits) - 1)) = 0 THEN $r
+         |          ELSE $wBits
+         |            - length(ltrim(bin(h60 & ((1::BIGINT << $wBits) - 1)),
+         |                '0')) + 1
+         |        END AS rho
+         |      FROM (SELECT $key AS key, ${h60(value)} AS h60
+         |            FROM events $where)
+         |    ) GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |) JOIN (
+         |  SELECT $key AS key, COUNT(DISTINCT $value) AS exact_distinct
+         |  FROM events $where GROUP BY 1
+         |) USING (key)""".stripMargin
+    }
+    block("event_type", "user_id", 12, "") + "\nUNION ALL\n" +
+      block("'all:event_id'", "event_id", 8, "") + "\nORDER BY key"
+  }
+
   val queries: Map[String, Q] = Map(
     "q_kll_quantile" -> kllQuantile,
     "q_kll_grouped" -> kllGrouped,
     "text_cms_counts" -> cmsCounts,
     "q_bloom_membership" -> bloomMembership,
-    "q_cms_join_size" -> cmsJoinSize)
+    "q_cms_join_size" -> cmsJoinSize,
+    "q_hll_distinct" -> hllDistinct)
 
   val oracleSql: Map[String, String] = Map(
     "q_kll_quantile" -> kllQuantileSql,
     "q_kll_grouped" -> kllGroupedSql,
     "text_cms_counts" -> cmsCountsSql,
     "q_bloom_membership" -> bloomMembershipSql,
-    "q_cms_join_size" -> cmsJoinSizeSql)
+    "q_cms_join_size" -> cmsJoinSizeSql,
+    "q_hll_distinct" -> hllDistinctSql)
 }

@@ -278,3 +278,80 @@ class BloomSetSpec extends SparkSpec {
       v == graft.functions.BloomSetFunctions.mightContainLocal(words, k) })
   }
 }
+
+/** Round-8 oracle-exact HyperLogLog ([[graft.functions.HllSketchAgg]]):
+  * md5-hashed registers are a pure function of the input SET, so the
+  * sketch is invariant under partitioning, row order, and duplication,
+  * and merge is exactly set union. */
+class HllSketchSpec extends SparkSpec {
+  import graft.functions.HllFunctions
+
+  test("HLL: bucket/rho agree with an independent BigInteger derivation") {
+    for (v <- Seq("hello", "0", "12345", "0x00Ab", "", "éclair")) {
+      for (p <- Seq(8, 12, 14)) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8"))
+        val hex = md.map(b => f"$b%02x").mkString
+        val h60 = new java.math.BigInteger(hex.substring(0, 15), 16)
+        val wBits = 60 - p
+        val expBucket = h60.shiftRight(wBits).intValueExact()
+        val w = h60.mod(java.math.BigInteger.ONE.shiftLeft(wBits))
+        val expRho =
+          if (w.signum == 0) wBits + 1 else wBits - w.bitLength + 1
+        assert(HllFunctions.bucketRho(v, p) == (expBucket, expRho),
+          s"value '$v' p=$p")
+      }
+    }
+  }
+
+  test("HLL: registers invariant under partitioning and duplication; merge is union") {
+    import spark.implicits._
+    HllFunctions.register(spark)
+    val p = 10
+    def regsOf(ids: Seq[Long], parts: Int): Seq[Int] =
+      ids.toDF("v").repartition(parts)
+        .agg(HllFunctions.hllSketch(col("v").cast("string"), p))
+        .collect()(0).getSeq[Int](0).toSeq
+    val a = (1L to 400L)
+    val b = (300L to 700L)
+    val r1 = regsOf(a, 1)
+    assert(regsOf(a, 7) == r1 && regsOf(a ++ a ++ a, 13) == r1,
+      "partitioning or duplication changed the registers")
+    // merge(sketch(A), sketch(B)) == sketch(A ∪ B): elementwise max
+    val rb = regsOf(b, 3)
+    val union = regsOf((a ++ b).distinct, 5)
+    assert(r1.zip(rb).map { case (x, y) => math.max(x, y) } == union)
+  }
+
+  test("HLL: estimate within 3 sigma in both regimes; column/driver parity") {
+    import spark.implicits._
+    HllFunctions.register(spark)
+    // raw harmonic regime: n >> 2.5m at p=8 (m=256, sigma ~ 1.04/16)
+    val nBig = 20000
+    val big = (1 to nBig).map(i => s"id-$i").toDF("v")
+    val regsBig = big.agg(HllFunctions.hllSketch(col("v"), 8))
+      .collect()(0).getSeq[Int](0).toSeq
+    val estBig = HllFunctions.estimateFrom(regsBig, 8)
+    assert(math.abs(estBig - nBig) < 3 * 1.04 / 16 * nBig,
+      s"raw estimate $estBig vs $nBig")
+    // linear-counting regime: n << 2.5m at p=12
+    val nSmall = 500
+    val small = (1 to nSmall).map(i => s"key-$i").toDF("v")
+    val regsSmall = small.agg(HllFunctions.hllSketch(col("v"), 12))
+      .collect()(0).getSeq[Int](0).toSeq
+    val estSmall = HllFunctions.estimateFrom(regsSmall, 12)
+    assert(math.abs(estSmall - nSmall) < 0.05 * nSmall,
+      s"linear-counting estimate $estSmall vs $nSmall")
+    // the DataFrame estimator path is the same IEEE sequence as the driver
+    for ((df, p) <- Seq((big, 8), (small, 12))) {
+      val g = df.agg(HllFunctions.hllSketch(col("v"), p).as("regs"))
+      val (v, t, est) = HllFunctions.estimateColumns(col("regs"), p)
+      val row = g.select(v, t, est).collect()(0)
+      val regs = g.collect()(0).getSeq[Int](0).toSeq
+      assert(row.getLong(0) == regs.count(_ == 0))
+      assert(row.getDouble(2) ==
+        BigDecimal(HllFunctions.estimateFrom(regs, p))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+}
