@@ -865,6 +865,51 @@ object Extensions {
       |FROM dots JOIN nrm ON dots.vec_id = nrm.vec_id, qn
       |ORDER BY cosine DESC, dots.vec_id LIMIT 10""".stripMargin
 
+  /** int8 scalar-quantized top-k ([[VectorOps.sqTopK]]): per-vector
+    * scales cancel in the cosine, so the approximate score is pure
+    * integer arithmetic and the twin is hash-exact, not rows-only. */
+  private val simSqTopK: Q = (s, dir) =>
+    VectorOps.sqTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
+  private val simSqTopKSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT vec_id, CASE WHEN MAX(ABS(x)) = 0 THEN 1.0
+      |    ELSE MAX(ABS(x)) / 127.0 END AS s
+      |  FROM v GROUP BY 1
+      |), qz AS (
+      |  SELECT v.vec_id, v.i, CAST(ROUND(v.x / sc.s, 0) AS INTEGER) AS q
+      |  FROM v JOIN sc USING (vec_id)
+      |), qn AS (
+      |  SELECT vec_id, SQRT(CAST(SUM(CAST(q AS BIGINT) * q) AS DOUBLE)) AS nrm
+      |  FROM qz GROUP BY 1
+      |), qvec AS (SELECT i, q AS qj FROM qz WHERE vec_id = 0),
+      |dq AS (
+      |  SELECT qz.vec_id, SUM(CAST(qz.q * qvec.qj AS BIGINT)) AS dot
+      |  FROM qz JOIN qvec ON qz.i = qvec.i GROUP BY 1
+      |), fq AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+      |dots AS (
+      |  SELECT v.vec_id, SUM(CAST(ROUND(v.x * fq.qx * 1e12, 0) AS BIGINT)) AS fdot
+      |  FROM v JOIN fq ON v.i = fq.i GROUP BY 1
+      |), nrm AS (
+      |  SELECT vec_id,
+      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12)
+      |      AS nrm
+      |  FROM v GROUP BY 1
+      |)
+      |SELECT dq.vec_id,
+      |  CAST(dq.dot AS DOUBLE)
+      |    / (qn.nrm * (SELECT nrm FROM qn WHERE vec_id = 0)) AS approx_cosine,
+      |  (CAST(dots.fdot AS DOUBLE) / 1e12)
+      |    / (nrm.nrm * (SELECT nrm FROM nrm WHERE vec_id = 0)) AS cosine
+      |FROM dq JOIN qn ON qn.vec_id = dq.vec_id
+      |JOIN dots ON dots.vec_id = dq.vec_id
+      |JOIN nrm ON nrm.vec_id = dq.vec_id
+      |ORDER BY approx_cosine DESC, dq.vec_id LIMIT 10""".stripMargin
+
   /** LSH-bucketed ANN — scale path; recall vs brute force asserted in
     * ExtensionSpec, and since round 2 ALSO oracle-verified: the hyperplane
     * matrix is deterministic, so the DuckDB twin embeds the identical
@@ -2134,6 +2179,7 @@ object Extensions {
     "q_leak_split"        -> leakSplit,
     "pipeline_corpus"     -> pipelineCorpus,
     "sim_cosine_topk"     -> simTopK,
+    "sim_sq_topk"         -> simSqTopK,
     "sim_ann_topk"        -> simAnnTopK,
     "sim_ivf_topk"        -> simIvfTopK,
     "q_kmv_distinct"      -> kmvDistinct,
@@ -2191,6 +2237,7 @@ object Extensions {
     "q_leak_split"        -> leakSplitSql,
     "pipeline_corpus"     -> pipelineCorpusSql,
     "sim_cosine_topk"     -> simTopKSql,
+    "sim_sq_topk"         -> simSqTopKSql,
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,
     "q_kmv_distinct"      -> kmvDistinctSql,

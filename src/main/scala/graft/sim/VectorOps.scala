@@ -371,4 +371,42 @@ object VectorOps {
         topKVsQuery(emb.filter(hamming <= maxHamming), qe, k)
     }
   }
+
+  /** int8 scalar-quantized cosine top-k — the deployment form that cuts
+    * the scan footprint 4× vs float32 (PQ's 27× sibling with far simpler
+    * mechanics and better per-vector accuracy): each vector is quantized
+    * independently as q_i = round(x_i / s), s = max|x_i| / 127. The
+    * per-vector scales CANCEL in the cosine, so the approximate score is
+    * pure integer arithmetic — int dot over int-derived norms — which is
+    * what makes the oracle twin exact rather than rows-only: no float
+    * accumulation order to disagree on. The exact float cosine rides
+    * along to make the quantization error visible per row (`ExtensionSpec`
+    * pins recall and max error; a deployment would store only `qv` and
+    * drop the float column from the scan entirely). One scan, broadcast
+    * 1-row query, TakeOrdered — the same no-shuffle shape as
+    * [[cosineTopK]]. */
+  def sqTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    val mx = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(mx === lit(0.0), lit(1.0)).otherwise(mx / lit(127.0))
+    val withQ = emb.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => round(x.cast("double") / scale).cast("int")).as("qv"))
+    val q = withQ.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("qv").as("qq"))
+    val intNorm = (c: Column) => sqrt(aggregate(
+      transform(c, x => (x * x).cast("long")), lit(0L), _ + _).cast("double"))
+    val dotQ = aggregate(
+      zip_with(col("qv"), col("qq"), (a, b) => (a * b).cast("long")),
+      lit(0L), _ + _)
+    withQ.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dotQ.cast("double") / (intNorm(col("qv")) * intNorm(col("qq"))))
+          .as("approx_cosine"),
+        cosine(col("embedding"), col("qe"),
+          norm(col("embedding")), norm(col("qe"))).as("cosine"))
+      .orderBy(desc("approx_cosine"), col("vec_id"))
+      .limit(k)
+  }
 }

@@ -679,6 +679,26 @@ class SimilaritySpec extends SparkSpec {
       s"full probe must equal brute force, got ${recalls.last}")
   }
 
+  test("SQ int8 topk: high recall, bounded quantization error, scale-free score") {
+    val exact = VectorOps.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val sq = VectorOps.sqTopK(emb, 0L, 10).collect()
+    val sqIds = sq.map(_.getLong(0)).toSet
+    assert(sqIds.contains(0L), "query vector must rank itself first")
+    // int8 keeps ~7 bits of per-component signal — recall should be near
+    // exhaustive, far above the LSH/IVF probes (measured 10/10; margin 8)
+    info(s"sq overlap=${(exact & sqIds).size}/10")
+    assert((exact & sqIds).size >= 8, s"overlap=${(exact & sqIds).size}")
+    // per-row quantization error of the scale-free score is small and the
+    // self-match is exactly 1.0 (q·q / (|q||q|) with no float dot at all)
+    sq.foreach { r =>
+      val (approx, cos) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(approx - cos) <= 0.02,
+        s"vec ${r.getLong(0)}: approx=$approx exact=$cos")
+    }
+    val self = sq.find(_.getLong(0) == 0L).get
+    assert(self.getDouble(1) == 1.0)
+  }
+
   test("LSH-bucketed cosine pairs == exhaustive pairs sharing a bucket") {
     val lshPairs = VectorOps.cosinePairsLsh(emb, 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
