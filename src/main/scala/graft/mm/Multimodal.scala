@@ -25,6 +25,8 @@ case class MediaMeta(width: Int, height: Int, sampleRate: Int,
 
 case class MediaHash(media_id: Long, ahash: Long, dhash: Long)
 
+case class AudioFp(media_id: Long, fp: Long)
+
 case class MediaFile(media_id: Long, kind: String, content: Array[Byte],
   meta: MediaMeta)
 
@@ -151,6 +153,48 @@ object Codecs {
     * high byte + 128; 8-bit pass through). Walks RIFF chunks to the 'fmt '
     * and 'data' chunks per the public WAVE spec. Returns None when the
     * container or encoding is not parseable PCM. */
+  /** Haitsma–Kalker-style energy-delta fingerprint of a 0-255 PCM sample
+    * stream (the audio leg of the perceptual family beside [[aHash]]/
+    * [[dHash]]): frames of 64 samples at hop 32, 4 contiguous 16-sample
+    * band energies per frame (Σ(x−128)², exact longs), fingerprint bit
+    * (t, b) = [E(t,b) > E(t−1,b)] over 16 frame deltas × 4 bands = 64
+    * bits. Energy DELTAS, not energies, so the fingerprint survives
+    * uniform gain changes (sign of a difference of scaled energies is the
+    * sign of the original difference); out-of-range samples read as 128
+    * (silence, zero energy), so short clips fingerprint without a special
+    * case. Pure integer math end-to-end — bit-reproducible on any
+    * partitioning, like every graft perceptual hash. Scheme after the
+    * public Haitsma & Kalker ISMIR 2002 design (32 frames × 33 bands in
+    * the paper; 16 × 4 here to land in one band-joinable i64). */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    val hop = 32
+    val bandLen = 16
+    def energy(t: Int, b: Int): Long = {
+      val base = t * hop + b * bandLen
+      var e = 0L
+      var i = 0
+      while (i < bandLen) {
+        val idx = base + i
+        val x = if (idx < samples.length) samples(idx) - 128 else 0
+        e += x.toLong * x
+        i += 1
+      }
+      e
+    }
+    var fp = 0L
+    var t = 1
+    while (t <= 16) {
+      var b = 0
+      while (b < 4) {
+        fp <<= 1
+        if (energy(t, b) > energy(t - 1, b)) fp |= 1L
+        b += 1
+      }
+      t += 1
+    }
+    fp
+  }
+
   def decodeWav(b: Array[Byte]): Option[Array[Int]] = {
     if (b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -468,6 +512,30 @@ object Multimodal {
       .select(col("m1"), col("m2"), col("hamming").cast("int").as("hamming"))
       .orderBy("m1", "m2")
   }
+
+  /** Audio fingerprints of the audio rows — the WAV counterpart of
+    * [[perceptualHashes]]: decode PCM per partition, compute
+    * [[Codecs.audioFingerprint]]. Undecodable payloads are dropped;
+    * binary blobs never shuffle — only (media_id, one long) leaves the
+    * scan partition. */
+  def audioFingerprints(media: Dataset[MediaFile]): Dataset[AudioFp] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { m =>
+        Codecs.decodeWav(m.content).map { samples =>
+          AudioFp(m.media_id, Codecs.audioFingerprint(samples))
+        }
+      }
+    }
+  }
+
+  /** Hamming-banded near-duplicate audio pairs — [[nearDupImages]]' exact
+    * banding machinery over the 64-bit audio fingerprint (same pigeonhole
+    * recall guarantee: 4×16-bit bands are complete to hamming 3). */
+  def nearDupAudio(fps: DataFrame, maxHamming: Int): DataFrame =
+    nearDupImages(fps.select(col("media_id"), col("fp").as("dhash")),
+      maxHamming)
 
   /** Partition-parallel decode + feature extraction. One codec invocation
     * per row, batched by partition — no per-row task overhead, no driver

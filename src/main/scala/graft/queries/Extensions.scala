@@ -1184,6 +1184,23 @@ object Extensions {
       Multimodal.perceptualHashes(
         Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
 
+  /** Energy-delta audio fingerprints of the WAV rows
+    * ([[graft.mm.Codecs.audioFingerprint]]) — rows-only like its image
+    * sibling (binary-derived); determinism and gain-invariance vectors
+    * live in MultimodalSpec. */
+  private val mmAudioFp: Q = (s, dir) =>
+    Multimodal.audioFingerprints(
+      Multimodal.syntheticMedia(Tables.documents(s, dir)))
+      .toDF().orderBy("media_id")
+
+  /** Hamming-banded near-duplicate audio pairs — the image banding
+    * machinery over audio fingerprints; complete to hamming 3 by the
+    * same pigeonhole argument (exhaustive cross-check in spec). */
+  private val mmAudioFpPairs: Q = (s, dir) =>
+    Multimodal.nearDupAudio(
+      Multimodal.audioFingerprints(
+        Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
+
   /** Per-label embedding centroids — class prototypes / drift monitors /
     * IVF seed codebook. Fixed-point element sums make the per-dimension
     * means bit-identical to the oracle. */
@@ -2188,6 +2205,8 @@ object Extensions {
     "mm_features"         -> mmFeatures,
     "mm_phash"            -> mmPhash,
     "mm_phash_pairs"      -> mmPhashPairs,
+    "mm_audio_fp"         -> mmAudioFp,
+    "mm_audio_fp_pairs"   -> mmAudioFpPairs,
   )
 
   val oracleSql: Map[String, String] = Map(

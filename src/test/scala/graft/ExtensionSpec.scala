@@ -1029,5 +1029,51 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(guard.getMessage.contains("hamming 3"))
   }
+
+  test("audio fingerprint: deterministic, gain-invariant, locally sensitive") {
+    import graft.mm.Codecs
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a clip with per-frame energy variation (sinusoid-ish integer ramp),
+    // amplitudes <= 60 so a 2x gain never clips the 0-255 byte range
+    def clip(gain: Int, corruptAt: Int = -1): Array[Int] =
+      Array.tabulate(17 * 32 + 32) { i =>
+        val base = (((i * 7) % 120 - 60) *
+          (if ((i / 96) % 2 == 0) 1 else -1)) / 2
+        val x = 128 + base * gain
+        if (i == corruptAt) 255 else x
+      }
+    val f0 = Codecs.audioFingerprint(clip(2))
+    assert(f0 == Codecs.audioFingerprint(clip(2)), "must be deterministic")
+    // uniform gain scales every band energy by the same square factor, so
+    // every delta keeps its sign: fingerprint is exactly invariant
+    assert(Codecs.audioFingerprint(clip(1)) == f0, "gain changed the fp")
+    // corrupting a few samples perturbs only the frames containing them
+    val fc = Codecs.audioFingerprint(clip(2, corruptAt = 200))
+    assert(ham(f0, fc) <= 12, s"local corruption moved fp too far: ${ham(f0, fc)}")
+    // unrelated content lands far away
+    val rnd = new scala.util.Random(11)
+    val fr = Codecs.audioFingerprint(Array.fill(600)(rnd.nextInt(256)))
+    assert(ham(f0, fr) > 10, "unrelated clips collide")
+    // short / empty clips fingerprint deterministically (silence padding)
+    assert(Codecs.audioFingerprint(Array.empty[Int]) == 0L)
+    assert(Codecs.audioFingerprint(Array(255)) ==
+      Codecs.audioFingerprint(Array(255)))
+  }
+
+  test("hamming-banded audio pairs == exhaustive pairs at radius 3") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fps = Multimodal.audioFingerprints(Multimodal.syntheticMedia(docs))
+      .toDF()
+    val banded = Multimodal.nearDupAudio(fps, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exhaustive = (for {
+      (m1, h1) <- hs; (m2, h2) <- hs if m1 < m2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (m1, m2, d)).toSet
+    assert(banded == exhaustive,
+      s"missing=${exhaustive -- banded} extra=${banded -- exhaustive}")
+    assert(exhaustive.nonEmpty, "fixture should contain identical audio")
+  }
 }
 
