@@ -334,6 +334,50 @@ object StreamingEtl {
       }
   }
 
+  case class HllUpdate(key: String, n_rows: Long, v_empty: Long,
+                       hll_est: Double)
+
+  /** Incrementally maintained per-key HyperLogLog registers — the
+    * fixed-memory member of the streaming distinct family: where
+    * [[runningDistinct]]'s KMV digest set costs ≤ k·32 chars per key,
+    * the HLL state is exactly 2^p bytes. Like KMV, the register array is
+    * a pure function of the value SET (max-update is order-invariant and
+    * duplicate-absorbing), so after ANY micro-batch slicing or restart
+    * the state — and therefore the estimate — is BIT-IDENTICAL to the
+    * one-shot batch [[graft.functions.HllSketchAgg]] over the same rows
+    * (StreamingSpec asserts register equality, not a bound). Estimates
+    * use the same two-regime formula as `q_hll_distinct`. */
+  def runningHllDistinct(events: DataFrame, p: Int = 12): Dataset[HllUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.HllFunctions
+    def req(c: Column, msg: String) =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    events.select(
+        req(col("event_type"),
+          "runningHllDistinct requires non-null event_type").as("event_type"),
+        req(col("user_id").cast("string"),
+          "runningHllDistinct requires non-null user_id").as("v"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Byte]), HllUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Array[Byte])]) =>
+          val (n0, regs0) = state.getOption
+            .getOrElse((0L, new Array[Byte](1 << p)))
+          val regs = regs0.clone()
+          var n = n0
+          rows.foreach { case (_, v) =>
+            n += 1
+            val (b, r) = HllFunctions.bucketRho(v, p)
+            if (r > regs(b)) regs(b) = r.toByte
+          }
+          state.update((n, regs))
+          HllUpdate(key, n, regs.count(_ == 0).toLong,
+            HllFunctions.estimateFrom(regs.map(_.toInt).toSeq, p))
+      }
+  }
+
   case class CmsUpdate(key: String, n_rows: Long, cells: Array[Long])
 
   /** Incrementally maintained per-key Count-Min matrix — frequency

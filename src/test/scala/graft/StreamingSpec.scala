@@ -759,6 +759,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists(v => v != math.rint(v)))
   }
 
+  test("streaming HLL estimate == the batch sketch EXACTLY, any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val p = 8
+    val rows = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id"))
+      .orderBy("event_id").limit(500)
+      .as[(String, Long)].collect().toSeq
+    graft.functions.HllFunctions.register(spark)
+    val batch = spark.createDataset(rows).toDF("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(graft.functions.HllFunctions
+        .hllSketch(col("user_id").cast("string"), p).as("regs"))
+      .collect().map { r =>
+        val regs = r.getSeq[Int](1).toSeq
+        r.getString(0) -> ((regs.count(_ == 0).toLong,
+          graft.functions.HllFunctions.estimateFrom(regs, p)))
+      }.toMap
+    def runSliced(slices: Seq[Seq[(String, Long)]], name: String) = {
+      val stream = MemoryStream[(String, Long)]
+      val out = StreamingEtl.runningHllDistinct(
+        stream.toDS().toDF("event_type", "user_id"), p)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).groupBy("key")
+        .agg(max(struct(col("n_rows"), col("v_empty"), col("hll_est"))).as("f"))
+        .select(col("key"), col("f.v_empty"), col("f.hll_est"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    // max-merge is order-invariant and duplicate-absorbing: the streaming
+    // registers — hence v_empty AND the bit-level double estimate — equal
+    // the one-shot batch aggregate under any slicing
+    assert(runSliced(Seq(rows), "hll_one") == batch)
+    assert(runSliced(rows.grouped(47).toSeq, "hll_47") == batch)
+    // the fixture engages real estimates (non-integer), not just counts
+    assert(batch.values.exists { case (_, e) => e != math.rint(e) })
+  }
+
   test("streaming CMS matrix == the batch sketch EXACTLY, any slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
