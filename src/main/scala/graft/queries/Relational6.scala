@@ -48,6 +48,65 @@ object Relational6 {
        |FROM documents LEFT JOIN md USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Iterated-H-index coreness bound over the doc graph — the k-core
+    * screen in its bounded-round form: c₀ = degree, c_{r+1}(v) = H-index
+    * of {c_r(u) : u ∈ N(v)}. The sequence is monotone non-increasing and
+    * converges to the true coreness (Lü, Zhou, Zhang & Stanley, "The
+    * H-index of a network node", Nat. Commun. 2016); a FIXED round count
+    * is the form that ships at 100 TB — exact peeling is a
+    * graph-diameter-length job chain, while each H round here is one
+    * keyed join + one node-partitioned window + one grouped max, all
+    * sharded by node id (per-node frames are degree-sized; a celebrity
+    * vertex would call for the two-phase top-k noted in
+    * `ProductQuantization`'s scaladoc). After R=4 rounds the value is a
+    * proven UPPER bound on coreness, already exact for most nodes
+    * (`AnalyticsSpec` pins bound + monotonicity against driver-side
+    * peeling); the twin unrolls the identical four rounds. H-index per
+    * node = max(least(rank, value)) over neighbors ranked by value desc
+    * — deterministic under ties because the ranked VALUE sequence is. */
+  private val kcoreHindex: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Relational4.docEdges(s, dir)
+    val nbrs = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val degree = nbrs.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).cast("int").as("c"))
+    var core = degree
+    for (_ <- 1 to 4) {
+      val j = nbrs.join(core, nbrs("v") === core("id"))
+        .select(nbrs("u").as("id"), col("c"), nbrs("v").as("nbr"))
+      val w = Window.partitionBy("id").orderBy(desc("c"), col("nbr"))
+      core = j.withColumn("rk", row_number().over(w))
+        .groupBy("id")
+        .agg(max(least(col("rk"), col("c"))).cast("int").as("c"))
+    }
+    degree.select(col("id").as("doc_id"), col("c").as("degree"))
+      .join(core.select(col("id").as("doc_id"), col("c").as("coreness")),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val kcoreHindexSql = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT id, CAST(MAX(LEAST(rk, c)) AS INTEGER) AS c FROM (
+         |    SELECT nbr.u AS id, p.c,
+         |      ROW_NUMBER() OVER (PARTITION BY nbr.u
+         |        ORDER BY p.c DESC, nbr.v) AS rk
+         |    FROM nbr JOIN $prev p ON p.id = nbr.v
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    s"""WITH ${Relational4.docEdgesCte}, nbr AS (
+       |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+       |), c0 AS (
+       |  SELECT u AS id, CAST(COUNT(*) AS INTEGER) AS c FROM nbr GROUP BY 1
+       |), ${round("c0", "c1")}, ${round("c1", "c2")},
+       |${round("c2", "c3")}, ${round("c3", "c4")}
+       |SELECT c0.id AS doc_id, c0.c AS degree, c4.c AS coreness
+       |FROM c0 JOIN c4 ON c4.id = c0.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Pairwise association rules over order baskets (basket = order,
     * item = part brand): support / confidence / lift for every brand
     * pair clearing 0.5% support. The quadratic step is bounded by the
@@ -216,12 +275,14 @@ object Relational6 {
 
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
+    "q_kcore" -> kcoreHindex,
     "q_assoc_rules" -> assocRules,
     "q_k_anonymity" -> kAnonymity,
     "q_dp_counts" -> dpCounts)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
+    "q_kcore" -> kcoreHindexSql,
     "q_assoc_rules" -> assocRulesSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_dp_counts" -> dpCountsSql)

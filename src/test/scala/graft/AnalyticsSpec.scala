@@ -308,4 +308,57 @@ class AnalyticsSpec extends SparkSpec {
         points, clash, Seq("k"), "ts", "start_ts", "end_ts", 3600000000L)
     }
   }
+
+  test("iterated H-index coreness: independent rederivation, bound vs true peeling") {
+    val dir = "/root/testdata/sf0.001"
+    val ids = graft.queries.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // rebuild the chain+skip doc graph driver-side (independent of the
+    // engine's docEdges join formulation)
+    val und = for {
+      u <- ids.toSeq; d <- Seq(1, 2)
+      if u % 50 <= 50 - 1 - d && ids.contains(u + d)
+    } yield (u, u + d)
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    def hIndex(vals: Seq[Int]): Int = {
+      val sorted = vals.sorted(Ordering[Int].reverse)
+      sorted.zipWithIndex.map { case (v, i) => math.min(i + 1, v) }
+        .foldLeft(0)(math.max)
+    }
+    // driver-simulated 4 rounds of iterated H
+    var c: Map[Long, Int] = adj.map { case (k, ns) => k -> ns.size }
+    val rounds = Iterator.iterate(c)(prev =>
+      adj.map { case (k, ns) => k -> hIndex(ns.map(prev)) })
+      .take(5).toSeq
+    // monotone non-increasing per node across rounds
+    rounds.sliding(2).foreach { case Seq(a, b) =>
+      assert(adj.keys.forall(k => b(k) <= a(k)), "H iteration not monotone")
+    }
+    // true coreness by exact peeling
+    var core = Map.empty[Long, Int]
+    var remaining = adj.map { case (k, v) => k -> v.toBuffer }
+    var k = 0
+    while (remaining.nonEmpty) {
+      val peel = remaining.filter(_._2.size <= k).keys.toSeq
+      if (peel.isEmpty) k += 1
+      else {
+        peel.foreach { p => core += p -> k; remaining -= p }
+        remaining = remaining.map { case (n, ns) =>
+          n -> ns.filterNot(peel.contains) }
+      }
+    }
+    val got = SparkEntry.queries("q_kcore")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.map(_._1).toSet == adj.keySet)
+    got.foreach { case (id, deg, cr) =>
+      assert(deg == adj(id).size, s"degree mismatch at $id")
+      // engine == independently simulated round-4 value, exactly
+      assert(cr == rounds.last(id), s"H4 mismatch at $id")
+      // and an upper bound on the true coreness
+      assert(cr >= core(id), s"H4 below true coreness at $id")
+    }
+    // the bound is tight somewhere (block ends converge within 4 rounds)
+    assert(got.exists { case (id, _, cr) => cr == core(id) })
+  }
 }
