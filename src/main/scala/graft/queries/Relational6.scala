@@ -233,6 +233,68 @@ object Relational6 {
       |UNION ALL SELECT * FROM supp
       |ORDER BY level, bucket""".stripMargin
 
+  /** Mutual information between event_type and hour-of-day — the
+    * information-theoretic dependence screen (feature selection /
+    * leakage detection: "does the label leak into the timestamp?"),
+    * beside the distributional A/B trio (KS/t/U) and `q_chi2`. All
+    * counts are exact; each plug-in term (c_xy/n)·ln(c_xy·n/(c_x·c_y))
+    * is one double expression written in the same IEEE order as the
+    * twin, and the term SUMS go through [[Num.dsum]] so they are
+    * order-independent — the engine's partial aggregation and DuckDB's
+    * single-node scan land on the identical bits. The grid is
+    * |types|×24 rows post-aggregation; everything before it is one hash
+    * aggregate per marginal. NMI = MI / min(H_x, H_y). */
+  private val mutualInfo: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("x"), hour(col("ts")).as("y"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    val cxy = ev.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val cx = ev.groupBy("x").agg(count(lit(1)).as("cx"))
+    val cy = ev.groupBy("y").agg(count(lit(1)).as("cy"))
+    val miT = (col("cxy").cast("double") / col("n")) *
+      log((col("cxy").cast("double") * col("n")) /
+        (col("cx").cast("double") * col("cy")))
+    val mi = cxy.join(broadcast(cx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(n))
+      .agg(Num.dsum(miT, 12).as("mi"))
+    def entropy(cdf: DataFrame, c: String, out: String) = {
+      val t = -(col(c).cast("double") / col("n")) *
+        log(col(c).cast("double") / col("n"))
+      cdf.crossJoin(broadcast(n)).agg(Num.dsum(t, 12).as(out))
+    }
+    entropy(cx, "cx", "hx").crossJoin(entropy(cy, "cy", "hy"))
+      .crossJoin(mi).crossJoin(broadcast(n))
+      .select(col("n"), round(col("hx"), 6).as("h_type"),
+        round(col("hy"), 6).as("h_hour"),
+        round(col("mi"), 6).as("mi"),
+        round(col("mi") / least(col("hx"), col("hy")), 6).as("nmi"))
+  }
+
+  private val mutualInfoSql =
+    """WITH ev AS (
+      |  SELECT event_type AS x, EXTRACT(hour FROM ts) AS y FROM events
+      |), nn AS (SELECT COUNT(*) AS n FROM ev),
+      |c AS (SELECT x, y, COUNT(*) AS cxy FROM ev GROUP BY 1, 2),
+      |mx AS (SELECT x, COUNT(*) AS cx FROM ev GROUP BY 1),
+      |my AS (SELECT y, COUNT(*) AS cy FROM ev GROUP BY 1),
+      |mi AS (
+      |  SELECT CAST(SUM(CAST((CAST(cxy AS DOUBLE) / n)
+      |    * ln((CAST(cxy AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))
+      |    AS DECIMAL(38, 12))) AS DOUBLE) AS mi
+      |  FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn
+      |), hx AS (
+      |  SELECT CAST(SUM(CAST(-(CAST(cx AS DOUBLE) / n)
+      |    * ln(CAST(cx AS DOUBLE) / n) AS DECIMAL(38, 12))) AS DOUBLE) AS hx
+      |  FROM mx CROSS JOIN nn
+      |), hy AS (
+      |  SELECT CAST(SUM(CAST(-(CAST(cy AS DOUBLE) / n)
+      |    * ln(CAST(cy AS DOUBLE) / n) AS DECIMAL(38, 12))) AS DOUBLE) AS hy
+      |  FROM my CROSS JOIN nn
+      |)
+      |SELECT n, ROUND(hx, 6) AS h_type, ROUND(hy, 6) AS h_hour,
+      |  ROUND(mi, 6) AS mi, ROUND(mi / LEAST(hx, hy), 6) AS nmi
+      |FROM nn CROSS JOIN hx CROSS JOIN hy CROSS JOIN mi""".stripMargin
+
   /** Differentially-private event-type counts via seeded inverse-CDF
     * Laplace noise (ε=1, sensitivity 1): u = first 32 md5 bits of the
     * group key mapped to [0,1), noise = ±ln(1−2|u−½|) — deterministic,
@@ -278,12 +340,14 @@ object Relational6 {
     "q_kcore" -> kcoreHindex,
     "q_assoc_rules" -> assocRules,
     "q_k_anonymity" -> kAnonymity,
-    "q_dp_counts" -> dpCounts)
+    "q_dp_counts" -> dpCounts,
+    "q_mutual_info" -> mutualInfo)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
     "q_kcore" -> kcoreHindexSql,
     "q_assoc_rules" -> assocRulesSql,
     "q_k_anonymity" -> kAnonymitySql,
-    "q_dp_counts" -> dpCountsSql)
+    "q_dp_counts" -> dpCountsSql,
+    "q_mutual_info" -> mutualInfoSql)
 }
