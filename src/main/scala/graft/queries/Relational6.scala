@@ -335,13 +335,115 @@ object Relational6 {
       |  1.0 AS epsilon
       |FROM u ORDER BY event_type""".stripMargin
 
+  /** One-pass Pearson correlation matrix over the lineitem numeric
+    * columns — the feature-screening grid: ONE scan computes every
+    * moment (4 sums, 4 sum-of-squares, 6 cross-products) decimal-exact
+    * via [[Num.dsum]], then the 6 pairwise r values unfold from the
+    * 1-row moment frame with `explode` (no re-scan per pair). Products
+    * are formed in double first — the identical IEEE multiply in both
+    * engines — and only the SUMS need order independence. */
+  private val corrMatrix: Q = (s, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, dir)
+      .select(cols.map(col): _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => Num.dsum(col(c), 6).as(s"s_$c")) ++
+      cols.map(c => Num.dsum(col(c) * col(c), 6).as(s"ss_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield Num.dsum(col(cols(i)) * col(cols(j)), 6)
+          .as(s"sp_${cols(i)}_${cols(j)}"))
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+            sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+          .as("corr"))
+    }
+    m.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
+      .orderBy("col_a", "col_b")
+  }
+
+  private val corrMatrixSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val moments =
+      (cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c") ++
+        cols.map(c =>
+          s"CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) AS ss_$c") ++
+        (for { i <- cols.indices; j <- cols.indices if i < j } yield
+          s"CAST(SUM(CAST(${cols(i)} * ${cols(j)} AS DECIMAL(38,6))) AS DOUBLE)" +
+            s" AS sp_${cols(i)}_${cols(j)}")).mkString(",\n  ")
+    val rows = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  ROUND((n * sp_${a}_$b - s_$a * s_$b)
+         |    / (SQRT(n * ss_$a - s_$a * s_$a)
+         |      * SQRT(n * ss_$b - s_$b * s_$b)), 6) AS corr FROM m"""
+        .stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"WITH m AS (SELECT COUNT(*) AS n,\n  $moments\nFROM lineitem)\n" +
+      rows + "\nORDER BY col_a, col_b"
+  }
+
+  /** Efraimidis–Spirakis weighted sampling without replacement: top-5 per
+    * event_type by the exponential key −ln(u)/w (u = seeded md5-uniform
+    * of the event id, w = the row's value), the weighted analogue of the
+    * md5-threshold samplers (`q_hash_split`, `q_temp_sample`) — P(first
+    * pick = i) = wᵢ/Σw, the standard A-ES result. Keys are ROUNDED to 6
+    * dp BEFORE ranking with an id tie-break (the PMI trick) so a 1-ulp
+    * ln() divergence can never reorder the engines. The engine ranks in
+    * two phases — per-scan-partition top-5, then the tiny survivor set —
+    * so no event_type ever funnels its full row set through one task;
+    * the oracle ranks globally (different strategy, same rows). */
+  private val weightedSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).filter(col("value") > 0)
+    val u = (conv(substring(md5(concat(lit("ws|"),
+      col("event_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = ev.select(col("event_type"), col("event_id"), col("value"),
+      round(-log(u) / col("value"), 6).as("k"))
+    val local = keyed.withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy("event_type", "pid")
+          .orderBy(col("k"), col("event_id"))))
+      .filter(col("lrk") <= 5).drop("pid", "lrk")
+    local.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("k"), col("event_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+      .orderBy("event_type", "rk")
+  }
+
+  private val weightedSampleSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, value,
+      |    ROUND(-ln((CAST(list_sum(list_transform(range(1, 9), p ->
+      |      (strpos('0123456789abcdef', substr(md5('ws|' ||
+      |        CAST(event_id AS VARCHAR)), CAST(p AS INTEGER), 1)) - 1)
+      |      * power(16, 8 - p))) AS BIGINT) + 0.5) / 4294967296.0)
+      |      / value, 6) AS k
+      |  FROM events WHERE value > 0
+      |), r AS (
+      |  SELECT event_type, event_id, value, k,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY k, event_id) AS rk
+      |  FROM e
+      |)
+      |SELECT event_type, CAST(rk AS INTEGER) AS rk, event_id, value
+      |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
     "q_assoc_rules" -> assocRules,
     "q_k_anonymity" -> kAnonymity,
     "q_dp_counts" -> dpCounts,
-    "q_mutual_info" -> mutualInfo)
+    "q_mutual_info" -> mutualInfo,
+    "q_corr_matrix" -> corrMatrix,
+    "q_weighted_sample" -> weightedSample)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -349,5 +451,7 @@ object Relational6 {
     "q_assoc_rules" -> assocRulesSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_dp_counts" -> dpCountsSql,
-    "q_mutual_info" -> mutualInfoSql)
+    "q_mutual_info" -> mutualInfoSql,
+    "q_corr_matrix" -> corrMatrixSql,
+    "q_weighted_sample" -> weightedSampleSql)
 }
