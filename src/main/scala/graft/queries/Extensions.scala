@@ -1201,6 +1201,44 @@ object Extensions {
       Multimodal.audioFingerprints(
         Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
 
+  /** Simplified silhouette per label ([[VectorOps.silhouette]]): the
+    * clustering-quality screen; centroid codebook driver-collected,
+    * distances fixed-point inside one codegen projection, label means
+    * decimal-exact ⇒ hash-exact oracle. */
+  private val simSilhouette: Q = (s, dir) =>
+    VectorOps.silhouette(Tables.embeddings(s, dir))
+
+  private val simSilhouetteSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT label, i,
+      |    CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |      / 1e12 / COUNT(*) AS cx
+      |  FROM v GROUP BY 1, 2
+      |), d AS (
+      |  SELECT v.vec_id, v.label AS own, cent.label AS cl,
+      |    SQRT(CAST(SUM(CAST(ROUND((v.x - cent.cx) * (v.x - cent.cx) * 1e12,
+      |      0) AS BIGINT)) AS DOUBLE) / 1e12) AS dist
+      |  FROM v JOIN cent ON cent.i = v.i GROUP BY 1, 2, 3
+      |), ab AS (
+      |  SELECT vec_id, own,
+      |    MAX(CASE WHEN cl = own THEN dist END) AS a,
+      |    MIN(CASE WHEN cl <> own THEN dist END) AS b
+      |  FROM d GROUP BY 1, 2
+      |), sc AS (
+      |  SELECT own AS label,
+      |    CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+      |      ELSE (b - a) / GREATEST(a, b) END AS s
+      |  FROM ab
+      |)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(s AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*), 6)
+      |    AS silhouette
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-label embedding centroids — class prototypes / drift monitors /
     * IVF seed codebook. Fixed-point element sums make the per-dimension
     * means bit-identical to the oracle. */
@@ -2197,6 +2235,7 @@ object Extensions {
     "pipeline_corpus"     -> pipelineCorpus,
     "sim_cosine_topk"     -> simTopK,
     "sim_sq_topk"         -> simSqTopK,
+    "sim_silhouette"      -> simSilhouette,
     "sim_ann_topk"        -> simAnnTopK,
     "sim_ivf_topk"        -> simIvfTopK,
     "q_kmv_distinct"      -> kmvDistinct,
@@ -2257,6 +2296,7 @@ object Extensions {
     "pipeline_corpus"     -> pipelineCorpusSql,
     "sim_cosine_topk"     -> simTopKSql,
     "sim_sq_topk"         -> simSqTopKSql,
+    "sim_silhouette"      -> simSilhouetteSql,
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,
     "q_kmv_distinct"      -> kmvDistinctSql,

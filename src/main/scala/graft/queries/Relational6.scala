@@ -435,6 +435,120 @@ object Relational6 {
       |SELECT event_type, CAST(rk AS INTEGER) AS rk, event_id, value
       |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
 
+  /** Referential-integrity screen: orphan counts for every FK edge of
+    * the star schema in one union frame (the dbt-style test a warehouse
+    * load runs before publishing). Each edge is one broadcast/shuffled
+    * LEFT ANTI count — integer-exact, no floats anywhere; ppm rate uses
+    * integer arithmetic so the screen hashes identically at any scale.
+    * The fixture is referentially clean, so every row reads 0 orphans —
+    * the point is the SHAPE (the screen must be cheap enough to run on
+    * every load; the spec plants violations to prove detection). */
+  private val fkOrphans: Q = (s, dir) => {
+    import graft.analytics.Integrity.{orphanEdge => edge}
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      edge("lineitem->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      edge("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      edge("nation->region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey"))
+      .reduce(_ unionByName _)
+      .orderBy("fk")
+  }
+
+  private val fkOrphansSql = {
+    def edge(name: String, fact: String, fk: String,
+             dim: String, pk: String): String =
+      s"""SELECT '$name' AS fk,
+         |  (SELECT COUNT(*) FROM $fact WHERE $fk NOT IN
+         |    (SELECT $pk FROM $dim)) AS n_orphans,
+         |  (SELECT COUNT(*) FROM $fact) AS n_rows,
+         |  (SELECT COUNT(*) FROM $fact WHERE $fk NOT IN
+         |    (SELECT $pk FROM $dim)) * 1000000
+         |    // (SELECT COUNT(*) FROM $fact) AS orphan_ppm"""
+        .stripMargin
+    Seq(
+      edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("\nUNION ALL\n") + "\nORDER BY fk"
+  }
+
+  /** Heaps'-law vocabulary growth: distinct-token count and total token
+    * count over ten growing doc-id prefixes of the corpus — the curve
+    * that says whether a crawl is still finding new language or
+    * re-reading the same material (sub-linear growth V ≈ K·nᵝ, β < 1).
+    * Prefix membership is arithmetic on (min, max) doc_id — no global
+    * rank window; per-prefix totals cumulate over a 10-row post-agg
+    * frame. First-occurrence prefix per token = one grouped MIN over the
+    * token stream; everything is integer-exact. */
+  private val heapsLaw: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val mm = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val dec = least(lit(9), floor(((col("doc_id") - col("mn")) * 10)
+      .cast("double") / (col("mx") - col("mn") + 1)).cast("int")) + 1
+    val d = docs.crossJoin(broadcast(mm)).select(col("doc_id"),
+      col("text"), dec.as("dec"))
+    val tok = d.select(col("dec"),
+      explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+    val w = Window.orderBy("dec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the doc-decile spine has all ten rows; token/vocab per-decile
+    // deltas can be ABSENT for a decile that adds nothing new (the whole
+    // fixture vocabulary may arrive in decile 1) — left-join + coalesce 0
+    // before cumulating, or the join would silently drop those deciles
+    val spine = d.groupBy("dec").agg(count(lit(1)).as("docs_c"))
+    val tokC = tok.groupBy("dec").agg(count(lit(1)).as("tok_c"))
+    val vocC = tok.groupBy("token").agg(min(col("dec")).as("dec"))
+      .groupBy("dec").agg(count(lit(1)).as("voc_c"))
+    spine.join(tokC, Seq("dec"), "left").join(vocC, Seq("dec"), "left")
+      .select(col("dec"),
+        sum(col("docs_c")).over(w).as("n_docs"),
+        sum(coalesce(col("tok_c"), lit(0L))).over(w).as("n_tokens"),
+        sum(coalesce(col("voc_c"), lit(0L))).over(w).as("vocab"))
+      .orderBy("dec")
+  }
+
+  private val heapsLawSql =
+    """WITH mm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      |d AS (
+      |  SELECT doc_id, text,
+      |    LEAST(9, CAST(FLOOR(CAST((doc_id - mn) * 10 AS DOUBLE)
+      |      / (mx - mn + 1)) AS INTEGER)) + 1 AS dec
+      |  FROM documents, mm
+      |), tok AS (
+      |  SELECT dec, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS token
+      |  FROM d
+      |), spine AS (SELECT dec, COUNT(*) AS docs_c FROM d GROUP BY 1),
+      |tc AS (SELECT dec, COUNT(*) AS tok_c FROM tok GROUP BY 1),
+      |vc AS (SELECT dec, COUNT(*) AS voc_c FROM
+      |  (SELECT token, MIN(dec) AS dec FROM tok GROUP BY 1) GROUP BY 1),
+      |j AS (
+      |  SELECT spine.dec, spine.docs_c,
+      |    COALESCE(tc.tok_c, 0) AS tok_c, COALESCE(vc.voc_c, 0) AS voc_c
+      |  FROM spine LEFT JOIN tc USING (dec) LEFT JOIN vc USING (dec)
+      |)
+      |SELECT CAST(dec AS INTEGER) AS dec,
+      |  CAST(SUM(docs_c) OVER cum AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok_c) OVER cum AS BIGINT) AS n_tokens,
+      |  CAST(SUM(voc_c) OVER cum AS BIGINT) AS vocab
+      |FROM j
+      |WINDOW cum AS (ORDER BY dec
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY dec""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -443,7 +557,9 @@ object Relational6 {
     "q_dp_counts" -> dpCounts,
     "q_mutual_info" -> mutualInfo,
     "q_corr_matrix" -> corrMatrix,
-    "q_weighted_sample" -> weightedSample)
+    "q_weighted_sample" -> weightedSample,
+    "q_fk_orphans" -> fkOrphans,
+    "text_heaps_law" -> heapsLaw)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -453,5 +569,7 @@ object Relational6 {
     "q_dp_counts" -> dpCountsSql,
     "q_mutual_info" -> mutualInfoSql,
     "q_corr_matrix" -> corrMatrixSql,
-    "q_weighted_sample" -> weightedSampleSql)
+    "q_weighted_sample" -> weightedSampleSql,
+    "q_fk_orphans" -> fkOrphansSql,
+    "text_heaps_law" -> heapsLawSql)
 }

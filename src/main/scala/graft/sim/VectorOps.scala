@@ -372,6 +372,44 @@ object VectorOps {
     }
   }
 
+  /** Simplified silhouette score per label — the clustering-quality
+    * member of the embedding family (Rousseeuw's silhouette with the
+    * standard centroid simplification: a = distance to own centroid,
+    * b = nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]): the
+    * one-number answer to "are these labels actually clusters?" before a
+    * mixture/stratification decision trusts them. The centroid codebook
+    * is driver-collected (bounded like the IVF codebook) and every
+    * distance is a fixed-point long fold inside one codegen'd projection
+    * — single scan, zero exchanges before the final label aggregate; the
+    * per-row s is an identical IEEE sequence in both engines and the
+    * label means go through the decimal-exact sum, so the entry is
+    * hash-exact. */
+  def silhouette(emb: DataFrame): DataFrame = {
+    val cents: Seq[(Int, Array[Double])] = centroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3).toArray) }
+    require(cents.size >= 2, "silhouette needs at least two labels")
+    def dist(c: Array[Double]): Column =
+      sqrt(aggregate(
+        zip_with(col("embedding"), typedlit(c), (xi, ci) =>
+          round((xi.cast("double") - ci) * (xi.cast("double") - ci) * lit(1e12), 0)
+            .cast("long")),
+        lit(0L), _ + _).cast("double") / lit(1e12))
+    val a = coalesce(cents.map { case (l, c) =>
+      when(col("label") === lit(l), dist(c)) }: _*)
+    val b = least(cents.map { case (l, c) =>
+      when(col("label") =!= lit(l), dist(c)) }: _*)
+    val sRow = when(greatest(a, b) === lit(0.0), lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    emb.select(col("label"), sRow.as("s"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(graft.queries.Num.dsum(col("s"), 12) / count(lit(1)), 6)
+          .as("silhouette"))
+      .orderBy("label")
+  }
+
   /** int8 scalar-quantized cosine top-k — the deployment form that cuts
     * the scan footprint 4× vs float32 (PQ's 27× sibling with far simpler
     * mechanics and better per-vector accuracy): each vector is quantized

@@ -361,4 +361,39 @@ class AnalyticsSpec extends SparkSpec {
     // the bound is tight somewhere (block ends converge within 4 rounds)
     assert(got.exists { case (id, _, cr) => cr == core(id) })
   }
+
+  test("fk orphan screen: clean fixture reads zero; planted violations detected") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val clean = SparkEntry.queries("q_fk_orphans")(spark, dir).collect()
+    assert(clean.length == 6)
+    clean.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(3) == 0L,
+        s"fixture should be referentially clean: ${r.getString(0)}")
+    }
+    // planted: 3 of 10 fact rows point at a missing dim key
+    val fact = (1L to 10L).map(i => (i, if (i <= 3) 99L else 1L))
+      .toDF("id", "fk")
+    val dim = Seq(1L, 2L).toDF("pk")
+    val got = graft.analytics.Integrity
+      .orphanEdge("fact->dim", fact, "fk", dim, "pk").collect()(0)
+    assert(got.getLong(1) == 3L && got.getLong(2) == 10L)
+    assert(got.getLong(3) == 300000L) // integer ppm: 3/10
+  }
+
+  test("Heaps' law curve: cumulative, and vocabulary grows sublinearly") {
+    val got = SparkEntry.queries("text_heaps_law")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1 to 10))
+    // cumulative in every column
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4)
+    }
+    val (_, _, t1, v1) = got.head
+    val (_, _, t10, v10) = got.last
+    // new vocabulary arrives slower than new tokens (beta < 1)
+    assert(v10.toDouble / v1 < t10.toDouble / t1,
+      s"vocab grew as fast as tokens: $got")
+  }
 }
