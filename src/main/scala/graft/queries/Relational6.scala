@@ -549,6 +549,53 @@ object Relational6 {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY dec""".stripMargin
 
+  /** Hashing-trick vectorizer profile — the fixed-width sparse feature
+    * map (Weinberger et al.'s feature hashing) every large-scale text
+    * model front-ends with: token → md5 bucket mod 1024, per-doc counts,
+    * and the per-doc summary a trainer's data loader needs (nnz, squared
+    * l2 norm, dominant bucket). All integer-exact; the dominant bucket
+    * breaks count ties on the SMALLEST bucket id deterministically —
+    * engine via lexicographic struct max, oracle via a windowed
+    * max-count filter (different strategy, same semantics). One shuffle
+    * on (doc, bucket), then one per-doc aggregate. */
+  private val featureHash: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+    val bucket = conv(substring(md5(concat(lit("fh|"), col("token"))), 1, 8),
+      16, 10).cast("long") % 1024
+    val cnt = toks.select(col("doc_id"), bucket.as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    cnt.groupBy("doc_id").agg(
+        count(lit(1)).as("nnz"),
+        sum(col("c") * col("c")).as("l2sq"),
+        max(struct(col("c"), (-col("bucket")).as("nb"))).as("top"))
+      .select(col("doc_id"), col("nnz"), col("l2sq"),
+        (-col("top.nb")).as("top_bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val featureHashSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS token
+      |  FROM documents
+      |), hb AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(1, 9), p ->
+      |      (strpos('0123456789abcdef', substr(md5('fh|' || token),
+      |        CAST(p AS INTEGER), 1)) - 1) * power(16, 8 - p)))
+      |      AS BIGINT) % 1024 AS bucket
+      |  FROM tok
+      |), c AS (
+      |  SELECT doc_id, bucket, COUNT(*) AS c FROM hb GROUP BY 1, 2
+      |), m AS (
+      |  SELECT doc_id, bucket, c, MAX(c) OVER (PARTITION BY doc_id) AS mc
+      |  FROM c
+      |)
+      |SELECT doc_id, COUNT(*) AS nnz, CAST(SUM(c * c) AS BIGINT) AS l2sq,
+      |  MIN(CASE WHEN c = mc THEN bucket END) AS top_bucket
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -559,7 +606,8 @@ object Relational6 {
     "q_corr_matrix" -> corrMatrix,
     "q_weighted_sample" -> weightedSample,
     "q_fk_orphans" -> fkOrphans,
-    "text_heaps_law" -> heapsLaw)
+    "text_heaps_law" -> heapsLaw,
+    "text_feature_hash" -> featureHash)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -571,5 +619,6 @@ object Relational6 {
     "q_corr_matrix" -> corrMatrixSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_fk_orphans" -> fkOrphansSql,
-    "text_heaps_law" -> heapsLawSql)
+    "text_heaps_law" -> heapsLawSql,
+    "text_feature_hash" -> featureHashSql)
 }

@@ -421,6 +421,49 @@ object StreamingEtl {
       }
   }
 
+  case class HeavyHittersUpdate(key: String, n_rows: Long,
+                                items: Map[String, Long])
+
+  /** Incrementally maintained per-key Misra–Gries heavy-hitter summary —
+    * the frequent-items member of the streaming sketch family (beside
+    * KMV/HLL distinct, KLL quantiles, CMS frequencies): at most k
+    * counters of state per key, and after ANY micro-batch slicing the
+    * classic sequential guarantee holds for the rows seen so far —
+    * every item with true frequency above n/(k+1) is present, and
+    * estimates undercount by at most n/(k+1) (the per-key state applies
+    * the sequential algorithm, whose bound is arrival-order-independent
+    * even though the counter VALUES are not — the same contract as the
+    * batch [[graft.functions.MisraGriesAgg]]). Emits the sorted
+    * surviving-counter map per update. */
+  def runningHeavyHitters(events: DataFrame, k: Int = 8): Dataset[HeavyHittersUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.functions.MisraGriesFunctions
+    def req(c: Column, msg: String) =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    events.select(
+        req(col("event_type"),
+          "runningHeavyHitters requires non-null event_type").as("event_type"),
+        req(col("user_id").cast("string"),
+          "runningHeavyHitters requires non-null user_id").as("v"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Map[String, Long]), HeavyHittersUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Map[String, Long])]) =>
+          val (n0, m0) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val buf = scala.collection.mutable.Map[String, Long](m0.toSeq: _*)
+          var n = n0
+          rows.foreach { case (_, v) =>
+            n += 1
+            MisraGriesFunctions.updateLocal(buf, v, k)
+          }
+          val out = buf.toMap
+          state.update((n, out))
+          HeavyHittersUpdate(key, n, out)
+      }
+  }
+
   case class ImageDedupFlag(media_id: Long, first_id: Long, is_dup: Boolean)
 
   /** Streaming image dedup over perceptual hashes — the multimodal leg of

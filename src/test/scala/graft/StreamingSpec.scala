@@ -836,6 +836,59 @@ class StreamingSpec extends SparkSpec {
     assert(runSliced(rows.grouped(53).toSeq, "cms_53") == batch)
   }
 
+  test("streaming Misra-Gries: MG guarantee holds for rows seen, any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 8
+    val rows = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id"))
+      .orderBy("event_id").limit(500)
+      .as[(String, Long)].collect().toSeq
+    val exact: Map[String, Map[String, Long]] = rows.groupBy(_._1)
+      .map { case (t, vs) =>
+        t -> vs.groupBy(_._2.toString).map { case (u, g) => u -> g.size.toLong } }
+    def runSliced(slices: Seq[Seq[(String, Long)]], name: String) = {
+      val stream = MemoryStream[(String, Long)]
+      val out = StreamingEtl.runningHeavyHitters(
+        stream.toDS().toDF("event_type", "user_id"), k)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getMap[String, Long](2)))
+        .groupBy(_._1)
+        .map { case (key, updates) =>
+          val last = updates.maxBy(_._2)
+          key -> ((last._2, last._3))
+        }
+    }
+    for ((slices, name) <- Seq(
+        (Seq(rows), "mg_one"),
+        (rows.grouped(59).toSeq, "mg_59"))) {
+      val got = runSliced(slices, name)
+      assert(got.keySet == exact.keySet, name)
+      for ((key, (n, items)) <- got) {
+        val tf = exact(key)
+        assert(n == tf.values.sum, s"$name/$key: n")
+        val slack = n / (k + 1)
+        assert(items.size <= k, s"$name/$key: more than k counters")
+        // estimates never overcount, undercount by at most n/(k+1)
+        items.foreach { case (item, est) =>
+          val f = tf.getOrElse(item, 0L)
+          assert(est <= f && est >= f - slack, s"$name/$key/$item: $est vs $f")
+        }
+        // every true heavy item (f > n/(k+1)) survives
+        tf.foreach { case (item, f) =>
+          if (f > slack)
+            assert(items.contains(item), s"$name/$key: lost heavy item $item")
+        }
+      }
+    }
+  }
+
   test("streaming KLL quantiles: exact n, rank bound holds under any slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
