@@ -192,15 +192,91 @@ object Relational4 {
        |FROM l$LpaRounds ORDER BY id""".stripMargin
   }
 
+  /** Wedge centers above this degree are skipped in [[adamicAdar]]. The
+    * cap is the hub guard that makes link prediction runnable on power-law
+    * graphs: a celebrity center of degree d would emit d² candidate pairs,
+    * yet its Adamic–Adar contribution is only 1/ln(d) per pair — standard
+    * practice drops hubs because they carry near-zero signal at quadratic
+    * cost. With the cap the pair step is bounded by m·DegCap total and no
+    * single key explodes. */
+  private val DegCap = 64
+
+  /** Adamic–Adar link prediction over the doc graph: score every
+    * non-adjacent pair (u, v) by Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) and emit
+    * the top-100 predicted links. Distributed shape: adjacency is the
+    * undirected expansion of the canonical edge list; the only superlinear
+    * step is the per-center neighbor pairing, bounded by [[DegCap]]²·nodes
+    * (see the cap's scaladoc); candidate scores aggregate BEFORE the
+    * existing-edge anti-join so the join sees one row per pair, and the
+    * top-100 compiles to TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Numeric parity: each center's term is quantized to a
+    * fixed-point long round(1e12/ln(deg)) so the per-pair sum is exact
+    * integer arithmetic — order-independent and bit-identical across
+    * engines; ordering ties break on the exact fx then (u, v). */
+  private[graft] def adamicAdarScores(edges: DataFrame, degCap: Int,
+                                      k: Int): DataFrame = {
+    val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val centers = deg.filter(col("deg").between(2, degCap))
+      .select(col("node"),
+        round(lit(1e12) / log(col("deg").cast("double")), 0)
+          .cast("long").as("term"))
+    val cadj = adj.join(centers, "node")
+    val pairs = cadj.as("a").join(cadj.as("b"),
+        col("a.node") === col("b.node") && col("a.nbr") < col("b.nbr"))
+      .select(col("a.nbr").as("u"), col("b.nbr").as("v"),
+        col("a.term").as("term"))
+    pairs.groupBy("u", "v")
+      .agg(count(lit(1)).as("common_nbrs"), sum(col("term")).as("fx"))
+      .join(edges, Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("common_nbrs"),
+        round(col("fx").cast("double") / lit(1e12), 6).as("aa_score"),
+        col("fx"))
+      .orderBy(col("fx").desc, col("u"), col("v"))
+      .limit(k)
+      .drop("fx")
+  }
+
+  private val adamicAdar: Q = (s, dir) =>
+    adamicAdarScores(docEdges(s, dir), DegCap, k = 100)
+
+  private val adamicAdarSql =
+    s"""WITH $docEdgesCte, adj AS (
+       |  SELECT u AS node, v AS nbr FROM e
+       |  UNION ALL
+       |  SELECT v AS node, u AS nbr FROM e
+       |), deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM adj GROUP BY 1
+       |), centers AS (
+       |  SELECT node,
+       |    CAST(ROUND(1.0e12 / LN(CAST(deg AS DOUBLE)), 0) AS BIGINT) AS term
+       |  FROM deg WHERE deg BETWEEN 2 AND $DegCap
+       |), cadj AS (
+       |  SELECT a.node, a.nbr, c.term FROM adj a JOIN centers c ON c.node = a.node
+       |), agg AS (
+       |  SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS common_nbrs,
+       |    CAST(SUM(a.term) AS BIGINT) AS fx
+       |  FROM cadj a JOIN cadj b ON a.node = b.node AND a.nbr < b.nbr
+       |  GROUP BY 1, 2
+       |)
+       |SELECT agg.u, agg.v, agg.common_nbrs,
+       |  ROUND(CAST(agg.fx AS DOUBLE) / 1.0e12, 6) AS aa_score
+       |FROM agg LEFT JOIN e ON e.u = agg.u AND e.v = agg.v
+       |WHERE e.u IS NULL
+       |ORDER BY agg.fx DESC, agg.u, agg.v LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_triangles"         -> triangles,
     "q_lpa_communities"   -> lpaCommunities,
+    "q_adamic_adar"       -> adamicAdar,
     "text_heavy_hitters"  -> heavyHitters,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_triangles"         -> trianglesSql,
     "q_lpa_communities"   -> lpaCommunitiesSql,
+    "q_adamic_adar"       -> adamicAdarSql,
     "text_heavy_hitters"  -> heavyHittersSql,
   )
 }

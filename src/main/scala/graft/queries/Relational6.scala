@@ -596,6 +596,67 @@ object Relational6 {
       |  MIN(CASE WHEN c = mc THEN bucket END) AS top_bucket
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TF-IDF keyword extraction — the top-3 most distinctive terms per
+    * document, the classic per-doc summary a corpus browser / topic
+    * labeller front-ends with. tf is the in-doc count, idf the smoothed
+    * ln((N+1)/(df+1)); the score is quantized as tf·round(1e12·idf) so
+    * per-term ranking compares exact longs (no float ordering across
+    * engines). Distributed shape: one (doc, token) shuffle for tf, one
+    * token shuffle for df, the doc count a 1-row broadcast; the top-3 cut
+    * is a window partitioned BY DOC — thousands of small partitions, never
+    * a global sort. Ties break lexicographically on the token. */
+  private[graft] def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idfFx = round(lit(1e12) *
+      log((col("n_docs").cast("double") + 1.0) / (col("df") + 1.0)), 0)
+      .cast("long")
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        (col("tf") * idfFx).as("fx"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("fx").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+        round(col("fx").cast("double") / lit(1e12), 6).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfKeywords: Q = (s, dir) =>
+    tfidfTopK(Tables.documents(s, dir), k = 3)
+
+  private val tfidfKeywordsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf,
+      |    tf.tf * CAST(ROUND(1.0e12 *
+      |      LN((CAST(n_docs AS DOUBLE) + 1.0e0) / (df + 1.0e0)), 0)
+      |      AS BIGINT) AS fx
+      |  FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, token, tf, fx,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY fx DESC, token) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, tf,
+      |  ROUND(CAST(fx AS DOUBLE) / 1.0e12, 6) AS tfidf
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -607,7 +668,8 @@ object Relational6 {
     "q_weighted_sample" -> weightedSample,
     "q_fk_orphans" -> fkOrphans,
     "text_heaps_law" -> heapsLaw,
-    "text_feature_hash" -> featureHash)
+    "text_feature_hash" -> featureHash,
+    "text_tfidf" -> tfidfKeywords)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -620,5 +682,6 @@ object Relational6 {
     "q_weighted_sample" -> weightedSampleSql,
     "q_fk_orphans" -> fkOrphansSql,
     "text_heaps_law" -> heapsLawSql,
-    "text_feature_hash" -> featureHashSql)
+    "text_feature_hash" -> featureHashSql,
+    "text_tfidf" -> tfidfKeywordsSql)
 }

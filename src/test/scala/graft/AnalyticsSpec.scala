@@ -186,6 +186,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(pr2 == pr) // dangling sum is decimal-exact too
   }
 
+  test("adamic-adar: path pairs score 1/ln2, hubs above the cap drop out") {
+    import spark.implicits._
+    // path 1-2-3-4: the only common-neighbor non-edges are (1,3) via
+    // center 2 and (2,4) via center 3, each deg-2 -> score 1/ln(2)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = graft.queries.Relational4.adamicAdarScores(path, 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val s = BigDecimal(1e12 / math.log(2.0)).setScale(0,
+      BigDecimal.RoundingMode.HALF_UP).toDouble / 1e12
+    val exp = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got.toSeq == Seq((1L, 3L, 1L, exp), (2L, 4L, 1L, exp)), got.toSeq)
+    // star center 0 with 5 leaves: with degCap=4 the center (deg 5) is a
+    // hub and contributes nothing -> no predicted links at all
+    val star = (1L to 5L).map(l => (0L, l)).toDF("u", "v")
+    assert(graft.queries.Relational4.adamicAdarScores(star, 4, 10).count()
+      == 0L)
+    // without the cap the star yields all C(5,2)=10 leaf pairs via the hub
+    assert(graft.queries.Relational4.adamicAdarScores(star, 64, 100).count()
+      == 10L)
+  }
+
+  test("tfidf: ubiquitous terms score zero, rare repeated terms rank top") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple durian")).toDF("doc_id", "text")
+    val got = graft.queries.Relational6.tfidfTopK(docs, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(4)))
+    // 'apple' df=3, N=3 -> idf = ln(4/4) = 0 -> score exactly 0; the
+    // rare words (df=1, idf=ln2) outrank it everywhere
+    val ln2 = BigDecimal(1e12 * math.log(2.0))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def sc(tf: Long) = BigDecimal(tf * ln2 / 1e12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (1L, 1, "banana", sc(2)), (1L, 2, "apple", 0.0),
+      (2L, 1, "cherry", sc(1)), (2L, 2, "apple", 0.0),
+      (3L, 1, "durian", sc(1)), (3L, 2, "apple", 0.0)), got.toSeq)
+  }
+
   test("SCD2 compaction keeps change rows and chains validity intervals") {
     val snaps = Seq(
       (1L, 1, Some(10.0)), (1L, 2, Some(10.0)), // no change -> collapsed
