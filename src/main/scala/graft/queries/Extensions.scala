@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.mm.Multimodal
@@ -325,20 +325,24 @@ object Extensions {
       Tables.documents(s, dir), col("doc_id"),
       TextOps.tokens(col("text")), Bm25Terms, k = 20)
 
+  private val bm25TfDefs = Bm25Terms.map(t =>
+    s"len(list_filter($toksSql, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
+  private val bm25DfDefs = Bm25Terms.map(t =>
+    s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
+  // every float literal is e0-suffixed: DuckDB parses plain decimals as
+  // DECIMAL (exact arithmetic, diverges from Spark's doubles) but 2.2e0
+  // as DOUBLE — and 1.2+1.0 == 2.2 bitwise, so lit(k1+1.0) matches 2.2e0
+  private val bm25WExpr = Bm25Terms.map(t =>
+    s"""CAST(CAST(LN(1.0e0 + (n_docs - df_$t + 0.5e0) / (df_$t + 0.5e0))
+       |      AS DECIMAL(38,12)) AS DOUBLE)
+       |    * (tf_$t * 2.2e0) / (tf_$t + 1.2e0 * (0.25e0
+       |      + 0.75e0 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))""".stripMargin)
+    .mkString("\n    + ")
+
   private val textBm25Sql = {
-    val tfDefs = Bm25Terms.map(t =>
-      s"len(list_filter($toksSql, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
-    val dfDefs = Bm25Terms.map(t =>
-      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
-    // every float literal is e0-suffixed: DuckDB parses plain decimals as
-    // DECIMAL (exact arithmetic, diverges from Spark's doubles) but 2.2e0
-    // as DOUBLE — and 1.2+1.0 == 2.2 bitwise, so lit(k1+1.0) matches 2.2e0
-    val wTerms = Bm25Terms.map(t =>
-      s"""CAST(CAST(LN(1.0e0 + (n_docs - df_$t + 0.5e0) / (df_$t + 0.5e0))
-         |      AS DECIMAL(38,12)) AS DOUBLE)
-         |    * (tf_$t * 2.2e0) / (tf_$t + 1.2e0 * (0.25e0
-         |      + 0.75e0 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))""".stripMargin)
-      .mkString("\n    + ")
+    val tfDefs = bm25TfDefs
+    val dfDefs = bm25DfDefs
+    val wTerms = bm25WExpr
     s"""WITH d AS (
        |  SELECT doc_id, len($toksSql) AS dl,
        |    $tfDefs
@@ -864,6 +868,114 @@ object Extensions {
       |  (CAST(dot AS DOUBLE) / 1e12) / (nrm.nrm * qn.qnrm) AS cosine
       |FROM dots JOIN nrm ON dots.vec_id = nrm.vec_id, qn
       |ORDER BY cosine DESC, dots.vec_id LIMIT 10""".stripMargin
+
+  /** RRF additive constant — 60, the value from Cormack et al.'s original
+    * reciprocal-rank-fusion evaluation, which every production hybrid
+    * search stack has inherited since. */
+  private val RrfC = 60
+
+  /** Rank a bounded top-k frame without a global window: rank(row) = 1 +
+    * count of rows strictly ahead in (score desc, id asc) order, via a
+    * broadcast self-join. The frame is at most k rows
+    * (post-TakeOrderedAndProject), so the join is k² driver-scale work and
+    * the plan stays free of Exchange SinglePartition — the registry's
+    * standing discipline for windows. The frame is localCheckpointed first
+    * so the self-join doesn't re-run the corpus scan that produced it. */
+  private def boundedRank(df: DataFrame, id: String, score: String,
+                          rankName: String): DataFrame = {
+    val top = df.localCheckpoint()
+    val b = top.select(col(id).as("__bid"), col(score).as("__bs"))
+    top.join(broadcast(b),
+        col("__bs") > col(score) ||
+          (col("__bs") === col(score) && col("__bid") < col(id)), "left")
+      .groupBy(col(id))
+      .agg((count(col("__bid")) + 1L).as(rankName))
+  }
+
+  /** Hybrid lexical+semantic retrieval fused by reciprocal rank fusion —
+    * the standard production combination of the two retrieval legs this
+    * engine already ships (BM25 keyword probes + exact-cosine ANN):
+    * rrf(d) = Σ_r 1/(C + rank_r(d)) over the rankers that surfaced d.
+    * Rank-based fusion needs no score calibration between the legs, which
+    * is exactly why it composes cleanly at scale: each leg runs its own
+    * distributed top-k (TakeOrderedAndProject), and fusion touches only
+    * 2k rows. Numeric parity: ranks are exact integers, each reciprocal
+    * is quantized to round(1e12/(C+rank)) so the fused score is integer
+    * arithmetic; the oracle re-derives both legs and ranks them with a
+    * window — a different strategy over the same total order. */
+  private val hybridRrf: Q = (s, dir) => {
+    val lexTop = graft.text.KeywordSearch.bm25TopK(
+        Tables.documents(s, dir), col("doc_id"),
+        TextOps.tokens(col("text")), Bm25Terms, k = 20)
+      .select(col("doc_id"), col("score"))
+    val lex = boundedRank(lexTop, "doc_id", "score", "lex_rank")
+    val semTop = VectorOps.cosineTopK(Tables.embeddings(s, dir), 0L, 20)
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+    val sem = boundedRank(semTop, "doc_id", "cosine", "sem_rank")
+    def rr(r: Column) =
+      round(lit(1e12) / (lit(RrfC) + r), 0).cast("long")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(rr(col("lex_rank")), lit(0L)) +
+          coalesce(rr(col("sem_rank")), lit(0L))).as("fx"))
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(col("fx").cast("double") / lit(1e12), 6).as("rrf"), col("fx"))
+      .orderBy(col("fx").desc, col("doc_id"))
+      .limit(20)
+      .drop("fx")
+  }
+
+  private val hybridRrfSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, len($toksSql) AS dl,
+       |    $bm25TfDefs
+       |  FROM documents
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    $bm25DfDefs
+       |  FROM d
+       |), lex AS (
+       |  SELECT doc_id, ROUND($bm25WExpr, 6) AS score
+       |  FROM d, st ORDER BY score DESC, doc_id LIMIT 20
+       |), lexr AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |  FROM lex
+       |), v AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT i, x AS qx FROM v WHERE vec_id = 0
+       |), dots AS (
+       |  SELECT v.vec_id, SUM(CAST(ROUND(v.x * qv.qx * 1e12, 0) AS BIGINT)) AS dot
+       |  FROM v JOIN qv ON v.i = qv.i GROUP BY 1
+       |), nrm AS (
+       |  SELECT vec_id,
+       |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+       |  FROM v GROUP BY 1
+       |), qn AS (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0
+       |), sem AS (
+       |  SELECT dots.vec_id AS doc_id,
+       |    (CAST(dot AS DOUBLE) / 1e12) / (nrm.nrm * qn.qnrm) AS cosine
+       |  FROM dots JOIN nrm ON dots.vec_id = nrm.vec_id, qn
+       |  ORDER BY cosine DESC, dots.vec_id LIMIT 20
+       |), semr AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+       |  FROM sem
+       |), f AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |    l.lex_rank, s.sem_rank,
+       |    COALESCE(CAST(ROUND(1.0e12 / ($RrfC + l.lex_rank), 0) AS BIGINT), 0)
+       |    + COALESCE(CAST(ROUND(1.0e12 / ($RrfC + s.sem_rank), 0) AS BIGINT), 0)
+       |      AS fx
+       |  FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id
+       |)
+       |SELECT doc_id, lex_rank, sem_rank,
+       |  ROUND(CAST(fx AS DOUBLE) / 1.0e12, 6) AS rrf
+       |FROM f ORDER BY fx DESC, doc_id LIMIT 20""".stripMargin
 
   /** int8 scalar-quantized top-k ([[VectorOps.sqTopK]]): per-vector
     * scales cancel in the cosine, so the approximate score is pure
@@ -2234,6 +2346,7 @@ object Extensions {
     "q_leak_split"        -> leakSplit,
     "pipeline_corpus"     -> pipelineCorpus,
     "sim_cosine_topk"     -> simTopK,
+    "sim_hybrid_rrf"      -> hybridRrf,
     "sim_sq_topk"         -> simSqTopK,
     "sim_silhouette"      -> simSilhouette,
     "sim_ann_topk"        -> simAnnTopK,
@@ -2295,6 +2408,7 @@ object Extensions {
     "q_leak_split"        -> leakSplitSql,
     "pipeline_corpus"     -> pipelineCorpusSql,
     "sim_cosine_topk"     -> simTopKSql,
+    "sim_hybrid_rrf"      -> hybridRrfSql,
     "sim_sq_topk"         -> simSqTopKSql,
     "sim_silhouette"      -> simSilhouetteSql,
     "sim_ann_topk"        -> simAnnTopKSql,

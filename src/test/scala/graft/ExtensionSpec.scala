@@ -770,6 +770,36 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out2 == out)
   }
+
+  test("hybrid RRF: scores reconstruct from ranks, order holds, no 1-part window") {
+    val df = graft.queries.Extensions.queries("sim_hybrid_rrf")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    val rows = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getDouble(3)))
+    assert(rows.nonEmpty)
+    def fx(r: Option[Long]) = r.map(rk =>
+      BigDecimal(1e12 / (60 + rk)).setScale(0,
+        BigDecimal.RoundingMode.HALF_UP).toLong).getOrElse(0L)
+    rows.foreach { case (id, l, s, rrf) =>
+      assert(l.isDefined || s.isDefined, s"doc $id surfaced by neither leg")
+      val expect = BigDecimal((fx(l) + fx(s)) / 1e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"doc $id: $rrf != $expect")
+      l.foreach(r => assert(r >= 1 && r <= 20))
+      s.foreach(r => assert(r >= 1 && r <= 20))
+    }
+    // emitted in fused-score order, ties by doc id
+    val fxs = rows.map { case (id, l, s, _) => (fx(l) + fx(s), id) }
+    assert(fxs.sameElements(fxs.sortBy { case (f, id) => (-f, id) }))
+    // each leg's ranks are distinct (a rank collision would mean the
+    // bounded self-join rank logic broke the total order)
+    val lr = rows.flatMap(_._2); val sr = rows.flatMap(_._3)
+    assert(lr.distinct.length == lr.length)
+    assert(sr.distinct.length == sr.length)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
