@@ -27,6 +27,8 @@ case class MediaHash(media_id: Long, ahash: Long, dhash: Long)
 
 case class AudioFp(media_id: Long, fp: Long)
 
+case class VideoFrameHash(media_id: Long, frame_idx: Int, fhash: Long)
+
 case class MediaFile(media_id: Long, kind: String, content: Array[Byte],
   meta: MediaMeta)
 
@@ -536,6 +538,55 @@ object Multimodal {
   def nearDupAudio(fps: DataFrame, maxHamming: Int): DataFrame =
     nearDupImages(fps.select(col("media_id"), col("fp").as("dhash")),
       maxHamming)
+
+  /** Per-sampled-frame perceptual hashes of the video rows — the video
+    * leg of the perceptual family: decode the AVI per partition, keep
+    * every `everyK`-th frame ([[Codecs.frameSample]] — a 2-hour video
+    * need not hash all ~200k frames to be recognizable), [[Codecs.dHash]]
+    * each sampled frame's DIB grid. Undecodable payloads are dropped like
+    * the image/audio legs; only (media_id, frame_idx, one long) leaves
+    * the scan partition — binary blobs never shuffle. */
+  def videoFrameHashes(media: Dataset[MediaFile],
+                       everyK: Int = 2): Dataset[VideoFrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        Codecs.decodeAvi(m.content).toSeq.flatMap { samples =>
+          val perFrame = m.meta.width * m.meta.height * 3
+          Codecs.frameSample(samples, perFrame, everyK).zipWithIndex.map {
+            case (f, i) =>
+              VideoFrameHash(m.media_id, i * everyK,
+                Codecs.dHash(f, m.meta.width))
+          }
+        }
+      }
+    }
+  }
+
+  /** Video near-duplicate pairs by shared sampled-frame hashes — the
+    * containment idea from text chunk-dedup applied to perceptual bits:
+    * two videos match when ≥ `minShared` of their sampled frames hash
+    * identically (re-encoded copies, clips, intros). The ONLY join key is
+    * the exact 64-bit frame hash, so there is no all-pairs stage at any
+    * corpus size; a frame hash appearing in more than `hotCap` videos
+    * (black frames, color bars — the celebrity keys of video corpora) is
+    * excluded from candidate generation, the same frequency cap as the
+    * text LSH buckets. Within-video duplicate frames count once. */
+  def nearDupVideos(frameHashes: DataFrame, minShared: Long = 2,
+                    hotCap: Int = 32): DataFrame = {
+    val fh = frameHashes.select(col("media_id"), col("fhash")).distinct()
+    val cool = fh.groupBy("fhash").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") <= hotCap).select("fhash")
+    val keep = fh.join(cool, "fhash")
+    keep.as("a").join(keep.as("b"),
+        col("a.fhash") === col("b.fhash") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"))
+      .groupBy("m1", "m2").agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+      .orderBy("m1", "m2")
+  }
 
   /** Partition-parallel decode + feature extraction. One codec invocation
     * per row, batched by partition — no per-row task overhead, no driver

@@ -1313,6 +1313,43 @@ object Extensions {
       Multimodal.audioFingerprints(
         Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
 
+  /** Per-sampled-frame video hashes ([[graft.mm.Multimodal
+    * .videoFrameHashes]], every 2nd frame) — rows-only like the image and
+    * audio legs (binary-derived); determinism and clip-detection vectors
+    * live in MultimodalSpec. */
+  private val mmVideoFhash: Q = (s, dir) =>
+    Multimodal.videoFrameHashes(
+      Multimodal.syntheticMedia(Tables.documents(s, dir)), everyK = 2)
+      .toDF().orderBy("media_id", "frame_idx")
+
+  /** Video near-dup by shared frame hashes, exercised on planted clips:
+    * each fixture video gets a twin missing its first two frames (the
+    * "re-encoded clip" case) — the pair query must recover the
+    * original↔clip pairs from frame-hash overlap alone. Sampling is
+    * every frame here because the fixture videos are only ~4 frames
+    * long; production would keep everyK ≥ 2 on both sides. */
+  private val mmVideoPairs: Q = (s, dir) => {
+    import graft.mm.{Codecs, MediaFile, MediaMeta}
+    val docs = Tables.documents(s, dir)
+    val spark = s
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(docs).filter(_.kind == "video")
+    val frameBytes = Multimodal.VideoWidth * Multimodal.VideoHeight * 3
+    val clips = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes("UTF-8").drop(2 * frameBytes)
+        MediaFile(id + 1000000L, "video",
+          Codecs.encodeAvi(raw, Multimodal.VideoWidth,
+            Multimodal.VideoHeight),
+          MediaMeta(Multimodal.VideoWidth, Multimodal.VideoHeight,
+            16000, 0L, "avi"))
+      }
+    Multimodal.nearDupVideos(
+      Multimodal.videoFrameHashes(media.union(clips), everyK = 1).toDF(),
+      minShared = 2)
+  }
+
   /** Simplified silhouette per label ([[VectorOps.silhouette]]): the
     * clustering-quality screen; centroid codebook driver-collected,
     * distances fixed-point inside one codegen projection, label means
@@ -2359,6 +2396,8 @@ object Extensions {
     "mm_phash_pairs"      -> mmPhashPairs,
     "mm_audio_fp"         -> mmAudioFp,
     "mm_audio_fp_pairs"   -> mmAudioFpPairs,
+    "mm_video_fhash"      -> mmVideoFhash,
+    "mm_video_pairs"      -> mmVideoPairs,
   )
 
   val oracleSql: Map[String, String] = Map(

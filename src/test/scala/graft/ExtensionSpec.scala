@@ -1105,5 +1105,44 @@ class MultimodalSpec extends SparkSpec {
       s"missing=${exhaustive -- banded} extra=${banded -- exhaustive}")
     assert(exhaustive.nonEmpty, "fixture should contain identical audio")
   }
+
+  test("video frame hashes: deterministic, clips recovered, hot frames capped") {
+    import spark.implicits._
+    val w = Multimodal.VideoWidth; val h = Multimodal.VideoHeight
+    val frameBytes = w * h * 3
+    def vid(id: Long, raw: Array[Byte]) =
+      graft.mm.MediaFile(id, "video", Codecs.encodeAvi(raw, w, h),
+        graft.mm.MediaMeta(w, h, 16000, 0L, "avi"))
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(6 * frameBytes)(rnd.nextInt(256).toByte)
+    val c = Array.fill(6 * frameBytes)(rnd.nextInt(256).toByte)
+    val media = Seq(
+      vid(1L, a),                          // original, 6 frames
+      vid(2L, a.drop(2 * frameBytes)),     // clip: minus first two frames
+      vid(3L, c))                          // unrelated
+    val ds = spark.createDataset(media)
+    val fh = Multimodal.videoFrameHashes(ds, everyK = 1).toDF()
+    val fh2 = Multimodal.videoFrameHashes(ds.repartition(5), everyK = 1)
+      .toDF()
+    assert(fh.orderBy("media_id", "frame_idx").collect().toSeq ==
+      fh2.orderBy("media_id", "frame_idx").collect().toSeq) // deterministic
+    val pairs = Multimodal.nearDupVideos(fh, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 4L)), pairs.toSeq) // 4 shared frames
+    // everyK=2 sampling halves the hash count but keeps the clip pair
+    // (clip offset 2 is even, so sampled frames still line up)
+    val fhS = Multimodal.videoFrameHashes(ds, everyK = 2).toDF()
+    assert(fhS.count() == fh.count() / 2)
+    val pairsS = Multimodal.nearDupVideos(fhS, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairsS.toSeq == Seq((1L, 2L, 2L)), pairsS.toSeq)
+    // hot-frame cap: 40 videos of the same single frame — the frame hash
+    // exceeds hotCap=32 and generates NO candidates (color-bar guard)
+    val same = Array.fill(frameBytes)(42.toByte)
+    val hot = spark.createDataset((1L to 40L).map(i => vid(100L + i, same)))
+    val hotPairs = Multimodal.nearDupVideos(
+      Multimodal.videoFrameHashes(hot, everyK = 1).toDF(), minShared = 1)
+    assert(hotPairs.count() == 0L)
+  }
 }
 
