@@ -1313,6 +1313,51 @@ object Extensions {
       Multimodal.audioFingerprints(
         Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
 
+  /** JL random-projection norm-preservation report
+    * ([[VectorOps.randomProjectionReport]]): 64-d → 16-d with the md5 ±1
+    * sign matrix; hash-exact because every cross-element sum is
+    * fixed-point. The oracle re-derives the projection from the identical
+    * sign literals via unnest + join — a different evaluation strategy
+    * over the same matrix. */
+  private val embRandProj: Q = (s, dir) =>
+    VectorOps.randomProjectionReport(Tables.embeddings(s, dir))
+
+  private val embRandProjSql = {
+    val signs = VectorOps.rpSignMatrixFor(64)
+    val rows = (for (j <- 0 until VectorOps.RpDims; i <- 0 until 64)
+      yield s"($j,${i + 1},${signs(j)(i).toInt})").mkString(", ")
+    s"""WITH m(j, i, s) AS (
+       |  SELECT * FROM (VALUES $rows)
+       |), v AS (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), y AS (
+       |  SELECT v.vec_id, m.j,
+       |    CAST(SUM(CAST(ROUND(v.x * m.s * 1e12, 0) AS BIGINT)) AS BIGINT)
+       |      AS yfx
+       |  FROM v JOIN m ON m.i = v.i GROUP BY 1, 2
+       |), p AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(ROUND((CAST(yfx AS DOUBLE) / 1e12)
+       |      * (CAST(yfx AS DOUBLE) / 1e12) * 1e6, 0) AS BIGINT)) AS BIGINT)
+       |      AS pfx
+       |  FROM y GROUP BY 1
+       |), n AS (
+       |  SELECT vec_id, ANY_VALUE(label) AS label,
+       |    CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS BIGINT) AS nfx
+       |  FROM v GROUP BY 1
+       |)
+       |SELECT n.vec_id, n.label,
+       |  SQRT(CAST(nfx AS DOUBLE) / 1e12) AS norm_orig,
+       |  SQRT(CAST(pfx AS DOUBLE) / 1e6 / ${VectorOps.RpDims}) AS norm_proj,
+       |  CASE WHEN SQRT(CAST(nfx AS DOUBLE) / 1e12) > 0 THEN
+       |    ROUND(SQRT(CAST(pfx AS DOUBLE) / 1e6 / ${VectorOps.RpDims})
+       |      / SQRT(CAST(nfx AS DOUBLE) / 1e12), 6) END AS ratio
+       |FROM n JOIN p ON p.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+  }
+
   /** Per-sampled-frame video hashes ([[graft.mm.Multimodal
     * .videoFrameHashes]], every 2nd frame) — rows-only like the image and
     * audio legs (binary-derived); determinism and clip-detection vectors
@@ -2398,6 +2443,7 @@ object Extensions {
     "mm_audio_fp_pairs"   -> mmAudioFpPairs,
     "mm_video_fhash"      -> mmVideoFhash,
     "mm_video_pairs"      -> mmVideoPairs,
+    "emb_rand_proj"       -> embRandProj,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2448,6 +2494,7 @@ object Extensions {
     "pipeline_corpus"     -> pipelineCorpusSql,
     "sim_cosine_topk"     -> simTopKSql,
     "sim_hybrid_rrf"      -> hybridRrfSql,
+    "emb_rand_proj"       -> embRandProjSql,
     "sim_sq_topk"         -> simSqTopKSql,
     "sim_silhouette"      -> simSilhouetteSql,
     "sim_ann_topk"        -> simAnnTopKSql,

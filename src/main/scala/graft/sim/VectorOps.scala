@@ -135,6 +135,66 @@ object VectorOps {
     emb.select(col("vec_id"), bucketCol(planes).as("bucket"))
   }
 
+  /** Output dimensionality of the Johnson–Lindenstrauss projection. */
+  val RpDims = 16
+
+  /** Deterministic ±1 sign for (output dim j, input dim i) — md5 low bit,
+    * the Achlioptas sign-matrix member of the JL family (±1 entries
+    * satisfy the lemma with the same concentration as Gaussians and keep
+    * every product exact in fixed point). */
+  private def rpSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp|$j|$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    if ((java.lang.Long.parseLong(hex.substring(0, 6), 16) & 1L) == 1L) 1
+    else -1
+  }
+
+  private val rpCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Float]]]()
+
+  /** The deterministic JL sign matrix for `dim` input dimensions — public
+    * so the DuckDB oracle twin can embed the identical ±1 literals.
+    * Prefix-consistent: the matrix for a longer dim extends a shorter
+    * one (derivation is per-(j, i)). */
+  def rpSignMatrixFor(dim: Int): Array[Array[Float]] =
+    rpCache.computeIfAbsent(dim,
+      d => Array.tabulate(RpDims, d)((j, i) => rpSign(j, i).toFloat))
+
+  /** Johnson–Lindenstrauss norm-preservation report: project every
+    * embedding to [[RpDims]] dimensions with the ±1 sign matrix and emit
+    * each vector's original norm, projected norm (scaled by 1/√RpDims,
+    * the JL unbiased estimator), and their ratio — the certificate a
+    * pipeline checks before swapping full vectors for sketches in a
+    * distance-based stage. One codegen projection per row ([[RpDims]]
+    * fused [[fixedDot]]s against literal sign arrays — no explode, no
+    * shuffle, no per-row randomness); every sum that crosses elements is
+    * fixed-point longs, so the report is bit-identical on any
+    * partitioning and the oracle twin is hash-exact. */
+  def randomProjectionReport(emb: DataFrame, dim: Int = 64): DataFrame = {
+    graft.functions.FixedDotFunctions.register(emb.sparkSession)
+    val signs = rpSignMatrixFor(dim)
+    val yfx = (0 until RpDims).map(j =>
+      fixedDot(col("embedding"), typedlit(signs(j))))
+    // per-component (y_j/1e12)² quantized at 1e6 so the 16-term sum is
+    // exact integer arithmetic (a raw double sum would be order-fragile
+    // in SQL even though the Spark reduce is a fixed expression tree)
+    val t = yfx.map { y =>
+      val yd = y.cast("double") / lit(Scale)
+      round(yd * yd * lit(1e6), 0).cast("long")
+    }
+    val selfFx = fixedDot(col("embedding"), col("embedding"))
+    emb.select(col("vec_id"), col("label"),
+        selfFx.as("nfx"), t.reduce(_ + _).as("pfx"))
+      .select(col("vec_id"), col("label"),
+        sqrt(col("nfx").cast("double") / Scale).as("norm_orig"),
+        sqrt(col("pfx").cast("double") / 1e6 / RpDims).as("norm_proj"))
+      .withColumn("ratio",
+        when(col("norm_orig") > 0,
+          round(col("norm_proj") / col("norm_orig"), 6)))
+      .orderBy("vec_id")
+  }
+
   /** Driver-side twin of one [[lshBuckets]] bit — identical fixed-point op
     * sequence, so a collected query vector hashes to the same bucket the
     * distributed projection assigns. */

@@ -771,6 +771,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("JL projection: one-hot ratio exactly 1, fixture ratios concentrate") {
+    import spark.implicits._
+    // a one-hot vector projects to (±1)·x in every output dim, so the
+    // scaled projected norm equals the original norm EXACTLY
+    val oneHot = Seq((1L, Array.tabulate(64)(i => if (i == 7) 1.0f else 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = graft.sim.VectorOps.randomProjectionReport(oneHot).collect()(0)
+    assert(r1.getDouble(2) == 1.0 && r1.getDouble(3) == 1.0 &&
+      r1.getDouble(4) == 1.0, r1)
+    // fixture: ratios concentrate around 1 (JL with d'=16) and the report
+    // is partitioning-invariant (fixed-point sums)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rep = graft.sim.VectorOps.randomProjectionReport(emb)
+    val ratios = rep.collect().map(_.getDouble(4))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.15, s"mean ratio $mean")
+    assert(ratios.forall(r => r > 0.3 && r < 2.5),
+      s"outlier ratio: ${ratios.min} .. ${ratios.max}")
+    val rep2 = graft.sim.VectorOps.randomProjectionReport(emb.repartition(13))
+      .collect().toSeq
+    assert(rep2 == rep.collect().toSeq)
+  }
+
   test("hybrid RRF: scores reconstruct from ranks, order holds, no 1-part window") {
     val df = graft.queries.Extensions.queries("sim_hybrid_rrf")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
