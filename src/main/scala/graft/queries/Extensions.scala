@@ -1313,6 +1313,80 @@ object Extensions {
       Multimodal.audioFingerprints(
         Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
 
+  /** Cohen's kappa between two independent document-quality labelers —
+    * the inter-rater-agreement screen a labeling pipeline runs before
+    * trusting any single heuristic: rater A = the composite quality score
+    * at its 0.5 midpoint, rater B = "not repetitive" (duplicate-token
+    * fraction ≤ 0.2). κ = (p_o − p_e)/(1 − p_e) corrects raw agreement
+    * for chance; both raters derive from integer counts and shared float
+    * expression trees already proven hash-exact (text_quality /
+    * text_repetition), so the 2×2 table and κ are bit-identical across
+    * engines. One corpus scan, one 4-counter aggregate — no joins, no
+    * windows. Cross products go through DECIMAL(38,0) so p_e stays exact
+    * past the Long range at 100 TB row counts. */
+  private val qualityKappa: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val a = TextOps.qualityScore(col("text"), col("toks")) >= 0.5
+    val b = (size(col("toks")) - size(array_distinct(col("toks"))))
+      .cast("double") / size(col("toks")) <= 0.2
+    val cnt = base.select(a.as("a"), b.as("b")).agg(
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val nd = n.cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nd
+    val pe = (dec(col("n11") + col("n10")) * dec(col("n11") + col("n01")) +
+        dec(col("n01") + col("n00")) * dec(col("n10") + col("n00")))
+      .cast("double") / (nd * nd)
+    cnt.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  private val qualityKappaSql =
+    s"""WITH f AS (
+       |  SELECT text, $toksSql AS l FROM documents WHERE len($toksSql) > 0
+       |), r AS (
+       |  SELECT ($qualityScalarSql) >= 0.5e0 AS a,
+       |    (CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l))
+       |      <= 0.2e0 AS b
+       |  FROM f
+       |), c AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM r
+       |)
+       |SELECT n11, n10, n01, n00,
+       |  ROUND((n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS po,
+       |  ROUND(CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+       |      AS DOUBLE)
+       |    / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+       |       * CAST(n11 + n10 + n01 + n00 AS DOUBLE)), 6) AS pe,
+       |  CASE WHEN CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+       |        AS DOUBLE)
+       |      / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+       |         * CAST(n11 + n10 + n01 + n00 AS DOUBLE)) < 1.0e0 THEN
+       |    ROUND(((n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+       |      - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+       |          AS DOUBLE)
+       |        / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+       |           * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))
+       |      / (1.0e0 - CAST((n11 + n10) * (n11 + n01)
+       |            + (n01 + n00) * (n10 + n00) AS DOUBLE)
+       |          / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+       |             * CAST(n11 + n10 + n01 + n00 AS DOUBLE))), 6)
+       |  END AS kappa
+       |FROM c""".stripMargin
+
   /** JL random-projection norm-preservation report
     * ([[VectorOps.randomProjectionReport]]): 64-d → 16-d with the md5 ±1
     * sign matrix; hash-exact because every cross-element sum is
@@ -2444,6 +2518,7 @@ object Extensions {
     "mm_video_fhash"      -> mmVideoFhash,
     "mm_video_pairs"      -> mmVideoPairs,
     "emb_rand_proj"       -> embRandProj,
+    "text_quality_kappa"  -> qualityKappa,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2495,6 +2570,7 @@ object Extensions {
     "sim_cosine_topk"     -> simTopKSql,
     "sim_hybrid_rrf"      -> hybridRrfSql,
     "emb_rand_proj"       -> embRandProjSql,
+    "text_quality_kappa"  -> qualityKappaSql,
     "sim_sq_topk"         -> simSqTopKSql,
     "sim_silhouette"      -> simSilhouetteSql,
     "sim_ann_topk"        -> simAnnTopKSql,

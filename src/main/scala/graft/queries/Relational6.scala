@@ -657,6 +657,78 @@ object Relational6 {
       |  ROUND(CAST(fx AS DOUBLE) / 1.0e12, 6) AS tfidf
       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Population-stability-index drift screen — the production data-drift
+    * monitor: split the event stream at the midpoint of its observed time
+    * range, bucket `value` into 10 equal-width bins over the observed
+    * range, and compute PSI = Σ (p_i − q_i)·ln(p_i/q_i) between the
+    * reference (first half) and current (second half) windows with add-one
+    * smoothing. (Common operating bands: PSI < 0.1 stable, > 0.25 drifted.)
+    * Distributed shape: one tiny min/max agg broadcast back, one bucket
+    * groupBy (≤ 10 groups), one scalar agg — two scans, no window, no
+    * driver state beyond the 1-row stats frame. Parity: counts are exact
+    * integers, each bucket's PSI term is quantized to round(term·1e12) so
+    * the 10-term sum is exact, and the smoothed proportions are the
+    * identical IEEE expression in both engines. */
+  private[graft] def psiOf(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("ts"), col("value"))
+    val stats = ev.agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1"),
+      min("value").as("v0"), max("value").as("v1"))
+    val e = ev.crossJoin(broadcast(stats))
+    val bucket = when(col("v1") === col("v0"), lit(0L)).otherwise(
+      least(floor((col("value") - col("v0")) /
+        ((col("v1") - col("v0")) / lit(10.0))), lit(9.0)).cast("long"))
+    val g = e.select(bucket.as("bucket"),
+        (unix_micros(col("ts")) <= expr("(t0 + t1) DIV 2")).as("is_ref"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val tot = g.agg(sum("cr").as("nr"), sum("cc").as("nc"))
+    val p = (col("cr") + lit(1L)) / (col("nr") + lit(10.0))
+    val q = (col("cc") + lit(1L)) / (col("nc") + lit(10.0))
+    g.crossJoin(broadcast(tot))
+      .select(round((p - q) * log(p / q) * lit(1e12), 0).cast("long")
+          .as("fx"),
+        col("nr"), col("nc"))
+      .groupBy("nr", "nc")
+      .agg(round(sum(col("fx")).cast("double") / lit(1e12), 6).as("psi"))
+      .select(col("psi"), col("nr").as("n_ref"), col("nc").as("n_cur"))
+  }
+
+  private val psiDrift: Q = (s, dir) => psiOf(Tables.events(s, dir))
+
+  private val psiDriftSql =
+    """WITH st AS (
+      |  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1,
+      |    MIN(value) AS v0, MAX(value) AS v1
+      |  FROM events
+      |), b AS (
+      |  SELECT CASE WHEN v1 = v0 THEN 0 ELSE
+      |      CAST(LEAST(FLOOR((value - v0) / ((v1 - v0) / 10.0e0)), 9.0e0)
+      |        AS BIGINT) END AS bucket,
+      |    epoch_us(ts) <= (t0 + t1) // 2 AS is_ref
+      |  FROM events, st
+      |), g AS (
+      |  SELECT bucket,
+      |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+      |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+      |  FROM b GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc
+      |  FROM g
+      |), terms AS (
+      |  SELECT CAST(ROUND(
+      |      ((cr + 1) / (nr + 10.0e0) - (cc + 1) / (nc + 10.0e0))
+      |      * LN(((cr + 1) / (nr + 10.0e0)) / ((cc + 1) / (nc + 10.0e0)))
+      |      * 1.0e12, 0) AS BIGINT) AS fx,
+      |    nr, nc
+      |  FROM g, t
+      |)
+      |SELECT ROUND(CAST(SUM(fx) AS DOUBLE) / 1.0e12, 6) AS psi,
+      |  nr AS n_ref, nc AS n_cur
+      |FROM terms GROUP BY 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -669,7 +741,8 @@ object Relational6 {
     "q_fk_orphans" -> fkOrphans,
     "text_heaps_law" -> heapsLaw,
     "text_feature_hash" -> featureHash,
-    "text_tfidf" -> tfidfKeywords)
+    "text_tfidf" -> tfidfKeywords,
+    "q_psi_drift" -> psiDrift)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -683,5 +756,6 @@ object Relational6 {
     "q_fk_orphans" -> fkOrphansSql,
     "text_heaps_law" -> heapsLawSql,
     "text_feature_hash" -> featureHashSql,
-    "text_tfidf" -> tfidfKeywordsSql)
+    "text_tfidf" -> tfidfKeywordsSql,
+    "q_psi_drift" -> psiDriftSql)
 }

@@ -835,6 +835,23 @@ class TextOpsSpec extends SparkSpec {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("quality kappa: reconstructs from the 2x2 table, bounded, invariant") {
+    val r = graft.queries.Extensions
+      .queries("text_quality_kappa")(spark, "/root/testdata/sf0.001")
+    val row = r.collect()(0)
+    val Seq(n11, n10, n01, n00) = (0 to 3).map(row.getLong)
+    val n = (n11 + n10 + n01 + n00).toDouble
+    assert(n > 0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    assert(row.getDouble(4) == r6(po) && row.getDouble(5) == r6(pe), row)
+    val kappa = row.getDouble(6)
+    assert(kappa == r6((po - pe) / (1 - pe)))
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
   test("short docs yield no shingles, not an error") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     assert(df.select(TextOps.shingles(TextOps.tokens(col("text"))).as("s"))

@@ -388,4 +388,29 @@ class Round8EdgeSpec extends SparkSpec {
     // one row: the only index is the changepoint, deviation 0
     assert(r.length == 1 && r(0).getLong(2) == 1L && r(0).getDouble(4) == 0.0)
   }
+
+  test("PSI: identical halves ~0, planted location shift crosses 0.25") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 1000L)
+    // same uniform value pattern in both halves -> tiny PSI (smoothing
+    // keeps it nonzero but well under the 0.1 "stable" band)
+    val stable = (0L until 2000L).map(i => (ts(i), (i % 100).toDouble))
+      .toDF("ts", "value")
+    val p0 = graft.queries.Relational6.psiOf(stable).collect()(0)
+    assert(p0.getLong(1) > 0 && p0.getLong(2) > 0)
+    assert(math.abs(p0.getDouble(0)) < 0.01, p0)
+    // second half shifted +150: mass leaves every reference bucket ->
+    // PSI far beyond the 0.25 "drifted" threshold
+    val drift = (0L until 2000L).map { i =>
+      val v = (i % 100).toDouble + (if (i >= 1000L) 150.0 else 0.0)
+      (ts(i), v)
+    }.toDF("ts", "value")
+    val p1 = graft.queries.Relational6.psiOf(drift).collect()(0)
+    assert(p1.getDouble(0) > 0.25, p1)
+    // fixed-point terms -> partitioning-invariant
+    val p2 = graft.queries.Relational6.psiOf(drift.repartition(17))
+      .collect()(0)
+    assert(p1 == p2)
+  }
 }
