@@ -150,20 +150,30 @@ object HllFunctions {
     * is hash-exact under round(·, 2). */
   def estimateColumns(regs: Column, p: Int): (Column, Column, Column) = {
     import org.apache.spark.sql.functions._
-    val m = 1 << p
-    val md = m.toDouble
     val shiftBase = 61 - p
     val vEmpty = size(filter(regs, r => r === lit(0))).cast("long")
     val tHarmonic = aggregate(regs, lit(0L),
       (acc, r) => acc + call_function("shiftleft", lit(1L),
         lit(shiftBase) - r))
+    (vEmpty, tHarmonic, estimateFromCols(vEmpty, tHarmonic, p))
+  }
+
+  /** The estimate expression from already-aggregated (v_empty,
+    * t_harmonic) columns — the form a sketch CUBE consumer needs, where
+    * the register maxima were merged relationally (e.g. an hour→type
+    * roll-up) and never re-assembled into an array. Identical IEEE
+    * sequence to [[estimateColumns]]. */
+  def estimateFromCols(vEmpty: Column, tHarmonic: Column, p: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val m = 1 << p
+    val md = m.toDouble
+    val shiftBase = 61 - p
     val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(md)) *
       lit(md) * lit(md) * pow(lit(2.0), lit(shiftBase.toDouble)) /
       tHarmonic.cast("double")
     val lin = lit(md) * log(lit(md) / vEmpty.cast("double"))
-    val est = round(
+    round(
       when(raw <= lit(2.5 * m) && vEmpty > lit(0L), lin).otherwise(raw), 2)
-    (vEmpty, tHarmonic, est)
   }
 
   /** Driver-side estimate from a collected register array — the exact

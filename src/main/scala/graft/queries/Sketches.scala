@@ -516,7 +516,106 @@ object Sketches {
       block("'all:event_id'", "event_id", 8, "") + "\nORDER BY key"
   }
 
+  /** HLL sketch-cube roll-up — the pattern that makes sketches pay at
+    * 100 TB: materialize one small sketch per fine-grained cell (here
+    * (event_type, hour) over user_id, p=12 → 4 KiB each), then answer the
+    * coarser question (per-type distinct users) by MERGING cell sketches
+    * — never rescanning the fact table. The merge is relational: cells
+    * posexplode to (type, hour, register, rho), roll up by register-wise
+    * MAX, and (v_empty, t_harmonic) aggregate straight off the merged
+    * rows without re-assembling an array
+    * ([[graft.functions.HllFunctions.estimateFromCols]]). Because
+    * register max-merge is associative and order-free, the merged
+    * estimate is BIT-IDENTICAL to the direct whole-type sketch —
+    * `HllRollupSpec` asserts that equality, and the oracle replays the
+    * two-level max from raw values. Exact distinct rides along for the
+    * error column. */
+  private val hllRollup: Q = (s, dir) => {
+    import graft.functions.HllFunctions
+    HllFunctions.register(s)
+    val p = 12
+    val shiftBase = 61 - p
+    val ev = Tables.events(s, dir)
+    val cube = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(HllFunctions.hllSketch(col("user_id").cast("string"), p)
+        .as("regs"))
+    val nHours = cube.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"))
+    val merged = cube
+      .select(col("event_type"),
+        posexplode(col("regs")).as(Seq("pos", "reg")))
+      .groupBy("event_type", "pos").agg(max("reg").as("reg"))
+      .groupBy("event_type").agg(
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_empty"),
+        sum(call_function("shiftleft", lit(1L),
+          lit(shiftBase) - col("reg"))).as("t_harmonic"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    merged.join(nHours, "event_type").join(exact, "event_type")
+      .select(col("event_type"), col("n_hours"), col("v_empty"),
+        col("t_harmonic"),
+        HllFunctions.estimateFromCols(col("v_empty"), col("t_harmonic"), p)
+          .as("hll_est"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  private val hllRollupSql = {
+    val p = 12
+    val m = 1 << p
+    val wBits = 60 - p
+    val r = wBits + 1
+    val crossover = 2.5 * m
+    val h60 =
+      "CAST(list_sum(list_transform(range(1, 16), pp -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id" +
+        " AS VARCHAR)), CAST(pp AS INTEGER), 1)) - 1 AS BIGINT) " +
+        "* (1::BIGINT << ((15 - CAST(pp AS INTEGER)) * 4)))) AS BIGINT)"
+    s"""WITH raw AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hr, $h60 AS h60
+       |  FROM events
+       |), br AS (
+       |  SELECT event_type, hr, h60 >> $wBits AS bucket,
+       |    CASE WHEN (h60 & ((1::BIGINT << $wBits) - 1)) = 0 THEN $r
+       |      ELSE $wBits
+       |        - length(ltrim(bin(h60 & ((1::BIGINT << $wBits) - 1)), '0'))
+       |        + 1
+       |    END AS rho
+       |  FROM raw
+       |), cell AS (
+       |  SELECT event_type, hr, bucket, MAX(rho) AS mr
+       |  FROM br GROUP BY 1, 2, 3
+       |), mrg AS (
+       |  SELECT event_type, bucket, MAX(mr) AS mr FROM cell GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT event_type,
+       |    CAST($m - COUNT(*) AS BIGINT) AS v_empty,
+       |    CAST(SUM(1::BIGINT << ($r - mr))
+       |      + ($m - COUNT(*)) * (1::BIGINT << $r) AS BIGINT) AS t_harmonic
+       |  FROM mrg GROUP BY 1
+       |), nh AS (
+       |  SELECT event_type, CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_hours
+       |  FROM raw GROUP BY 1
+       |), ex AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT agg.event_type, n_hours, v_empty, t_harmonic,
+       |  ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0
+       |      * power(2.0, $r.0) / CAST(t_harmonic AS DOUBLE) <= $crossover
+       |      AND v_empty > 0
+       |    THEN $m.0 * ln($m.0 / CAST(v_empty AS DOUBLE))
+       |    ELSE 0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0
+       |      * power(2.0, $r.0) / CAST(t_harmonic AS DOUBLE) END, 2)
+       |    AS hll_est,
+       |  exact_distinct
+       |FROM agg JOIN nh USING (event_type) JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_hll_rollup" -> hllRollup,
     "q_kll_quantile" -> kllQuantile,
     "q_kll_grouped" -> kllGrouped,
     "text_cms_counts" -> cmsCounts,
@@ -525,6 +624,7 @@ object Sketches {
     "q_hll_distinct" -> hllDistinct)
 
   val oracleSql: Map[String, String] = Map(
+    "q_hll_rollup" -> hllRollupSql,
     "q_kll_quantile" -> kllQuantileSql,
     "q_kll_grouped" -> kllGroupedSql,
     "text_cms_counts" -> cmsCountsSql,

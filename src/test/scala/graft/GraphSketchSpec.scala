@@ -354,4 +354,32 @@ class HllSketchSpec extends SparkSpec {
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("HLL cube roll-up: merged hour sketches == the direct per-type sketch") {
+    import org.apache.spark.sql.functions._
+    HllFunctions.register(spark)
+    val p = 12
+    val dir = "/root/testdata/sf0.001"
+    val rollup = graft.queries.Sketches.queries("q_hll_rollup")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    // direct whole-type sketch, no hour level at all
+    val ev = graft.queries.Tables.events(spark, dir)
+    val direct = ev.groupBy("event_type")
+      .agg(HllFunctions.hllSketch(col("user_id").cast("string"), p)
+        .as("regs"))
+    val (v, t, est) = HllFunctions.estimateColumns(col("regs"), p)
+    val directM = direct.select(col("event_type"), v, t, est).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(rollup.keySet == directM.keySet)
+    rollup.foreach { case (k, (ve, th, e, exact)) =>
+      // associative order-free max-merge -> bit-identical registers
+      assert((ve, th, e) == directM(k), s"$k: rollup != direct")
+      // ~1.6% standard error at p=12; allow 5 sigma
+      assert(math.abs(e - exact) <= math.max(3.0, exact * 0.08),
+        s"$k: est $e vs exact $exact")
+    }
+  }
 }
