@@ -729,6 +729,143 @@ object Relational6 {
       |  nr AS n_ref, nc AS n_cur
       |FROM terms GROUP BY 2, 3""".stripMargin
 
+  /** One BPE merge round over a (doc_id, pos, sym) symbol frame: count
+    * adjacent pairs, pick the most frequent (ties → lexicographic),
+    * merge its non-overlapping occurrences greedily left-to-right, and
+    * re-index. Greedy non-overlap is the only subtle part — when the top
+    * pair is (x, x), a run "x x x" must merge the FIRST two only — and
+    * is done relationally with the islands trick: candidate positions
+    * group into runs of consecutive pos (pos − row_number constant), and
+    * every odd-indexed candidate within its run merges. Everything is a
+    * doc-partitioned window or a pair-keyed aggregate; the top-1 cut is
+    * TakeOrdered; the pair table never leaves the cluster. Returns the
+    * round's summary (1 row) and the rebuilt frame. */
+  private def bpeMergeRound(seq: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val d = seq.withColumn("nxt", lead("sym", 1).over(w))
+    val top = d.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("s1"), col("s2")).limit(1)
+    val cand = d.crossJoin(broadcast(top))
+      .filter(col("sym") === col("s1") && col("nxt") === col("s2"))
+      .select(col("doc_id"), col("pos"))
+    val merges = cand
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("idx",
+        row_number().over(Window.partitionBy("doc_id", "grp")
+          .orderBy("pos")))
+      .filter(col("idx") % 2 === 1)
+      .select(col("doc_id"), col("pos"))
+    val consumed = merges.select(col("doc_id"), (col("pos") + 1).as("pos"))
+    val next = d
+      .join(merges.withColumn("m", lit(true)), Seq("doc_id", "pos"), "left")
+      .join(consumed.withColumn("x", lit(true)), Seq("doc_id", "pos"),
+        "left")
+      .filter(col("x").isNull)
+      .select(col("doc_id"), col("pos"),
+        when(col("m"), concat(col("sym"), lit(" "), col("nxt")))
+          .otherwise(col("sym")).as("sym0"))
+      .select(col("doc_id"), row_number().over(w).as("pos"),
+        col("sym0").as("sym"))
+      .localCheckpoint() // each round is read ~4× by the next; without
+                         // this the lineage re-executes multiplicatively
+    val stats = next.agg(countDistinct("sym").as("vocab_after"),
+      count(lit(1)).as("tokens_after"))
+    (top.crossJoin(stats), next)
+  }
+
+  /** Distributed BPE-style pair-merge training at token granularity —
+    * the merge loop every tokenizer (BPE/WordPiece) and word2vec's
+    * phrase detection run over a corpus, expressed as pure relational
+    * rounds so a 100 TB corpus trains its first merges in ordinary
+    * shuffles: each round is one pair-count aggregate (map-side
+    * combinable), a broadcast top-1, and doc-partitioned windows for the
+    * greedy rewrite. Emits the learned merge table with post-merge
+    * vocabulary/token counts per round. The oracle replays all three
+    * rounds as unrolled CTEs with ITS OWN window/anti-join strategy, so
+    * agreement checks the greedy-merge semantics, not the plan. */
+  private[graft] def bpeMergeRounds(docs: DataFrame,
+                                    rounds: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.text.TextOps.tokens(col("text")))
+        .as(Seq("pos", "sym")))
+    var seq = toks
+    val out = (1 to rounds).map { r =>
+      val (row, next) = bpeMergeRound(seq)
+      seq = next
+      row.select(lit(r).as("round"), col("s1"), col("s2"),
+        col("pair_count"), col("vocab_after"), col("tokens_after"))
+    }
+    out.reduce(_ unionByName _).orderBy("round")
+  }
+
+  private val bpeMerges: Q = (s, dir) =>
+    bpeMergeRounds(Tables.documents(s, dir), rounds = 3)
+
+  private val bpeMergesSql = {
+    def round(r: Int): String = {
+      val in = if (r == 1) "seq0" else s"seq${r - 1}"
+      s"""d$r AS (
+         |  SELECT doc_id, pos, sym,
+         |    LEAD(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM $in
+         |), top$r AS (
+         |  SELECT sym AS s1, nxt AS s2, COUNT(*) AS pair_count
+         |  FROM d$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY pair_count DESC, s1, s2 LIMIT 1
+         |), c$r AS (
+         |  SELECT d$r.doc_id, d$r.pos FROM d$r, top$r
+         |  WHERE d$r.sym = top$r.s1 AND d$r.nxt = top$r.s2
+         |), m$r AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos)
+         |        AS idx
+         |    FROM (
+         |      SELECT doc_id, pos,
+         |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+         |          AS grp
+         |      FROM c$r
+         |    )
+         |  ) WHERE idx % 2 = 1
+         |), seq$r AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         |    CASE WHEN m THEN sym || ' ' || nxt ELSE sym END AS sym
+         |  FROM (
+         |    SELECT d$r.doc_id, d$r.pos, d$r.sym, d$r.nxt,
+         |      EXISTS (SELECT 1 FROM m$r
+         |              WHERE m$r.doc_id = d$r.doc_id
+         |                AND m$r.pos = d$r.pos) AS m
+         |    FROM d$r
+         |    WHERE NOT EXISTS (SELECT 1 FROM m$r
+         |                      WHERE m$r.doc_id = d$r.doc_id
+         |                      AND m$r.pos = d$r.pos - 1)
+         |  )
+         |), st$r AS (
+         |  SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_after,
+         |    CAST(COUNT(*) AS BIGINT) AS tokens_after
+         |  FROM seq$r
+         |), row$r AS (
+         |  SELECT CAST($r AS INTEGER) AS round, s1, s2, pair_count,
+         |    vocab_after, tokens_after
+         |  FROM top$r, st$r
+         |)""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+       |    AS l
+       |  FROM documents
+       |), seq0 AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS sym
+       |  FROM toks
+       |), ${(1 to 3).map(round).mkString(", ")}
+       |SELECT * FROM row1 UNION ALL SELECT * FROM row2
+       |UNION ALL SELECT * FROM row3 ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -742,7 +879,8 @@ object Relational6 {
     "text_heaps_law" -> heapsLaw,
     "text_feature_hash" -> featureHash,
     "text_tfidf" -> tfidfKeywords,
-    "q_psi_drift" -> psiDrift)
+    "q_psi_drift" -> psiDrift,
+    "text_bpe_merges" -> bpeMerges)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -757,5 +895,6 @@ object Relational6 {
     "text_heaps_law" -> heapsLawSql,
     "text_feature_hash" -> featureHashSql,
     "text_tfidf" -> tfidfKeywordsSql,
-    "q_psi_drift" -> psiDriftSql)
+    "q_psi_drift" -> psiDriftSql,
+    "text_bpe_merges" -> bpeMergesSql)
 }

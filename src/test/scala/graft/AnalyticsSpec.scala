@@ -230,6 +230,25 @@ class AnalyticsSpec extends SparkSpec {
       (3L, 1, "durian", sc(1)), (3L, 2, "apple", 0.0)), got.toSeq)
   }
 
+  test("BPE merges: greedy non-overlap on runs, lexicographic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x x"),
+      (2L, "x x a b a b")).toDF("doc_id", "text")
+    val got = graft.queries.Relational6.bpeMergeRounds(docs, 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // r1: top (x,x)×5; run x·5 in doc1 merges greedily at positions 1,3
+    //     -> "x x|x x|x", doc2 -> "x x|a|b|a|b": 8 tokens, vocab 4
+    // r2: top (a,b)×2 -> doc2 "x x|a b|a b": 6 tokens, vocab 3
+    // r3: all pairs tie at 1 -> lexicographic min ("a b","a b") merges
+    //     -> doc2 "x x|a b a b": 5 tokens, vocab 3
+    assert(got.toSeq == Seq(
+      (1, "x", "x", 5L, 4L, 8L),
+      (2, "a", "b", 2L, 3L, 6L),
+      (3, "a b", "a b", 1L, 3L, 5L)), got.toSeq)
+  }
+
   test("SCD2 compaction keeps change rows and chains validity intervals") {
     val snaps = Seq(
       (1L, 1, Some(10.0)), (1L, 2, Some(10.0)), // no change -> collapsed
