@@ -743,7 +743,9 @@ object Relational6 {
   private def bpeMergeRound(seq: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val d = seq.withColumn("nxt", lead("sym", 1).over(w))
+    // the lead-augmented frame is read by the pair count, the candidate
+    // scan, and the rebuild — materialize its window sort once
+    val d = seq.withColumn("nxt", lead("sym", 1).over(w)).localCheckpoint()
     val top = d.filter(col("nxt").isNotNull)
       .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
       .agg(count(lit(1)).as("pair_count"))
@@ -769,8 +771,6 @@ object Relational6 {
           .otherwise(col("sym")).as("sym0"))
       .select(col("doc_id"), row_number().over(w).as("pos"),
         col("sym0").as("sym"))
-      .localCheckpoint() // each round is read ~4× by the next; without
-                         // this the lineage re-executes multiplicatively
     val stats = next.agg(countDistinct("sym").as("vocab_after"),
       count(lit(1)).as("tokens_after"))
     (top.crossJoin(stats), next)
