@@ -1313,6 +1313,109 @@ object Extensions {
       Multimodal.audioFingerprints(
         Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
 
+  /** Embedding centroid-drift screen — PSI's sibling for vector columns:
+    * split each label's vectors into two snapshots (even/odd vec_id — the
+    * stationary no-drift baseline; production feeds two ingestion dates)
+    * and report, per label, the exact L2 distance between the snapshot
+    * centroids (`mean_shift` — the drift statistic: an embedding-model
+    * regression or upstream content shift moves the mean, and under
+    * stationarity it concentrates near 0 at rate 1/√n), plus the
+    * centroid cosine and norm ratio as direction/scale diagnostics (on
+    * near-zero-mean corpora the cosine of two noise centroids is itself
+    * noisy — mean_shift is the decision signal, the cosine is context).
+    * Shape: one posexplode shuffle keyed (label, dim), one per-label
+    * aggregate. Parity: per-dim sums are fixed-point longs; cross terms
+    * go through DECIMAL(38,0) (s₁s₂ overflows Long at production
+    * snapshot sizes); the per-dim squared mean difference is quantized
+    * at 1e12 so the 64-term sum is exact. */
+  private[graft] def embDriftOf(emb: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        round(col("x") * lit(1e12), 0).cast("long").as("fx"))
+    val dims = v.groupBy("label", "i").agg(
+      sum(when(col("vec_id") % 2 === 0, col("fx")).otherwise(0L)).as("s1"),
+      sum(when(col("vec_id") % 2 === 1, col("fx")).otherwise(0L)).as("s2"))
+    val cnt = emb.groupBy("label").agg(
+      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+      sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+    // md = (µ1_i − µ2_i)·1e12 exactly (integer cross-difference over the
+    // exact count product); its square re-quantized at 1e12 per dim
+    val md = (dec(col("s1")) * col("n_new") - dec(col("s2")) * col("n_old"))
+      .cast("double") / (col("n_old") * col("n_new")).cast("double")
+    dims.join(cnt, "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        dec(col("s1")).as("s1"), dec(col("s2")).as("s2"),
+        round(md * md / lit(1e12), 0).cast("long").as("t"))
+      .groupBy("label", "n_old", "n_new").agg(
+        sum(col("s1") * col("s2")).as("dot"),
+        sum(col("s1") * col("s1")).as("q1"),
+        sum(col("s2") * col("s2")).as("q2"),
+        sum(col("t")).as("shift_fx"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(sqrt(col("shift_fx").cast("double") / lit(1e12)), 6)
+          .as("mean_shift"),
+        round(col("dot").cast("double") /
+          (sqrt(col("q1").cast("double")) * sqrt(col("q2").cast("double"))),
+          6).as("centroid_cosine"),
+        round((sqrt(col("q2").cast("double")) / col("n_new")) /
+          (sqrt(col("q1").cast("double")) / col("n_old")), 6)
+          .as("norm_ratio"))
+      .orderBy("label")
+  }
+
+  private val embDrift: Q = (s, dir) => embDriftOf(Tables.embeddings(s, dir))
+
+  private val embDriftSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e12, 0)
+      |      AS BIGINT) AS fx
+      |  FROM embeddings
+      |), dims AS (
+      |  SELECT label, i,
+      |    SUM(CASE WHEN vec_id % 2 = 0 THEN fx ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN vec_id % 2 = 1 THEN fx ELSE 0 END) AS s2
+      |  FROM v GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT label,
+      |    SUM(CAST(s1 AS HUGEINT) * s2) AS dot,
+      |    SUM(CAST(s1 AS HUGEINT) * s1) AS q1,
+      |    SUM(CAST(s2 AS HUGEINT) * s2) AS q2
+      |  FROM dims GROUP BY 1
+      |), cnt AS (
+      |  SELECT label,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_old,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new
+      |  FROM embeddings GROUP BY 1
+      |), sh AS (
+      |  SELECT dims.label,
+      |    CAST(SUM(CAST(ROUND(
+      |      (CAST(CAST(s1 AS HUGEINT) * n_new - CAST(s2 AS HUGEINT) * n_old
+      |         AS DOUBLE)
+      |       / CAST(n_old * n_new AS DOUBLE))
+      |      * (CAST(CAST(s1 AS HUGEINT) * n_new - CAST(s2 AS HUGEINT) * n_old
+      |           AS DOUBLE)
+      |         / CAST(n_old * n_new AS DOUBLE)) / 1e12, 0) AS BIGINT))
+      |      AS BIGINT) AS shift_fx
+      |  FROM dims JOIN cnt ON cnt.label = dims.label
+      |  GROUP BY 1
+      |)
+      |SELECT agg.label, n_old, n_new,
+      |  ROUND(SQRT(CAST(shift_fx AS DOUBLE) / 1e12), 6) AS mean_shift,
+      |  ROUND(CAST(dot AS DOUBLE)
+      |    / (SQRT(CAST(q1 AS DOUBLE)) * SQRT(CAST(q2 AS DOUBLE))), 6)
+      |    AS centroid_cosine,
+      |  ROUND((SQRT(CAST(q2 AS DOUBLE)) / n_new)
+      |    / (SQRT(CAST(q1 AS DOUBLE)) / n_old), 6) AS norm_ratio
+      |FROM agg JOIN cnt ON cnt.label = agg.label
+      |JOIN sh ON sh.label = agg.label
+      |ORDER BY agg.label""".stripMargin
+
   /** Cohen's kappa between two independent document-quality labelers —
     * the inter-rater-agreement screen a labeling pipeline runs before
     * trusting any single heuristic: rater A = the composite quality score
@@ -2519,6 +2622,7 @@ object Extensions {
     "mm_video_pairs"      -> mmVideoPairs,
     "emb_rand_proj"       -> embRandProj,
     "text_quality_kappa"  -> qualityKappa,
+    "emb_drift"           -> embDrift,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2571,6 +2675,7 @@ object Extensions {
     "sim_hybrid_rrf"      -> hybridRrfSql,
     "emb_rand_proj"       -> embRandProjSql,
     "text_quality_kappa"  -> qualityKappaSql,
+    "emb_drift"           -> embDriftSql,
     "sim_sq_topk"         -> simSqTopKSql,
     "sim_silhouette"      -> simSilhouetteSql,
     "sim_ann_topk"        -> simAnnTopKSql,

@@ -421,6 +421,63 @@ object StreamingEtl {
       }
   }
 
+  case class PsiUpdate(key: String, n_rows: Long, psi: Double)
+
+  /** Incrementally maintained PSI drift monitor — the streaming form of
+    * the batch `q_psi_drift` screen: the caller supplies a frozen
+    * per-key reference histogram (counts over 10 equal-width buckets of
+    * [v0, v1], profiled batch-side); state accumulates the live stream's
+    * bucket counts (10 longs per key) and each update re-emits
+    * PSI = Σ (p_i − q_i)·ln(p_i/q_i) with add-one smoothing over the rows
+    * seen so far. Bucket counting is additive, so after ANY micro-batch
+    * slicing the state equals the one-shot batch histogram and the
+    * emitted PSI is slicing-invariant; values past [v0, v1] clamp into
+    * the edge buckets (the reference was profiled on that range — mass
+    * beyond it IS drift and must land in a bucket, not vanish). */
+  def runningPsi(events: DataFrame, ref: Map[String, Array[Long]],
+                 v0: Double, v1: Double): Dataset[PsiUpdate] = {
+    require(v1 > v0, s"runningPsi needs v1 > v0, got [$v0, $v1]")
+    require(ref.values.forall(_.length == 10),
+      "runningPsi reference histograms must have 10 buckets")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def req(c: Column, msg: String) =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    val width = (v1 - v0) / 10.0
+    events.select(
+        req(col("event_type"),
+          "runningPsi requires non-null event_type").as("event_type"),
+        req(col("value"),
+          "runningPsi requires non-null value").cast("double").as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], PsiUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Array[Long]]) =>
+          val cur = state.getOption.getOrElse(new Array[Long](10))
+          rows.foreach { case (_, v) =>
+            val b = math.min(math.max(((v - v0) / width).toInt, 0), 9)
+            cur(b) += 1
+          }
+          state.update(cur)
+          val r = ref.getOrElse(key, new Array[Long](10))
+          val nr = r.sum.toDouble + 10.0
+          val nc = cur.sum.toDouble + 10.0
+          var fx = 0L
+          var i = 0
+          while (i < 10) {
+            val p = (r(i) + 1) / nr
+            val q = (cur(i) + 1) / nc
+            fx += BigDecimal((p - q) * math.log(p / q) * 1e12)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            i += 1
+          }
+          PsiUpdate(key, cur.sum,
+            BigDecimal(fx / 1e12)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
   case class HeavyHittersUpdate(key: String, n_rows: Long,
                                 items: Map[String, Long])
 

@@ -771,6 +771,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("embedding drift: planted mean shift raises mean_shift, invariant") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = graft.queries.Extensions.embDriftOf(emb).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    // plant: add +2.0 to dim 0 of every odd (="new") vector
+    val shifted = emb.select(col("vec_id"), col("label"),
+      when(col("vec_id") % 2 === 1,
+        concat(array((element_at(col("embedding"), 1) + lit(2.0f))),
+          slice(col("embedding"), 2, 63)))
+        .otherwise(col("embedding")).as("embedding"))
+    val drifted = graft.queries.Extensions.embDriftOf(shifted).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    base.keySet.foreach { l =>
+      // shift of 2.0 in one dim adds ~2.0 in quadrature over the noise
+      assert(drifted(l) > base(l) + 1.0, s"label $l: ${base(l)} -> ${drifted(l)}")
+    }
+    // fixed-point everywhere -> partitioning-invariant
+    val again = graft.queries.Extensions.embDriftOf(emb.repartition(11))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(again == base)
+  }
+
   test("JL projection: one-hot ratio exactly 1, fixture ratios concentrate") {
     import spark.implicits._
     // a one-hot vector projects to (±1)·x in every output dim, so the

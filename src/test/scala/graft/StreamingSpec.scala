@@ -836,6 +836,49 @@ class StreamingSpec extends SparkSpec {
     assert(runSliced(rows.grouped(53).toSeq, "cms_53") == batch)
   }
 
+  test("streaming PSI: slicing-invariant, stable ~0, planted drift fires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (v0, v1) = (0.0, 100.0)
+    // reference: uniform over buckets for type A; skewed low for type B
+    val ref = Map(
+      "A" -> Array.fill(10)(100L),
+      "B" -> Array(500L, 300L, 100L, 50L, 30L, 10L, 5L, 3L, 1L, 1L))
+    // stream: A stays uniform (stable); B arrives uniform (drifted)
+    val rows = (0 until 1000).map(i => ("A", (i % 100).toDouble)) ++
+      (0 until 1000).map(i => ("B", (i % 100).toDouble))
+    def run(slices: Seq[Seq[(String, Double)]], name: String) = {
+      val stream = MemoryStream[(String, Double)]
+      val out = StreamingEtl.runningPsi(
+        stream.toDS().toDF("event_type", "value"), ref, v0, v1)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, us) => k -> us.maxBy(_._2) }
+    }
+    val one = run(Seq(rows), "psi_one")
+    val sliced = run(rows.grouped(73).toSeq, "psi_73")
+    assert(one("A") == sliced("A") && one("B") == sliced("B"))
+    assert(one("A")._2 == 1000L && one("B")._2 == 1000L)
+    assert(math.abs(one("A")._3) < 0.01, one("A"))   // stable
+    assert(one("B")._3 > 0.25, one("B"))             // drifted
+    // independent recomputation of the emitted PSI for B
+    val cur = Array.fill(10)(100L)
+    val nr = ref("B").sum + 10.0; val nc = 1010.0
+    val fx = (0 until 10).map { i =>
+      val p = (ref("B")(i) + 1) / nr; val q = (cur(i) + 1) / nc
+      BigDecimal((p - q) * math.log(p / q) * 1e12)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val expect = BigDecimal(fx / 1e12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(one("B")._3 == expect)
+  }
+
   test("streaming Misra-Gries: MG guarantee holds for rows seen, any slicing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
