@@ -866,6 +866,71 @@ object Relational6 {
        |UNION ALL SELECT * FROM row3 ORDER BY round""".stripMargin
   }
 
+  /** Z-order layout screen — the multi-dimensional clustering decision
+    * table behind file skipping (Delta/Iceberg Z-ORDER): quantize
+    * (user_id, value) to 8 bits each over their observed ranges (1-row
+    * broadcast, count-bounded like every grid here), interleave the bits
+    * into a 16-bit Morton code, tile the corpus into 64 equal z-ranges,
+    * and emit each tile's zone map (min/max of BOTH dimensions) — the
+    * proof a scan planner needs that a z-sorted layout keeps every file
+    * narrow in every filter column at once, where a single-column sort
+    * leaves the other column full-range. Pure integer bit arithmetic
+    * after quantization; one groupBy(tile); hash-exact. */
+  private val zorderLayout: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val stats = ev.agg(min("user_id").as("u0"), max("user_id").as("u1"),
+      min("value").as("v0"), max("value").as("v1"))
+    val e = ev.crossJoin(broadcast(stats))
+    val qu = when(col("u1") === col("u0"), lit(0L)).otherwise(
+      expr("((user_id - u0) * 256) DIV (u1 - u0 + 1)"))
+    val qv = when(col("v1") === col("v0"), lit(0L)).otherwise(
+      least(floor((col("value") - col("v0")) /
+        ((col("v1") - col("v0")) / lit(256.0))), lit(255.0)).cast("long"))
+    val z = (0 until 8).map { b =>
+      (shiftright(col("qu"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))) +
+        (shiftright(col("qv"), b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)))
+    }.reduce(_ + _)
+    e.select(col("user_id"), qu.as("qu"), qv.as("qv"))
+      .select(col("user_id"), col("qu"), col("qv"),
+        z.as("z"))
+      .select(col("user_id"), col("qu"), col("qv"),
+        expr("z DIV 1024").as("tile"))
+      .groupBy("tile").agg(count(lit(1)).as("n_rows"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("qv").as("min_vq"), max("qv").as("max_vq"))
+      .orderBy("tile")
+  }
+
+  private val zorderLayoutSql =
+    """WITH st AS (
+      |  SELECT MIN(user_id) AS u0, MAX(user_id) AS u1,
+      |    MIN(value) AS v0, MAX(value) AS v1
+      |  FROM events
+      |), q AS (
+      |  SELECT user_id,
+      |    CASE WHEN u1 = u0 THEN 0
+      |      ELSE ((user_id - u0) * 256) // (u1 - u0 + 1) END AS qu,
+      |    CASE WHEN v1 = v0 THEN 0
+      |      ELSE CAST(LEAST(FLOOR((value - v0) / ((v1 - v0) / 256.0e0)),
+      |        255.0e0) AS BIGINT) END AS qv
+      |  FROM events, st
+      |), z AS (
+      |  SELECT user_id, qu, qv,
+      |    (((qu >> 0) & 1) * 2 + ((qv >> 0) & 1) * 1
+      |     + ((qu >> 1) & 1) * 8 + ((qv >> 1) & 1) * 4
+      |     + ((qu >> 2) & 1) * 32 + ((qv >> 2) & 1) * 16
+      |     + ((qu >> 3) & 1) * 128 + ((qv >> 3) & 1) * 64
+      |     + ((qu >> 4) & 1) * 512 + ((qv >> 4) & 1) * 256
+      |     + ((qu >> 5) & 1) * 2048 + ((qv >> 5) & 1) * 1024
+      |     + ((qu >> 6) & 1) * 8192 + ((qv >> 6) & 1) * 4096
+      |     + ((qu >> 7) & 1) * 32768 + ((qv >> 7) & 1) * 16384) AS zv
+      |  FROM q
+      |)
+      |SELECT zv // 1024 AS tile, COUNT(*) AS n_rows,
+      |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+      |  MIN(qv) AS min_vq, MAX(qv) AS max_vq
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -880,7 +945,8 @@ object Relational6 {
     "text_feature_hash" -> featureHash,
     "text_tfidf" -> tfidfKeywords,
     "q_psi_drift" -> psiDrift,
-    "text_bpe_merges" -> bpeMerges)
+    "text_bpe_merges" -> bpeMerges,
+    "q_zorder_layout" -> zorderLayout)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -896,5 +962,6 @@ object Relational6 {
     "text_feature_hash" -> featureHashSql,
     "text_tfidf" -> tfidfKeywordsSql,
     "q_psi_drift" -> psiDriftSql,
-    "text_bpe_merges" -> bpeMergesSql)
+    "text_bpe_merges" -> bpeMergesSql,
+    "q_zorder_layout" -> zorderLayoutSql)
 }

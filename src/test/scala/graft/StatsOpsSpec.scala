@@ -389,6 +389,35 @@ class Round8EdgeSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getLong(2) == 1L && r(0).getDouble(4) == 0.0)
   }
 
+  test("z-order tiles stay narrow in BOTH dims; 1-col sort does not") {
+    val dir = "/root/testdata/sf0.001"
+    val t = graft.queries.Relational6.queries("q_zorder_layout")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = t.map(_._1).sum
+    assert(total == Tables.events(spark, dir).count()) // row conservation
+    val uMin = t.map(_._2).min; val uMax = t.map(_._3).max
+    val uSpan = t.map(x => (x._3 - x._2).toDouble / (uMax - uMin)).sum / t.length
+    val vSpan = t.map(x => (x._5 - x._4).toDouble / 255.0).sum / t.length
+    assert(uSpan < 0.25, s"user span frac $uSpan")
+    assert(vSpan < 0.25, s"value span frac $vSpan")
+    // contrast: tiling the USER-sorted layout leaves value full-range —
+    // the single-column sort a z-order layout replaces
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+    val n = ev.count()
+    val ranked = ev.withColumn("rn",
+      row_number().over(Window.orderBy("user_id", "value")))
+    val blocks = ranked.withColumn("tile", expr(s"(rn - 1) * 50 DIV $n"))
+      .groupBy("tile").agg(min("value").as("v0"), max("value").as("v1"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val vAll = ev.agg(min("value"), max("value")).collect()(0)
+    val vRange = vAll.getDouble(1) - vAll.getDouble(0)
+    val naive = blocks.map(b => (b._2 - b._1) / vRange).sum / blocks.length
+    assert(naive > 2 * vSpan,
+      s"user-sorted value span $naive should dwarf z-order $vSpan")
+  }
+
   test("PSI: identical halves ~0, planted location shift crosses 0.25") {
     import spark.implicits._
     import java.sql.Timestamp
