@@ -931,6 +931,67 @@ object Relational6 {
       |  MIN(qv) AS min_vq, MAX(qv) AS max_vq
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Declarative data-expectations gate (the Great-Expectations /
+    * dbt-test idiom as ONE scan): each rule is a boolean violation
+    * predicate counted in the same aggregate pass; the output is the
+    * contract table a pipeline gates a load on — per rule, rows checked,
+    * violations, violation ppm (integer `div`, the FK-orphans parity
+    * trick), and the pass verdict against the rule's own ppm budget.
+    * Adding a rule costs one conditional SUM, never another scan. */
+  private val expectations: Q = (s, dir) => {
+    val rules: Seq[(String, Column, Long)] = Seq(
+      ("value_not_null", col("value").isNull, 0L),
+      ("value_non_negative", col("value").isNotNull && col("value") < 0, 0L),
+      ("value_below_1e6", col("value").isNotNull && col("value") >= 1e6, 0L),
+      ("known_event_type", !col("event_type").isin(
+        "click", "view", "purchase", "signup", "error"), 0L),
+      ("user_id_positive", col("user_id") <= 0, 0L),
+      ("ts_in_window",
+        col("ts") < to_timestamp(lit("2020-01-01 00:00:00")) ||
+          col("ts") >= to_timestamp(lit("2030-01-01 00:00:00")), 1000L))
+    val aggs = count(lit(1)).as("n") +:
+      rules.zipWithIndex.map { case ((_, bad, _), i) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"v$i") }
+    val m = Tables.events(s, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _, budget), i) =>
+      struct(lit(name).as("rule"), col("n").as("n_checked"),
+        col(s"v$i").as("n_violations"),
+        expr(s"v$i * 1000000 DIV n").as("violation_ppm"),
+        (expr(s"v$i * 1000000 DIV n") <= budget).as("passed"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy("rule")
+  }
+
+  private val expectationsSql =
+    """WITH m AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v0,
+      |    SUM(CASE WHEN value IS NOT NULL AND value < 0 THEN 1 ELSE 0 END)
+      |      AS v1,
+      |    SUM(CASE WHEN value IS NOT NULL AND value >= 1e6 THEN 1 ELSE 0 END)
+      |      AS v2,
+      |    SUM(CASE WHEN event_type NOT IN
+      |      ('click', 'view', 'purchase', 'signup', 'error')
+      |      THEN 1 ELSE 0 END) AS v3,
+      |    SUM(CASE WHEN user_id <= 0 THEN 1 ELSE 0 END) AS v4,
+      |    SUM(CASE WHEN ts < TIMESTAMP '2020-01-01 00:00:00'
+      |      OR ts >= TIMESTAMP '2030-01-01 00:00:00' THEN 1 ELSE 0 END)
+      |      AS v5
+      |  FROM events
+      |)
+      |SELECT rule, n AS n_checked, CAST(v AS BIGINT) AS n_violations,
+      |  CAST(v * 1000000 // n AS BIGINT) AS violation_ppm,
+      |  v * 1000000 // n <= budget AS passed
+      |FROM m, (VALUES
+      |  ('value_not_null', 0), ('value_non_negative', 1),
+      |  ('value_below_1e6', 2), ('known_event_type', 3),
+      |  ('user_id_positive', 4), ('ts_in_window', 5)) r(rule, idx),
+      |  LATERAL (SELECT CASE idx WHEN 0 THEN v0 WHEN 1 THEN v1
+      |    WHEN 2 THEN v2 WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END AS v,
+      |    CASE WHEN idx = 5 THEN 1000 ELSE 0 END AS budget)
+      |ORDER BY rule""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -946,7 +1007,8 @@ object Relational6 {
     "text_tfidf" -> tfidfKeywords,
     "q_psi_drift" -> psiDrift,
     "text_bpe_merges" -> bpeMerges,
-    "q_zorder_layout" -> zorderLayout)
+    "q_zorder_layout" -> zorderLayout,
+    "q_expectations" -> expectations)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -963,5 +1025,6 @@ object Relational6 {
     "text_tfidf" -> tfidfKeywordsSql,
     "q_psi_drift" -> psiDriftSql,
     "text_bpe_merges" -> bpeMergesSql,
-    "q_zorder_layout" -> zorderLayoutSql)
+    "q_zorder_layout" -> zorderLayoutSql,
+    "q_expectations" -> expectationsSql)
 }

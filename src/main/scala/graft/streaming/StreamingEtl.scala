@@ -478,6 +478,60 @@ object StreamingEtl {
       }
   }
 
+  case class WeightedSampleUpdate(key: String, n_rows: Long,
+                                  sample_ids: Seq[Long])
+
+  /** Incrementally maintained Efraimidis–Spirakis weighted sample — the
+    * streaming twin of the batch `q_weighted_sample`: per key, keep the
+    * k items with the SMALLEST A-ES keys round(−ln(u)/w, 6) (u the
+    * md5-seeded uniform of the item id — byte-identical derivation to
+    * the batch query, including the rounding that de-fragilizes the ln).
+    * A bounded min-k set is order-invariant and duplicate-stable, so
+    * after ANY micro-batch slicing the sample equals the one-shot batch
+    * sample EXACTLY — StreamingSpec asserts equality against the batch
+    * registry query, not a bound. State: k (key, id, value) triples. */
+  def runningWeightedSample(events: DataFrame,
+                            k: Int = 5): Dataset[WeightedSampleUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def req(c: Column, msg: String) =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    events.select(
+        req(col("event_type"),
+          "runningWeightedSample requires non-null event_type")
+          .as("event_type"),
+        req(col("event_id"), "runningWeightedSample requires non-null event_id")
+          .cast("long").as("event_id"),
+        req(col("value"), "runningWeightedSample requires non-null value")
+          .cast("double").as("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[(Double, Long)]), WeightedSampleUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Seq[(Double, Long)])]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, Seq.empty))
+          val buf = scala.collection.mutable.SortedSet[(Double, Long)](s0: _*)
+          var n = n0
+          rows.foreach { case (_, id, w) =>
+            if (w > 0) {
+              n += 1
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val hex = md.digest(s"ws|$id".getBytes("UTF-8"))
+                .map(b => f"${b & 0xff}%02x").mkString
+              val u = (java.lang.Long.parseLong(hex.substring(0, 8), 16)
+                .toDouble + 0.5) / 4294967296.0
+              val aes = BigDecimal(-math.log(u) / w)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              buf.add((aes, id))
+              if (buf.size > k) buf.remove(buf.last)
+            }
+          }
+          val kept = buf.toSeq
+          state.update((n, kept))
+          WeightedSampleUpdate(key, n, kept.map(_._2))
+      }
+  }
+
   case class HeavyHittersUpdate(key: String, n_rows: Long,
                                 items: Map[String, Long])
 

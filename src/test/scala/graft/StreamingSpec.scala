@@ -836,6 +836,44 @@ class StreamingSpec extends SparkSpec {
     assert(runSliced(rows.grouped(53).toSeq, "cms_53") == batch)
   }
 
+  test("streaming weighted sample == the batch A-ES sample, any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.Relational6
+      .queries("q_weighted_sample")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rs) => t -> rs.sortBy(_._2).map(_._3).toSeq }
+    val rows = graft.queries.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .orderBy("event_id")
+      .as[(String, Long, Double)].collect().toSeq
+    def run(slices: Seq[Seq[(String, Long, Double)]], name: String) = {
+      val stream = MemoryStream[(String, Long, Double)]
+      val out = StreamingEtl.runningWeightedSample(
+        stream.toDS().toDF("event_type", "event_id", "value"))
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        slices.foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        .groupBy(_._1)
+        .map { case (t, us) => t -> us.maxBy(_._2)._3.toSeq }
+    }
+    for ((slices, name) <- Seq(
+        (Seq(rows), "ws_one"), (rows.grouped(97).toSeq, "ws_97"))) {
+      val got = run(slices, name)
+      assert(got.keySet == batch.keySet, name)
+      got.foreach { case (t, ids) =>
+        assert(ids == batch(t), s"$name/$t: $ids vs ${batch(t)}")
+      }
+    }
+  }
+
   test("streaming PSI: slicing-invariant, stable ~0, planted drift fires") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
