@@ -992,6 +992,115 @@ object Relational6 {
       |    CASE WHEN idx = 5 THEN 1000 ELSE 0 END AS budget)
       |ORDER BY rule""".stripMargin
 
+  /** Composed repeated-passage graph pipeline — graph construction →
+    * community detection → labeling in ONE registry entry (the proof the
+    * graph and text families compose): nodes are 3-gram shingles, edges
+    * are shingle CONTINUATIONS (two overlapping shingles adjacent in a
+    * doc) repeated ≥ 2 times corpus-wide — the de Bruijn-style graph of
+    * the corpus's REPEATED passages, whose connected families are
+    * exactly the boilerplate/template clusters a dedup pipeline wants
+    * named. (A token-level co-occurrence graph is degenerate on this
+    * fixture — 30 tokens make a complete graph and one community, which
+    * the first cut of this query faithfully and uselessly reported.)
+    * Communities from 4 derandomized synchronous LPA rounds (most
+    * frequent neighbour label, ties → smallest — the
+    * `q_lpa_communities` contract; string labels order
+    * lexicographically in both engines); each community is labeled by
+    * its most frequent member shingle. Per round: one join + one count
+    * + one vertex-partitioned row_number — the PageRank iteration shape
+    * at any scale. */
+  private val tokenGraph: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(s, dir)
+      .select(graft.text.TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(graft.text.TextOps.ngrams(col("toks"), 3).as("s"))
+    val uc = sh.select(explode(col("s")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val edges = sh
+      .withColumn("h", slice(col("s"), lit(1), size(col("s")) - 1))
+      .withColumn("tl", slice(col("s"), lit(2), size(col("s")) - 1))
+      .select(explode(arrays_zip(col("h"), col("tl"))).as("pr"))
+      .select(col("pr.h").as("u"), col("pr.tl").as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("u", "v")
+    val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = nbrs.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    val w = Window.partitionBy("u").orderBy(desc("c"), col("lbl"))
+    for (_ <- 1 to 4) {
+      val pick = nbrs
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("u").as("id"), col("lbl").as("newLbl"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val wTop = Window.partitionBy("lbl").orderBy(desc("cu"), col("id"))
+    labels.join(uc.withColumnRenamed("w", "id"), "id")
+      .withColumn("rk", row_number().over(wTop))
+      .groupBy("lbl").agg(count(lit(1)).as("n_tokens"),
+        max(when(col("rk") === 1,
+          struct(col("id"), col("cu")))).as("top"))
+      .select(col("lbl").as("community"), col("n_tokens"),
+        col("top.id").as("top_token"), col("top.cu").as("top_count"))
+      .orderBy(desc("n_tokens"), col("community"))
+  }
+
+  private val tokenGraphSql = {
+    def round(i: Int) =
+      s"""c$i AS (
+         |  SELECT nb.u, l${i - 1}.lbl, COUNT(*) AS c
+         |  FROM nb JOIN l${i - 1} ON l${i - 1}.id = nb.v GROUP BY 1, 2
+         |), p$i AS (
+         |  SELECT u, lbl,
+         |    row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rk
+         |  FROM c$i
+         |), l$i AS (
+         |  SELECT l${i - 1}.id, COALESCE(p.lbl, l${i - 1}.lbl) AS lbl
+         |  FROM l${i - 1} LEFT JOIN (SELECT u, lbl FROM p$i WHERE rk = 1) p
+         |    ON p.u = l${i - 1}.id
+         |)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), shs AS (
+       |  SELECT list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS s
+       |  FROM t WHERE len(toks) >= 4
+       |), uc AS (
+       |  SELECT unnest(s) AS w FROM shs
+       |), ucc AS (
+       |  SELECT w, COUNT(*) AS cu FROM uc GROUP BY 1
+       |), big AS (
+       |  SELECT unnest(list_zip(s[1:len(s)-1], s[2:])) AS pr FROM shs
+       |), e AS (
+       |  SELECT pr[1] AS u, pr[2] AS v FROM big
+       |  WHERE pr[1] <> pr[2]
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |), nb AS (
+       |  SELECT DISTINCT u, v FROM
+       |    (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)
+       |), l0 AS (
+       |  SELECT DISTINCT u AS id, u AS lbl FROM nb
+       |), ${(1 to 4).map(round).mkString(", ")}, mem AS (
+       |  SELECT l4.id, l4.lbl, ucc.cu,
+       |    row_number() OVER (PARTITION BY l4.lbl
+       |                       ORDER BY ucc.cu DESC, l4.id) AS rk
+       |  FROM l4 JOIN ucc ON ucc.w = l4.id
+       |)
+       |SELECT lbl AS community, COUNT(*) AS n_tokens,
+       |  MIN(CASE WHEN rk = 1 THEN id END) AS top_token,
+       |  CAST(MIN(CASE WHEN rk = 1 THEN cu END) AS BIGINT) AS top_count
+       |FROM mem GROUP BY 1 ORDER BY n_tokens DESC, community""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -1008,7 +1117,8 @@ object Relational6 {
     "q_psi_drift" -> psiDrift,
     "text_bpe_merges" -> bpeMerges,
     "q_zorder_layout" -> zorderLayout,
-    "q_expectations" -> expectations)
+    "q_expectations" -> expectations,
+    "pipeline_passage_graph" -> tokenGraph)
 
   val oracleSql: Map[String, String] = Map(
     "q_bfs_reach" -> bfsReachSql,
@@ -1026,5 +1136,6 @@ object Relational6 {
     "q_psi_drift" -> psiDriftSql,
     "text_bpe_merges" -> bpeMergesSql,
     "q_zorder_layout" -> zorderLayoutSql,
-    "q_expectations" -> expectationsSql)
+    "q_expectations" -> expectationsSql,
+    "pipeline_passage_graph" -> tokenGraphSql)
 }
