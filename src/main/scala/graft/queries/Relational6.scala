@@ -1101,6 +1101,124 @@ object Relational6 {
        |FROM mem GROUP BY 1 ORDER BY n_tokens DESC, community""".stripMargin
   }
 
+  /** Poisson-bootstrap confidence interval for the per-type mean — THE
+    * bootstrap that works at 100 TB: classical resampling needs n draws
+    * per replicate (a shuffle per replicate); the Poisson bootstrap
+    * instead weights every row independently with w ~ Poisson(1) per
+    * replicate, so all B=32 replicates materialize in ONE explode + ONE
+    * aggregate pass, embarrassingly parallel. Weights come from an
+    * md5-seeded uniform pushed through the Poisson(1) inverse CDF as
+    * literal thresholds (deterministic and twin-computable — the
+    * `q_dp_counts` seeded-noise trick); per-replicate sums are
+    * fixed-point longs, and the 2.5%/97.5% envelope over the 32
+    * replicate means is the exact interpolated quantile over a 32-row
+    * per-type frame. */
+  private val bootstrapCi: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val B = 32
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long").as("vfx"))
+    val rep = ev.select(col("event_type"), col("event_id"), col("vfx"),
+      explode(sequence(lit(0), lit(B - 1))).as("b"))
+    val u = (conv(substring(md5(concat(lit("bs|"), col("b"),
+      lit("|"), col("event_id"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    // Poisson(1) inverse CDF, cumulative thresholds as double literals
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val means = rep.select(col("event_type"), col("b"), col("vfx"),
+        w.as("w"))
+      .groupBy("event_type", "b")
+      .agg(sum(col("w") * col("vfx")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("event_type"), col("b"),
+        (col("swx").cast("double") / col("sw") / lit(1e6)).as("m"))
+    // exact interpolated p2.5/p97.5 over the 32 replicate means per type
+    val wr = Window.partitionBy("event_type").orderBy("m", "b")
+    val ranked = means.withColumn("rk", row_number().over(wr))
+    def q(p: Double): Column = {
+      val pos = p * (B - 1) // 0-based interpolation position
+      val loIdx = math.floor(pos).toInt + 1
+      val frac = pos - math.floor(pos)
+      (max(when(col("rk") === loIdx, col("m"))) * (1.0 - frac) +
+        max(when(col("rk") === loIdx + 1, col("m"))) * frac)
+    }
+    val full = ev.groupBy("event_type")
+      .agg((sum("vfx").cast("double") / count(lit(1)) / lit(1e6))
+        .as("mean_value"))
+    ranked.groupBy("event_type")
+      .agg(round(q(0.025), 6).as("ci_lo"), round(q(0.975), 6).as("ci_hi"))
+      .join(full, "event_type")
+      .select(col("event_type"), round(col("mean_value"), 6)
+        .as("mean_value"), col("ci_lo"), col("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  private val bootstrapCiSql = {
+    val B = 32
+    def qsel(p: Double, alias: String): String = {
+      val pos = p * (B - 1)
+      val loIdx = math.floor(pos).toInt + 1
+      val frac = pos - math.floor(pos)
+      s"""ROUND(MAX(CASE WHEN rk = $loIdx THEN m END) * (1.0e0 - ${frac}e0)
+         |    + MAX(CASE WHEN rk = ${loIdx + 1} THEN m END) * ${frac}e0, 6)
+         |    AS $alias""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx
+       |  FROM events
+       |), rep AS (
+       |  SELECT event_type, event_id, vfx, unnest(range(0, $B)) AS b
+       |  FROM ev
+       |), wts AS (
+       |  SELECT event_type, b, vfx,
+       |    CASE WHEN u < 0.36787944117144233e0 THEN 0
+       |      WHEN u < 0.7357588823428847e0 THEN 1
+       |      WHEN u < 0.9196986029286058e0 THEN 2
+       |      WHEN u < 0.9810118431238462e0 THEN 3
+       |      WHEN u < 0.9963401531726563e0 THEN 4
+       |      WHEN u < 0.9994058151824183e0 THEN 5
+       |      ELSE 6 END AS w
+       |  FROM (
+       |    SELECT event_type, b, vfx,
+       |      (CAST(CAST(list_sum(list_transform(range(1, 9), pp ->
+       |        (strpos('0123456789abcdef',
+       |           substr(md5('bs|' || b || '|' || event_id),
+       |             CAST(pp AS INTEGER), 1)) - 1)
+       |        * power(16, 8 - pp))) AS BIGINT) AS DOUBLE) + 0.5e0)
+       |        / 4294967296.0e0 AS u
+       |    FROM rep
+       |  )
+       |), means AS (
+       |  SELECT event_type, b,
+       |    CAST(SUM(w * vfx) AS DOUBLE) / CAST(SUM(w) AS BIGINT) / 1e6 AS m
+       |  FROM wts GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, b, m,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rk
+       |  FROM means
+       |), ci AS (
+       |  SELECT event_type,
+       |    ${qsel(0.025, "ci_lo")},
+       |    ${qsel(0.975, "ci_hi")}
+       |  FROM ranked GROUP BY 1
+       |), fm AS (
+       |  SELECT event_type,
+       |    ROUND(CAST(SUM(vfx) AS DOUBLE) / COUNT(*) / 1e6, 6)
+       |      AS mean_value
+       |  FROM ev GROUP BY 1
+       |)
+       |SELECT ci.event_type, mean_value, ci_lo, ci_hi
+       |FROM ci JOIN fm ON fm.event_type = ci.event_type
+       |ORDER BY ci.event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bfs_reach" -> bfsReach,
     "q_kcore" -> kcoreHindex,
@@ -1118,6 +1236,7 @@ object Relational6 {
     "text_bpe_merges" -> bpeMerges,
     "q_zorder_layout" -> zorderLayout,
     "q_expectations" -> expectations,
+    "q_bootstrap_ci" -> bootstrapCi,
     "pipeline_passage_graph" -> tokenGraph)
 
   val oracleSql: Map[String, String] = Map(
@@ -1137,5 +1256,6 @@ object Relational6 {
     "text_bpe_merges" -> bpeMergesSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q_expectations" -> expectationsSql,
+    "q_bootstrap_ci" -> bootstrapCiSql,
     "pipeline_passage_graph" -> tokenGraphSql)
 }

@@ -389,6 +389,25 @@ class Round8EdgeSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getLong(2) == 1L && r(0).getDouble(4) == 0.0)
   }
 
+  test("poisson bootstrap: CI brackets the mean, shrinks at 10x rows") {
+    def cis(dir: String) = graft.queries.Relational6
+      .queries("q_bootstrap_ci")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val small = cis("/root/testdata/sf0.001")
+    small.foreach { case (t, (m, lo, hi)) =>
+      assert(lo < m && m < hi, s"$t: CI [$lo, $hi] misses mean $m")
+      assert(hi - lo < 30.0, s"$t: absurd width")
+    }
+    val big = cis("/root/testdata/sf0.01")
+    // ~10x rows -> ~1/sqrt(10) width; allow generous slack for 32 reps
+    val wS = small.map { case (_, (_, lo, hi)) => hi - lo }.sum / small.size
+    val wB = big.map { case (_, (_, lo, hi)) => hi - lo }.sum / big.size
+    assert(wB < wS * 0.7, s"width did not shrink: $wS -> $wB")
+    // deterministic: md5-seeded weights, fixed-point sums
+    assert(cis("/root/testdata/sf0.001") == small)
+  }
+
   test("z-order tiles stay narrow in BOTH dims; 1-col sort does not") {
     val dir = "/root/testdata/sf0.001"
     val t = graft.queries.Relational6.queries("q_zorder_layout")(spark, dir)
