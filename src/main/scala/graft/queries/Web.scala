@@ -181,13 +181,96 @@ object Web {
        |FROM d JOIN verdicts v USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Canonical-URL dedup — the crawl-frontier collapse every web corpus
+    * runs before fetch: the same resource arrives as host variants
+    * (www./cdn. prefixes) and tracking-parameter variants (utm_*); the
+    * canonical key is registrable domain + path + the SORTED non-tracking
+    * query params, and grouping on it collapses all variants. The fixture
+    * plants three variants per document (original, a www+utm_campaign
+    * share link, a cdn+utm_source feed link) that the canonicalizer must
+    * re-unite — `n_urls` is 3 for every group, `n_hosts` counts the
+    * surviving host spellings. Pure string/array expressions inside
+    * whole-stage codegen; one groupBy on the canonical key. */
+  private val canonicalDedup: Q = (s, dir) => {
+    val u = withUrl(Tables.documents(s, dir)).select(col("doc_id"), col("url"))
+    val sep = when(col("url").contains("?"), lit("&")).otherwise(lit("?"))
+    val hostless = regexp_extract(col("url"),
+      "^https://(?:www\\.|cdn\\.)?(.*)$", 1)
+    val variants = u.select(col("doc_id"), explode(array(
+      col("url"),
+      concat(lit("https://www."), hostless, sep, lit("utm_campaign=share")),
+      concat(lit("https://cdn."), hostless, sep, lit("utm_source=feed"))))
+      .as("vurl"))
+    val h = host(col("vurl"))
+    val path = regexp_extract(col("vurl"), "^https?://[^/?#]+([^?#]*)", 1)
+    val qs = regexp_extract(col("vurl"), "\\?([^#]*)", 1)
+    val keep = array_sort(filter(
+      when(qs === "", array().cast("array<string>")).otherwise(split(qs, "&")),
+      p => !p.startsWith("utm_")))
+    val canon = concat(registrableDomain(h), path,
+      when(array_join(keep, "&") === "", lit(""))
+        .otherwise(concat(lit("?"), array_join(keep, "&"))))
+    variants.select(col("doc_id"), col("vurl"), h.as("host"),
+        canon.as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy("canonical")
+  }
+
+  private val canonicalDedupSql =
+    s"""WITH $urlCteSql, vs AS (
+       |  SELECT doc_id, unnest([
+       |    url,
+       |    'https://www.' || regexp_extract(url,
+       |      '^https://(?:www\\.|cdn\\.)?(.*)$$', 1) ||
+       |      CASE WHEN contains(url, '?') THEN '&' ELSE '?' END ||
+       |      'utm_campaign=share',
+       |    'https://cdn.' || regexp_extract(url,
+       |      '^https://(?:www\\.|cdn\\.)?(.*)$$', 1) ||
+       |      CASE WHEN contains(url, '?') THEN '&' ELSE '?' END ||
+       |      'utm_source=feed']) AS vurl
+       |  FROM u
+       |), parts AS (
+       |  SELECT doc_id, vurl,
+       |    regexp_extract(vurl, '^https?://([^/:?#]+)', 1) AS host,
+       |    regexp_extract(vurl, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+       |    regexp_extract(vurl, '\\?([^#]*)', 1) AS qs
+       |  FROM vs
+       |), canon AS (
+       |  SELECT doc_id, vurl, host,
+       |    (CASE WHEN host LIKE '%.co.uk' THEN
+       |       string_split(host, '.')[-3] || '.' ||
+       |       string_split(host, '.')[-2] || '.' ||
+       |       string_split(host, '.')[-1]
+       |     ELSE
+       |       string_split(host, '.')[-2] || '.' ||
+       |       string_split(host, '.')[-1]
+       |     END) || path ||
+       |    CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canonical
+       |  FROM (
+       |    SELECT doc_id, vurl, host, path,
+       |      -- DuckDB array_to_string returns NULL (not '') on an empty
+       |      -- list, which would NULL out the whole canonical concat
+       |      COALESCE(array_to_string(list_sort(list_filter(
+       |        CASE WHEN qs = '' THEN [] ELSE string_split(qs, '&') END,
+       |        p -> NOT starts_with(p, 'utm_'))), '&'), '') AS kq
+       |    FROM parts
+       |  )
+       |)
+       |SELECT canonical, COUNT(*) AS n_urls,
+       |  COUNT(DISTINCT host) AS n_hosts
+       |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_domain_stats" -> domainStats,
     "text_blocklist_filter" -> blocklistFilter,
-    "text_domain_curation" -> domainCuration)
+    "text_domain_curation" -> domainCuration,
+    "web_canonical_dedup" -> canonicalDedup)
 
   val oracleSql: Map[String, String] = Map(
     "text_domain_stats" -> domainStatsSql,
     "text_blocklist_filter" -> blocklistFilterSql,
-    "text_domain_curation" -> domainCurationSql)
+    "text_domain_curation" -> domainCurationSql,
+    "web_canonical_dedup" -> canonicalDedupSql)
 }
