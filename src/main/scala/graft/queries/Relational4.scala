@@ -266,11 +266,60 @@ object Relational4 {
        |WHERE e.u IS NULL
        |ORDER BY agg.fx DESC, agg.u, agg.v LIMIT 100""".stripMargin
 
+  /** HITS hubs and authorities on the DIRECTED doc chain (u→u+1, u→u+2
+    * within each 50-block — [[docEdges]] without symmetrization), 3
+    * unrolled iterations via [[graft.analytics.Hits]]. Block sources
+    * (positions 0-1) have authority pulled only from upstream hubs;
+    * block sinks (positions 48-49) cite nothing and get hub 0 — the
+    * asymmetry PageRank's symmetrized chain can't express. The oracle
+    * unrolls the identical decimal-exact pull/normalize steps. */
+  private val hits: Q = (s, dir) => {
+    val edges = docEdges(s, dir)
+      .select(col("u").as("src"), col("v").as("dst"))
+    graft.analytics.Hits.run(edges, iters = 3)
+      .select(col("id").as("doc_id"), col("hub"), col("auth"))
+      .orderBy("doc_id")
+  }
+
+  private val hitsSql = {
+    // one decimal-exact pull along from→to over the previous score CTE,
+    // then L2-normalize by a 1-row scalar — mirrors Hits.pull bit-for-bit
+    def pull(prev: String, from: String, to: String, out: String) =
+      s"""r_$out AS (
+         |  SELECT n.id, COALESCE(s.raw, CAST(0 AS DOUBLE)) AS raw
+         |  FROM n LEFT JOIN (
+         |    SELECT ed.$to AS id,
+         |      CAST(SUM(CAST(p.s AS DECIMAL(38,12))) AS DOUBLE) AS raw
+         |    FROM ed JOIN $prev p ON ed.$from = p.id GROUP BY 1) s
+         |    ON n.id = s.id
+         |),
+         |$out AS (
+         |  SELECT id, raw / (SELECT sqrt(CAST(SUM(CAST(raw * raw
+         |    AS DECIMAL(38,12))) AS DOUBLE)) FROM r_$out) AS s
+         |  FROM r_$out
+         |)""".stripMargin
+    s"""WITH $docEdgesCte, ed AS (SELECT u AS src, v AS dst FROM e),
+       |n AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)
+       |), h0 AS (SELECT id, CAST(1 AS DOUBLE) AS s FROM n),
+       |${pull("h0", "src", "dst", "a1")},
+       |${pull("a1", "dst", "src", "h1")},
+       |${pull("h1", "src", "dst", "a2")},
+       |${pull("a2", "dst", "src", "h2")},
+       |${pull("h2", "src", "dst", "a3")},
+       |${pull("a3", "dst", "src", "h3")}
+       |SELECT n.id AS doc_id, h3.s AS hub, a3.s AS auth
+       |FROM n JOIN h3 ON h3.id = n.id JOIN a3 ON a3.id = n.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_triangles"         -> triangles,
     "q_lpa_communities"   -> lpaCommunities,
     "q_adamic_adar"       -> adamicAdar,
     "text_heavy_hitters"  -> heavyHitters,
+    "q_hits"              -> hits,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -278,5 +327,6 @@ object Relational4 {
     "q_lpa_communities"   -> lpaCommunitiesSql,
     "q_adamic_adar"       -> adamicAdarSql,
     "text_heavy_hitters"  -> heavyHittersSql,
+    "q_hits"              -> hitsSql,
   )
 }

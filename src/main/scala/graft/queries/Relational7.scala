@@ -1,0 +1,381 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 closing batch: MOSS-style winnowing fingerprints — the
+  * position-aware local fingerprint selection that powers plagiarism /
+  * shared-passage detection (Schleimer, Wilkerson, Aiken, "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003). The
+  * existing fingerprint family is either whole-document
+  * (`text_fingerprint` = one md5 per doc) or set-based
+  * (`dedup_minhash_sigs` = order-free shingle sketches); winnowing sits
+  * between: it selects a guaranteed-coverage SUBSET of k-gram hashes (at
+  * least one per window of w consecutive k-grams), so any shared run of
+  * ≥ w+k−1 tokens between two documents shares at least one selected
+  * fingerprint — a detection guarantee MinHash cannot give.
+  */
+object Relational7 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** k-gram width (tokens) and winnow window (k-grams). A match of
+    * ≥ WinnowW + WinnowK − 1 = 6 consecutive tokens is guaranteed to
+    * share a fingerprint. */
+  private val WinnowK = 3
+  private val WinnowW = 4
+
+  /** Position slots per document for the (hash, position) → single-long
+    * encoding; documents are capped at 2^20 k-grams (the fixture max is
+    * 97; production books are ~10^5 tokens — enforceeable upstream by
+    * the chunking op). */
+  private val PosSlots = 1 << 20 // 2^20
+
+  /** Robust-winnowing fingerprint selection, one row per SELECTED
+    * (doc, position, hash). The per-window argmin with the
+    * rightmost-on-tie rule runs as ONE rolling MIN over an encoded long:
+    * code = h·2^20 + (2^20−1−pos) — minimizing code minimizes the hash
+    * and, among equal hashes, maximizes the position (the MOSS tie rule).
+    * Decode is integer division/modulo; no struct-ordering semantics to
+    * keep in sync across engines. The window partitions by doc_id (docs
+    * are bounded, so no giant partition) and the k-gram hash is the first
+    * 9 md5 hex digits (36 bits) — the same cross-engine hash material as
+    * the MinHash family. */
+  private def winnowed(s: SparkSession, dir: String): DataFrame =
+    winnowedFrom(Tables.documents(s, dir))
+
+  /** Same selection over any (doc_id, text) frame — spec entry point for
+    * the coverage/guarantee properties on synthetic corpora. */
+  private[graft] def winnowedFrom(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+    val grams = d.select(col("doc_id"), posexplode(
+      when(size(col("toks")) >= WinnowK,
+        transform(sequence(lit(0), size(col("toks")) - WinnowK),
+          i => concat_ws(" ",
+            (0 until WinnowK).map(j => element_at(col("toks"), i + j + lit(1))): _*)))
+        .otherwise(array().cast("array<string>"))))
+    val h = conv(substring(md5(col("col")), 1, 9), 16, 10).cast("long")
+    val coded = grams.select(col("doc_id"), col("pos"),
+      (h * PosSlots + (lit(PosSlots - 1) - col("pos"))).as("code"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinnowW - 1), 0)
+    coded.withColumn("mc", min(col("code")).over(w))
+      .filter(col("pos") >= WinnowW - 1)
+      // integer div, NOT floor(/): a double quotient of a ~2^56 code is
+      // past the 53-bit mantissa and would round the decoded hash
+      .select(col("doc_id"),
+        expr(s"mc div $PosSlots").as("fp_hash"),
+        (lit(PosSlots - 1) - col("mc") % PosSlots).as("fp_pos"))
+      .distinct()
+  }
+
+  private val winnowedCteSql =
+    s"""d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+       |    AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+       |  FROM d, LATERAL unnest(range(1, CASE WHEN len(toks) >= $WinnowK
+       |    THEN len(toks) - $WinnowK + 2 ELSE 1 END)) AS u(i)
+       |), coded AS (
+       |  SELECT doc_id, pos,
+       |    CAST(('0x' || substr(md5(gram), 1, 9)) AS BIGINT) * $PosSlots
+       |      + (${PosSlots - 1} - pos) AS code
+       |  FROM g
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, mc // $PosSlots AS fp_hash,
+       |    ${PosSlots - 1} - (mc % $PosSlots) AS fp_pos
+       |  FROM (
+       |    SELECT doc_id, pos, MIN(code) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN ${WinnowW - 1} PRECEDING
+       |      AND CURRENT ROW) AS mc
+       |    FROM coded
+       |  ) WHERE pos >= ${WinnowW - 1}
+       |)""".stripMargin
+
+  /** Per-document winnowing report: k-gram count, selected fingerprint
+    * count, and selection density in ppm (expected ≈ 2/(w+1) for random
+    * hashes — the paper's bound; integer div keeps the hash gate exact).
+    * Sub-k-gram docs stay in the report with zeros. */
+  private val winnowing: Q = (s, dir) => {
+    val spine = Tables.documents(s, dir)
+      .select(col("doc_id"), greatest(
+        size(graft.text.TextOps.tokens(col("text"))) - (WinnowK - 1),
+        lit(0)).cast("long").as("n_grams"))
+    val fp = winnowed(s, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"))
+    spine.join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+      .withColumn("density_ppm",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("n_fp * 1000000 div n_grams")))
+      .orderBy("doc_id")
+  }
+
+  private val winnowingSql =
+    s"""WITH $winnowedCteSql, spine AS (
+       |  SELECT doc_id, CAST(GREATEST(len(toks) - ${WinnowK - 1}, 0)
+       |    AS BIGINT) AS n_grams
+       |  FROM d
+       |), fp AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY 1)
+       |SELECT spine.doc_id, spine.n_grams,
+       |  COALESCE(fp.n_fp, 0) AS n_fp,
+       |  CASE WHEN spine.n_grams = 0 THEN 0
+       |    ELSE (COALESCE(fp.n_fp, 0) * 1000000) // spine.n_grams
+       |  END AS density_ppm
+       |FROM spine LEFT JOIN fp ON fp.doc_id = spine.doc_id
+       |ORDER BY spine.doc_id""".stripMargin
+
+  /** Drop fingerprint hashes held by more than this many documents before
+    * pairing — the hot-bucket cap every banded-LSH query in the repo
+    * applies: a stop-phrase k-gram shared by half the corpus would
+    * otherwise contribute O(docs²) pair rows on its own, and carries no
+    * discriminative signal anyway (IDF logic). The cap test is a
+    * deterministic per-hash doc count, so both engines drop exactly the
+    * same buckets. */
+  private val WinnowPairCap = 8
+
+  /** Shared-passage candidate pairs: documents sharing ≥ 3 selected
+    * fingerprint hashes after the hot-hash cap — the MOSS match report.
+    * Join is bucketed by fp_hash (never all-pairs); per-bucket fan-out is
+    * ≤ Cap², so the pair stage is linear in the fingerprint count. */
+  private val winnowPairs: Q = (s, dir) => {
+    val byHash = winnowed(s, dir).select("doc_id", "fp_hash").distinct()
+    val cnt = byHash.groupBy("fp_hash").agg(count(lit(1)).as("nd"))
+    val kept = byHash.join(cnt.filter(col("nd") <= WinnowPairCap)
+      .select("fp_hash"), "fp_hash")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 3)
+      .orderBy(desc("shared_fp"), col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  private val winnowPairsSql =
+    s"""WITH $winnowedCteSql, bh AS (
+       |  SELECT DISTINCT doc_id, fp_hash FROM sel
+       |), kept AS (
+       |  SELECT doc_id, fp_hash FROM bh
+       |  WHERE fp_hash IN (SELECT fp_hash FROM bh GROUP BY 1
+       |    HAVING COUNT(*) <= $WinnowPairCap)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS shared_fp
+       |FROM kept a JOIN kept b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+       |ORDER BY shared_fp DESC, doc_a, doc_b LIMIT 100""".stripMargin
+
+  /** Positional phrase search — the inverted-index operator the text
+    * family lacked: BM25/TF-IDF treat documents as bags of words and
+    * cannot answer "which docs contain this exact 3-token phrase".
+    * The target phrase is selected in-query (the corpus's most frequent
+    * trigram, ties broken lexicographically) so the query is a pure
+    * function of the data at any scale factor.
+    *
+    * Scale shape is the production split: the TOP-phrase scan is a
+    * shuffle-free transform+explode count (map-side combinable); the
+    * SEARCH never joins the full postings list against itself — postings
+    * are first filtered to the phrase's three words against the 1-row
+    * broadcast (at 100 TB that predicate reaches the scan of a
+    * token-partitioned postings table), and only those survivors do the
+    * (doc, pos+1)/(doc, pos+2) adjacency equi-joins. */
+  private val phraseSearch: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+    val grams = d.select(explode(
+      when(size(col("toks")) >= 3,
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val top = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("gram")).limit(1)
+    val words = top.select(col("gram").as("phrase"),
+      element_at(split(col("gram"), " "), 1).as("w1"),
+      element_at(split(col("gram"), " "), 2).as("w2"),
+      element_at(split(col("gram"), " "), 3).as("w3"))
+    val posts = d.select(col("doc_id"), posexplode(col("toks")))
+      .withColumnRenamed("col", "token")
+      .crossJoin(broadcast(words))
+    val p1 = posts.filter(col("token") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("phrase"))
+    val p2 = posts.filter(col("token") === col("w2"))
+      .select(col("doc_id").as("d2"), col("pos").as("q2"))
+    val p3 = posts.filter(col("token") === col("w3"))
+      .select(col("doc_id").as("d3"), col("pos").as("q3"))
+    p1.join(p2, col("d2") === col("doc_id") && col("q2") === col("pos") + 1)
+      .join(p3, col("d3") === col("doc_id") && col("q3") === col("pos") + 2)
+      .groupBy("doc_id", "phrase").agg(count(lit(1)).as("n_occ"))
+      .orderBy("doc_id")
+  }
+
+  private val phraseSearchSql =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      |  FROM d, LATERAL unnest(range(1, CASE WHEN len(toks) >= 3
+      |    THEN len(toks) - 1 ELSE 1 END)) AS u(i)
+      |), top AS (
+      |  SELECT gram FROM (SELECT gram, COUNT(*) AS n FROM g GROUP BY 1)
+      |  ORDER BY n DESC, gram LIMIT 1
+      |), w AS (
+      |  SELECT gram AS phrase, string_split(gram, ' ')[1] AS w1,
+      |    string_split(gram, ' ')[2] AS w2, string_split(gram, ' ')[3] AS w3
+      |  FROM top
+      |), p AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS token
+      |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+      |)
+      |SELECT p1.doc_id, w.phrase, COUNT(*) AS n_occ
+      |FROM p p1 CROSS JOIN w
+      |JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      |  AND p2.token = w.w2
+      |JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+      |  AND p3.token = w.w3
+      |WHERE p1.token = w.w1
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
+    * balances relevance and diversity (Carbonell & Goldstein 1998). */
+  private val MmrLambda = 0.5
+  private val MmrCandidates = 20
+  private val MmrK = 5
+
+  /** Maximal-marginal-relevance diversified top-k — the retrieval
+    * diversification step the sim family lacked: cosine top-k returns
+    * near-duplicates of each other when the corpus has them; MMR greedily
+    * re-picks from the candidate pool penalizing similarity to what's
+    * already selected (Carbonell & Goldstein, SIGIR 1998).
+    *
+    * Scale shape is the standard recall-then-rerank architecture: the
+    * ONLY corpus-sized stage is the existing cosine top-k scan; the MMR
+    * stage operates on the bounded candidate pool (20 rows, 380 pair
+    * sims) and unrolls [[MmrK]] greedy steps as bounded joins — for a
+    * multi-query deployment every frame adds a qid key and the same
+    * steps run partitioned per query. All similarities ride the
+    * fixed-point dot (long ×1e12), so rel − λ·maxSim is the identical
+    * IEEE sequence in both engines and the greedy argmax (ties → lowest
+    * vec_id) picks identical chains. */
+  private val mmrTopK: Q = (s, dir) => {
+    import graft.sim.VectorOps
+    graft.functions.FixedDotFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cand = VectorOps.cosineTopK(Tables.embeddings(s, dir), 0L,
+        MmrCandidates + 1)
+      .filter(col("vec_id") =!= 0L) // drop the query's self-match
+      .withColumnRenamed("cosine", "rel")
+      .join(emb, "vec_id")
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .localCheckpoint(true) // bounded (20 rows); cut the scan lineage
+    val a = cand.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = cand.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val sims = a.join(b, col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        ((VectorOps.fixedDot(col("ea"), col("eb")).cast("double") / 1e12)
+          / (col("na") * col("nb"))).as("sim"))
+      .localCheckpoint(true) // 380 rows
+    val scores = cand.select("vec_id", "rel")
+    var selected = scores.orderBy(desc("rel"), col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1).as("step"), col("rel").as("mmr"))
+    for (t <- 2 to MmrK) {
+      val selIds = selected.select(col("vec_id").as("vb"))
+      val maxSim = sims.join(selIds, "vb")
+        .groupBy(col("va").as("vec_id")).agg(max(col("sim")).as("ms"))
+      val pick = scores.join(selected.select("vec_id"), Seq("vec_id"),
+          "left_anti")
+        .join(maxSim, "vec_id")
+        .select(col("vec_id"), (col("rel") - lit(MmrLambda) * col("ms"))
+          .as("mmr"))
+        .orderBy(desc("mmr"), col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(t).as("step"), col("mmr"))
+      selected = selected.union(pick)
+    }
+    selected.select(col("step"), col("vec_id"), col("mmr")).orderBy("step")
+  }
+
+  private val mmrTopKSql = {
+    // one greedy step: among unselected candidates, mmr = rel − λ·max sim
+    // to the selected set; argmax with the vec_id tie-break
+    def step(t: Int) = {
+      val prev = (1 until t).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""s$t AS (
+         |  SELECT c.vec_id, $t AS step,
+         |    c.rel - $MmrLambda * MAX(p.sim) AS mmr
+         |  FROM candf c JOIN pairs p ON p.va = c.vec_id
+         |    AND p.vb IN ($prev)
+         |  WHERE c.vec_id NOT IN ($prev)
+         |  GROUP BY c.vec_id, c.rel
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1
+         |)""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), q AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+       |nrm AS (
+       |  SELECT vec_id, SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0)
+       |    AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+       |  FROM v GROUP BY 1
+       |), cand AS (
+       |  SELECT d.vec_id,
+       |    (CAST(d.dot AS DOUBLE) / 1e12) / (nrm.nrm *
+       |      (SELECT nrm FROM nrm WHERE vec_id = 0)) AS rel
+       |  FROM (
+       |    SELECT v.vec_id, SUM(CAST(ROUND(v.x * q.qx * 1e12, 0)
+       |      AS BIGINT)) AS dot
+       |    FROM v JOIN q ON v.i = q.i GROUP BY 1) d
+       |  JOIN nrm ON nrm.vec_id = d.vec_id
+       |  ORDER BY rel DESC, d.vec_id LIMIT ${MmrCandidates + 1}
+       |), candf AS (SELECT * FROM cand WHERE vec_id <> 0),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    (CAST(SUM(CAST(ROUND(x1.x * x2.x * 1e12, 0) AS BIGINT))
+       |      AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) AS sim
+       |  FROM candf a JOIN candf b ON a.vec_id <> b.vec_id
+       |  JOIN v x1 ON x1.vec_id = a.vec_id
+       |  JOIN v x2 ON x2.vec_id = b.vec_id AND x2.i = x1.i
+       |  JOIN nrm na ON na.vec_id = a.vec_id
+       |  JOIN nrm nb ON nb.vec_id = b.vec_id
+       |  GROUP BY 1, 2, na.nrm, nb.nrm
+       |), s1 AS (
+       |  SELECT vec_id, 1 AS step, rel AS mmr FROM candf
+       |  ORDER BY rel DESC, vec_id LIMIT 1
+       |),
+       |${(2 to MmrK).map(step).mkString(",\n")}
+       |SELECT step, vec_id, mmr FROM (
+       |  ${(1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(
+            " UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_winnowing"     -> winnowing,
+    "text_winnow_pairs"  -> winnowPairs,
+    "text_phrase_search" -> phraseSearch,
+    "sim_mmr_topk"       -> mmrTopK,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_winnowing"     -> winnowingSql,
+    "text_winnow_pairs"  -> winnowPairsSql,
+    "text_phrase_search" -> phraseSearchSql,
+    "sim_mmr_topk"       -> mmrTopKSql,
+  )
+}

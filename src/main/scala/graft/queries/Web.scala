@@ -262,15 +262,105 @@ object Web {
        |  COUNT(DISTINCT host) AS n_hosts
        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Longest-prefix-match rule table — the robots.txt / URL-policy
+    * semantics flat blocklists can't express: a domain-level block can be
+    * overridden by a deeper section-level allow (and vice versa), and the
+    * DEEPEST matching rule wins, exactly like CIDR routing. Each doc's
+    * policy key is domain/s<section>/p/<doc_id> (section = doc_id % 4, a
+    * query-local deterministic path); its segment-prefix chain is bounded
+    * (≤ 4 rows per doc, exploded inline — never a string-prefix LIKE
+    * scan, which would false-hit "/s1" against "/s11"), the rule table
+    * broadcasts, and the per-doc winner is one max_by keyed on doc_id.
+    * Output attributes every doc to its winning rule ('(default)' when
+    * nothing matches). */
+  val PrefixRules: Seq[(String, String)] = Seq(
+    "src1-en.com"            -> "block",
+    "src1-en.com/s1"         -> "allow",  // section override of the block
+    "src3-de.co.uk"          -> "block",
+    "src3-de.co.uk/s2"       -> "allow",
+    "src3-de.co.uk/s2/p"     -> "block",  // deepest rule re-blocks
+    "src0-en.com/s0"         -> "block",
+    "src2-es.com/s3/p"       -> "block",
+    "src5-fr.co.uk"          -> "block",
+    "src7-zh.com/s2"         -> "block",
+    "src4-en.co.uk/s1/p"     -> "block")
+
+  private val prefixPolicy: Q = (s, dir) => {
+    import s.implicits._
+    val rules = PrefixRules.toDF("rule", "action")
+      .withColumn("depth", size(split(col("rule"), "/")))
+    val d = withUrl(Tables.documents(s, dir))
+      .select(col("doc_id"), registrableDomain(host(col("url"))).as("dom"),
+        concat(lit("s"), (col("doc_id") % 4).cast("string")).as("sec"))
+    val chain = d.select(col("doc_id"), posexplode(array(
+      col("dom"),
+      concat_ws("/", col("dom"), col("sec")),
+      concat_ws("/", col("dom"), col("sec"), lit("p")),
+      concat_ws("/", col("dom"), col("sec"), lit("p"),
+        col("doc_id").cast("string")))))
+      .select(col("doc_id"), col("col").as("prefix"))
+    val best = chain.join(broadcast(rules),
+        col("prefix") === col("rule"))
+      .groupBy("doc_id")
+      .agg(max_by(col("rule"), col("depth")).as("rule"),
+        max_by(col("action"), col("depth")).as("action"))
+    d.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(coalesce(col("rule"), lit("(default)")).as("rule"),
+        coalesce(col("action"), lit("allow")).as("action"))
+      .groupBy("rule", "action").agg(count(lit(1)).as("n_docs"))
+      .orderBy("rule")
+  }
+
+  private val prefixPolicySql = {
+    val vals = PrefixRules
+      .map { case (r, a) => s"('$r', '$a')" }.mkString(", ")
+    s"""WITH $urlCteSql, rules(rule, action) AS (VALUES $vals),
+       |rd AS (SELECT rule, action, len(string_split(rule, '/')) AS depth
+       |       FROM rules),
+       |d2 AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN host LIKE '%.co.uk' THEN
+       |       string_split(host, '.')[-3] || '.' ||
+       |       string_split(host, '.')[-2] || '.' ||
+       |       string_split(host, '.')[-1]
+       |     ELSE
+       |       string_split(host, '.')[-2] || '.' ||
+       |       string_split(host, '.')[-1]
+       |     END) AS dom,
+       |    's' || CAST(doc_id % 4 AS VARCHAR) AS sec
+       |  FROM (SELECT doc_id,
+       |          regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host
+       |        FROM u)
+       |), chain AS (
+       |  SELECT doc_id, unnest([
+       |    dom, dom || '/' || sec, dom || '/' || sec || '/p',
+       |    dom || '/' || sec || '/p/' || CAST(doc_id AS VARCHAR)])
+       |    AS prefix
+       |  FROM d2
+       |), best AS (
+       |  SELECT c.doc_id, arg_max(rd.rule, rd.depth) AS rule,
+       |    arg_max(rd.action, rd.depth) AS action
+       |  FROM chain c JOIN rd ON c.prefix = rd.rule
+       |  GROUP BY 1
+       |)
+       |SELECT COALESCE(best.rule, '(default)') AS rule,
+       |  COALESCE(best.action, 'allow') AS action,
+       |  COUNT(*) AS n_docs
+       |FROM d2 LEFT JOIN best ON best.doc_id = d2.doc_id
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "text_domain_stats" -> domainStats,
     "text_blocklist_filter" -> blocklistFilter,
     "text_domain_curation" -> domainCuration,
-    "web_canonical_dedup" -> canonicalDedup)
+    "web_canonical_dedup" -> canonicalDedup,
+    "web_prefix_policy" -> prefixPolicy)
 
   val oracleSql: Map[String, String] = Map(
     "text_domain_stats" -> domainStatsSql,
     "text_blocklist_filter" -> blocklistFilterSql,
     "text_domain_curation" -> domainCurationSql,
-    "web_canonical_dedup" -> canonicalDedupSql)
+    "web_canonical_dedup" -> canonicalDedupSql,
+    "web_prefix_policy" -> prefixPolicySql)
 }

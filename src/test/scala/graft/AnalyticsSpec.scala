@@ -186,6 +186,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(pr2 == pr) // dangling sum is decimal-exact too
   }
 
+  test("hits: hubs/authorities separate on a directed graph, unit L2 norm," +
+      " partition-invariant") {
+    // 1,2 cite both 10 and 11; 3 cites only 10. Citers are pure hubs
+    // (auth 0), cited are pure authorities (hub 0); 10 (3 citations, one
+    // from every hub) must out-rank 11, and 1,2 (who cite the stronger
+    // authority set) must out-rank 3.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+      .toDF("src", "dst")
+    val out = graft.analytics.Hits.run(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_)._2 == 0.0)) // never cited
+    assert(Seq(10L, 11L).forall(out(_)._1 == 0.0))   // cite nothing
+    assert(out(10L)._2 > out(11L)._2)
+    assert(out(1L)._1 > out(3L)._1 && out(1L)._1 == out(2L)._1)
+    // each half-step L2-normalizes
+    assert(math.abs(out.values.map(v => v._1 * v._1).sum - 1.0) < 1e-12)
+    assert(math.abs(out.values.map(v => v._2 * v._2).sum - 1.0) < 1e-12)
+    val out2 = graft.analytics.Hits.run(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out2 == out) // decimal-exact pulls -> bit-identical reshuffled
+  }
+
   test("adamic-adar: path pairs score 1/ln2, hubs above the cap drop out") {
     import spark.implicits._
     // path 1-2-3-4: the only common-neighbor non-edges are (1,3) via

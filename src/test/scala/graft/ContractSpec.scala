@@ -10,8 +10,9 @@ class ContractSpec extends SparkSpec {
   test("no key collisions across query modules") {
     val parts = Seq(Relational.queries, Relational2.queries,
       Relational3.queries, Relational4.queries, Relational5.queries,
-      Relational6.queries, Domain.queries, Extensions.queries,
-      Behavioral.queries, Sketches.queries, Web.queries)
+      Relational6.queries, Relational7.queries, Domain.queries,
+      Extensions.queries, Behavioral.queries, Sketches.queries,
+      Web.queries)
     assert(SparkEntry.queries.size == parts.map(_.size).sum,
       "a query name is duplicated across modules and got shadowed")
   }

@@ -460,6 +460,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-8 additions keep their scale shapes: broadcast rules/words," +
+      " doc-partitioned winnow window, no corpus NLJ") {
+    // prefix policy: the rule table must broadcast (never shuffle the
+    // corpus against a 10-row dimension) and the winner is a keyed agg
+    val pp = graft.queries.Web.queries("web_prefix_policy")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("BroadcastHashJoin"), pp)
+    assert(!pp.contains("CartesianProduct"), pp)
+    // phrase search: postings filter against the 1-row broadcast phrase
+    // before the adjacency joins; the trigram count is map-side partial
+    val ps = graft.queries.Relational7.queries("text_phrase_search")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(ps.contains("BroadcastExchange"), ps)
+    assert(ps.contains("partial_count"), ps)
+    // winnowing: the rolling min partitions by doc_id — a corpus-wide
+    // single-partition window would be the classic scale-killer
+    Seq("text_winnowing", "text_winnow_pairs").foreach { q =>
+      val wp = graft.queries.Relational7.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!wp.contains("Exchange SinglePartition"), s"$q:\n$wp")
+      assert(!wp.contains("CartesianProduct"), s"$q:\n$wp")
+    }
+  }
+
   test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     val ivf = graft.sim.VectorOps.ivfTopK(emb, 0L, 10)
