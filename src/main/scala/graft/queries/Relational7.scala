@@ -365,17 +365,210 @@ object Relational7 {
        |ORDER BY step""".stripMargin
   }
 
+  /** Permutation replicates. p-values resolve to multiples of
+    * 1/(B+1) = 1/100; the +1 numerator offset (Phipson & Smyth 2010)
+    * keeps p > 0 so the FDR compare never divides by zero. */
+  private val PermB = 99
+
+  /** Seeded permutation test per event type + Benjamini–Hochberg FDR
+    * across the family — the multiple-testing control the screen family
+    * (chi², KS, Mann–Whitney, PSI, CUSUM…) lacked: run m screens and at
+    * α=0.05 you expect m/20 false alarms; BH bounds the false-discovery
+    * RATE instead. Per type, H₀: morning (hour<12) and evening values are
+    * exchangeable; the statistic is |meanAM − meanPM|; the null is B=99
+    * seeded md5 re-labelings (i.i.d. with the observed AM fraction — the
+    * scalable approximation of a label permutation), giving the
+    * INTEGER-EXACT p = (1 + #{stat_b ≥ obs}) / (B+1). The BH step
+    * compares p₍ₖ₎ ≤ k·α/m entirely in cross-multiplied integers
+    * (p_num·m·20 ≤ k·p_den), so no float decision anywhere.
+    *
+    * Scale: the only heavy stage is one explode ×B with map-side
+    * combinable (type, b) partial sums — B is the cost lever, no
+    * per-replicate resort or shuffle of the raw rows; the BH frame is
+    * m rows (one per type) joined against a 1-row K. Sums ride
+    * DECIMAL(38,0) fixed-point (value×1e6), counts are longs, and the
+    * mean-difference doubles derive from identical integers in both
+    * engines. The m-row rank is a broadcast self-join, not a
+    * single-partition window. */
+  private val permutationFdr: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val Dec = DecimalType(38, 0)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(Dec))
+    val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      round(col("value") * 1e6, 0).cast("long").as("vfx"),
+      (hour(col("ts")) < 12).cast("int").as("ga"))
+    val tc = ev.groupBy("event_type").agg(
+      dsum(when(col("ga") === 1, col("vfx")).otherwise(0L)).as("sA"),
+      dsum(when(col("ga") === 0, col("vfx")).otherwise(0L)).as("sB"),
+      sum(col("ga").cast("long")).as("nA"),
+      count(lit(1)).as("n"))
+      .withColumn("nB", col("n") - col("nA"))
+      .withColumn("obs", when(col("nA") === 0 || col("nB") === 0, lit(0.0))
+        .otherwise(abs(col("sA").cast("double") / col("nA")
+          - col("sB").cast("double") / col("nB"))))
+    // 4 independent 32-bit draws per md5 (the MinHash hash-window trick),
+    // staged as TWO explodes so each digest is computed exactly once and
+    // no row carries a B-long array: explode the ⌈B/4⌉ digest groups,
+    // project the md5 as a plain attribute (Catalyst doesn't CSE inside
+    // HOF lambdas — an inline md5 would run once per window), then
+    // posexplode its four 8-hex windows. Replicate id b = 4g + w + 1.
+    val groups = (PermB + 3) / 4
+    val reps = ev.select(col("event_type"), col("event_id"), col("vfx"),
+        explode(sequence(lit(0), lit(groups - 1))).as("g"))
+      .withColumn("h", md5(concat(col("g").cast("string"), lit("|"),
+        col("event_id").cast("string"))))
+      .select(col("event_type"), col("vfx"), col("g"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          w => conv(col("h").substr(w * lit(8) + 1, lit(8)), 16, 10)
+            .cast("long"))).as(Seq("w", "u")))
+      .withColumn("b", col("g") * 4 + col("w") + 1)
+      .filter(col("b") <= PermB)
+      .join(broadcast(tc.select("event_type", "nA", "n")), "event_type")
+      .withColumn("ra", (col("u") * col("n") <
+        col("nA") * lit(4294967296L)).cast("int"))
+    // two-phase sums: primitive-long partials per (type, b, partition) —
+    // a DECIMAL(38) accumulator leaves the compact-long fast path and was
+    // the dominant cost of the 60M-row replicate aggregation — then a
+    // 495×parallelism-row decimal-exact final. Long partials are exact
+    // (≤ maxPartitionRows·2³³ ≪ 2⁶³); decimal finals make the TOTAL exact
+    // at any row count, so partitioning cannot change the result.
+    val part = reps.withColumn("pid", spark_partition_id())
+      .groupBy("event_type", "b", "pid").agg(
+        sum(when(col("ra") === 1, col("vfx")).otherwise(0L)).as("psA"),
+        sum(when(col("ra") === 0, col("vfx")).otherwise(0L)).as("psB"),
+        sum(col("ra").cast("long")).as("pnA"),
+        count(lit(1)).as("pn"))
+    val rstats = part.groupBy("event_type", "b").agg(
+      dsum(col("psA")).as("rsA"),
+      dsum(col("psB")).as("rsB"),
+      sum(col("pnA")).as("rnA"),
+      sum(col("pn")).as("rn"))
+      .withColumn("rnB", col("rn") - col("rnA"))
+      .withColumn("stat", when(col("rnA") === 0 || col("rnB") === 0,
+        lit(0.0)).otherwise(abs(col("rsA").cast("double") / col("rnA")
+          - col("rsB").cast("double") / col("rnB"))))
+    val p = rstats.join(broadcast(tc.select("event_type", "obs")),
+        "event_type")
+      .groupBy("event_type")
+      .agg((lit(1L) + sum(when(col("stat") >= col("obs"), 1L)
+        .otherwise(0L))).as("p_num"), max(col("obs")).as("obs_diff"))
+      .withColumn("p_den", lit(PermB + 1L))
+    bhReject(p, alphaNum = 1, alphaDen = 20)
+      .select(col("event_type"),
+        (col("obs_diff") / 1e6).as("obs_diff"), col("p_num"),
+        col("p_den"), col("k"), col("reject"))
+      .orderBy("event_type")
+  }
+
+  /** Benjamini–Hochberg step over an m-row frame of exact-fraction
+    * p-values (event_type, p_num, p_den, obs_diff): rank by (p_num,
+    * type) via a broadcast self-join — never a single-partition window —
+    * flag p₍ₖ₎ ≤ k·α/m as the all-integer cross-multiplication
+    * p_num·m·αDen ≤ k·p_den·αNum, and reject every rank at or below the
+    * LARGEST flagged rank (the BH step-up rule: a small rank whose own
+    * flag fails is still rejected when a larger flagged rank exists).
+    * Spec entry point ([[graft.FdrSpec]]). */
+  private[graft] def bhReject(p: DataFrame, alphaNum: Int,
+                              alphaDen: Int): DataFrame = {
+    val pr = p.select(col("event_type").as("t2"), col("p_num").as("pn2"))
+    val ranked = p.join(broadcast(pr),
+        col("pn2") < col("p_num") ||
+          (col("pn2") === col("p_num") && col("t2") <= col("event_type")),
+        "left")
+      .groupBy("event_type", "p_num", "p_den", "obs_diff")
+      .agg(count(col("t2")).as("k"))
+    val withM = ranked.crossJoin(broadcast(
+      ranked.agg(count(lit(1)).as("m"))))
+      .withColumn("flag", col("p_num") * col("m") * alphaDen <=
+        col("k") * col("p_den") * alphaNum)
+    val bigK = withM.agg(coalesce(max(when(col("flag"), col("k"))), lit(0L))
+      .as("bigk"))
+    withM.crossJoin(broadcast(bigK))
+      .withColumn("reject", col("k") <= col("bigk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_winnowing"     -> winnowing,
     "text_winnow_pairs"  -> winnowPairs,
     "text_phrase_search" -> phraseSearch,
     "sim_mmr_topk"       -> mmrTopK,
+    "q_permutation_fdr"  -> permutationFdr,
   )
+
+  private val permutationFdrSql =
+    s"""WITH base AS (
+       |  SELECT event_type, event_id,
+       |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx,
+       |    CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END AS ga
+       |  FROM events
+       |), tc AS (
+       |  SELECT event_type,
+       |    SUM(CASE WHEN ga = 1 THEN CAST(vfx AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sA,
+       |    SUM(CASE WHEN ga = 0 THEN CAST(vfx AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sB,
+       |    CAST(SUM(ga) AS BIGINT) AS nA, COUNT(*) AS n
+       |  FROM base GROUP BY 1
+       |), obs AS (
+       |  SELECT event_type, nA, n, n - nA AS nB,
+       |    CASE WHEN nA = 0 OR n - nA = 0 THEN 0.0
+       |      ELSE ABS(CAST(sA AS DOUBLE) / nA
+       |        - CAST(sB AS DOUBLE) / (n - nA)) END AS obs
+       |  FROM tc
+       |), reps AS (
+       |  SELECT b.event_type, r.b, b.vfx,
+       |    CASE WHEN CAST(('0x' || substr(
+       |        md5(CAST((r.b - 1) // 4 AS VARCHAR) || '|'
+       |          || CAST(b.event_id AS VARCHAR)),
+       |        ((r.b - 1) % 4) * 8 + 1, 8)) AS BIGINT)
+       |        * o.n < o.nA * 4294967296 THEN 1 ELSE 0 END AS ra
+       |  FROM base b
+       |  CROSS JOIN LATERAL unnest(range(1, ${PermB + 1})) AS r(b)
+       |  JOIN obs o ON o.event_type = b.event_type
+       |), rstats AS (
+       |  SELECT event_type, b,
+       |    SUM(CASE WHEN ra = 1 THEN CAST(vfx AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS rsA,
+       |    SUM(CASE WHEN ra = 0 THEN CAST(vfx AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS rsB,
+       |    CAST(SUM(ra) AS BIGINT) AS rnA, COUNT(*) AS rn
+       |  FROM reps GROUP BY 1, 2
+       |), rs AS (
+       |  SELECT event_type,
+       |    CASE WHEN rnA = 0 OR rn - rnA = 0 THEN 0.0
+       |      ELSE ABS(CAST(rsA AS DOUBLE) / rnA
+       |        - CAST(rsB AS DOUBLE) / (rn - rnA)) END AS stat
+       |  FROM rstats
+       |), p AS (
+       |  SELECT rs.event_type,
+       |    1 + SUM(CASE WHEN rs.stat >= o.obs THEN 1 ELSE 0 END) AS p_num,
+       |    CAST(${PermB + 1} AS BIGINT) AS p_den, MAX(o.obs) AS obs_diff
+       |  FROM rs JOIN obs o ON o.event_type = rs.event_type
+       |  GROUP BY 1
+       |), ranked AS (
+       |  SELECT a.event_type, a.obs_diff, CAST(a.p_num AS BIGINT) AS p_num,
+       |    a.p_den, COUNT(b.event_type) AS k
+       |  FROM p a LEFT JOIN p b ON b.p_num < a.p_num
+       |    OR (b.p_num = a.p_num AND b.event_type <= a.event_type)
+       |  GROUP BY 1, 2, 3, 4
+       |), mm AS (SELECT COUNT(*) AS m FROM ranked),
+       |flags AS (
+       |  SELECT ranked.*, (p_num * (SELECT m FROM mm) * 20 <= k * p_den)
+       |    AS flag
+       |  FROM ranked
+       |), bigk AS (
+       |  SELECT COALESCE(MAX(CASE WHEN flag THEN k END), 0) AS bigk
+       |  FROM flags
+       |)
+       |SELECT event_type, obs_diff / 1e6 AS obs_diff, p_num, p_den, k,
+       |  k <= (SELECT bigk FROM bigk) AS reject
+       |FROM flags ORDER BY event_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_winnowing"     -> winnowingSql,
     "text_winnow_pairs"  -> winnowPairsSql,
     "text_phrase_search" -> phraseSearchSql,
     "sim_mmr_topk"       -> mmrTopKSql,
+    "q_permutation_fdr"  -> permutationFdrSql,
   )
 }
