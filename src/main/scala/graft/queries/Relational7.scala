@@ -487,12 +487,118 @@ object Relational7 {
       .withColumn("reject", col("k") <= col("bigk"))
   }
 
+  /** Quantile normalization of the per-type value distributions onto the
+    * POOLED distribution — the rank-based feature transform (microarray
+    * lineage, standard ML feature prep): each row maps to its within-type
+    * percent rank p, then to the pooled distribution's interpolated
+    * quantile at p. After the transform every type has (up to rank
+    * granularity) the SAME distribution — the report shows the per-type
+    * means collapsing onto the pooled mean while the raw means differ.
+    *
+    * Scale shape: NO per-type or global rank window anywhere in the
+    * engine plan — both ranks come from [[DistributedRank]]'s two-phase
+    * histogram form (the per-type rank rides a composite
+    * typeIdx·nb+bucket key, so one hot type never funnels through one
+    * task); the quantile lookup is two keyed joins on the pooled rank.
+    * The oracle recomputes with plain SQL windows — a different
+    * evaluation strategy entirely, so agreement checks the rank
+    * arithmetic, not the plan. All inputs are fixed-point longs; the
+    * interpolation is the identical IEEE sequence in both engines. */
+  private val quantileNorm: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), round(col("value") * 1e6, 0).cast("long").as("vfx"))
+      .localCheckpoint(true) // scanned by 2 rank passes + the final agg
+    val r0 = ev.agg(min("vfx").as("mn"), max("vfx").as("mx")).collect()(0)
+    val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+    val nb = math.max(1, s.sparkContext.defaultParallelism * 4)
+    val width = math.max((mx - mn) / nb, 1L)
+    val bucket = least(expr(s"(vfx - $mn) div $width"), lit(nb - 1L))
+    val (pooled, nTot) = DistributedRank.withRank(ev, bucket,
+      Seq(col("vfx"), col("event_id")))
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val gi = element_at(typedlit(types.zipWithIndex.toMap),
+      col("event_type"))
+    val (gRanked, _) = DistributedRank.withRank(
+      ev.withColumn("gi", gi), gi * nb + bucket,
+      Seq(col("gi"), col("vfx"), col("event_id")))
+    val gStats = gRanked.groupBy(col("event_type").as("et"))
+      .agg(min("rank").as("st"), count(lit(1)).as("ng"))
+    val p = when(col("ng") === 1, lit(0.0))
+      .otherwise((col("rank") - col("st")).cast("double") / (col("ng") - 1))
+    val t = p * lit((nTot - 1).toDouble)
+    val iv = gRanked.join(broadcast(gStats),
+        col("et") === col("event_type"))
+      .select(col("event_type"), col("vfx"), t.as("t"),
+        (floor(t) + 1).as("lo"), (ceil(t) + 1).as("hi"))
+    val pv = pooled.select(col("rank"), col("vfx").as("pv"))
+    val tv = iv
+      .join(pv.withColumnRenamed("rank", "lo")
+        .withColumnRenamed("pv", "pvlo"), "lo")
+      .join(pv.withColumnRenamed("rank", "hi")
+        .withColumnRenamed("pv", "pvhi"), "hi")
+      .select(col("event_type"), col("vfx"),
+        (col("pvlo") + (col("t") - floor(col("t")))
+          * (col("pvhi") - col("pvlo"))).as("tv"))
+    tv.groupBy("event_type").agg(count(lit(1)).as("n"),
+        round(sum(col("vfx").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+          / count(lit(1)) / 1e6, 6).as("mean_raw"),
+        round(Num.dsum(col("tv"), 6) / count(lit(1)) / 1e6, 6)
+          .as("mean_qnorm"),
+        round(min(col("tv")) / 1e6, 6).as("min_qnorm"),
+        round(max(col("tv")) / 1e6, 6).as("max_qnorm"))
+      .orderBy("event_type")
+  }
+
+  private val quantileNormSql =
+    """WITH base AS (
+      |  SELECT event_type, event_id,
+      |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx
+      |  FROM events
+      |), nn AS (SELECT COUNT(*) AS n FROM base),
+      |pooled AS (
+      |  SELECT vfx, row_number() OVER (ORDER BY vfx, event_id) AS r
+      |  FROM base
+      |), g AS (
+      |  SELECT event_type, vfx,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY vfx, event_id) AS rg,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS ng
+      |  FROM base
+      |), tt AS (
+      |  SELECT event_type, vfx,
+      |    (CASE WHEN ng = 1 THEN 0.0
+      |      ELSE CAST(rg - 1 AS DOUBLE) / (ng - 1) END)
+      |      * ((SELECT n FROM nn) - 1) AS t
+      |  FROM g
+      |), iv AS (
+      |  SELECT event_type, vfx, t,
+      |    CAST(FLOOR(t) AS BIGINT) + 1 AS lo,
+      |    CAST(CEIL(t) AS BIGINT) + 1 AS hi
+      |  FROM tt
+      |), tv AS (
+      |  SELECT i.event_type, i.vfx,
+      |    pl.vfx + (i.t - FLOOR(i.t)) * (ph.vfx - pl.vfx) AS tv
+      |  FROM iv i JOIN pooled pl ON pl.r = i.lo
+      |  JOIN pooled ph ON ph.r = i.hi
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(vfx AS DECIMAL(38,0))) AS DOUBLE)
+      |    / COUNT(*) / 1e6, 6) AS mean_raw,
+      |  ROUND(CAST(SUM(CAST(tv AS DECIMAL(38,6))) AS DOUBLE)
+      |    / COUNT(*) / 1e6, 6) AS mean_qnorm,
+      |  ROUND(MIN(tv) / 1e6, 6) AS min_qnorm,
+      |  ROUND(MAX(tv) / 1e6, 6) AS max_qnorm
+      |FROM tv GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_winnowing"     -> winnowing,
     "text_winnow_pairs"  -> winnowPairs,
     "text_phrase_search" -> phraseSearch,
     "sim_mmr_topk"       -> mmrTopK,
     "q_permutation_fdr"  -> permutationFdr,
+    "q_quantile_norm"    -> quantileNorm,
   )
 
   private val permutationFdrSql =
@@ -570,5 +676,6 @@ object Relational7 {
     "text_phrase_search" -> phraseSearchSql,
     "sim_mmr_topk"       -> mmrTopKSql,
     "q_permutation_fdr"  -> permutationFdrSql,
+    "q_quantile_norm"    -> quantileNormSql,
   )
 }
