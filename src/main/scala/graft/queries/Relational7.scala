@@ -248,6 +248,85 @@ object Relational7 {
       |WHERE p1.token = w.w1
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Minimum shared fingerprints for a pair to get span evidence, and
+    * the island gap: two matched positions more than w+k−1 apart cannot
+    * belong to one contiguous shared passage. */
+  private val SpanMinShared = 10
+  private val SpanGap = WinnowW + WinnowK - 1
+
+  /** Matched-span evidence for strong winnowing pairs — the MOSS report
+    * step after [[winnowPairs]]: candidate pairs say "these documents
+    * share material", spans say WHERE. Matched fingerprint positions per
+    * pair are merged into islands (gap > w+k−1 starts a new span, since
+    * a longer gap cannot sit inside one contiguous shared passage);
+    * each span reports its position range in BOTH documents and its
+    * fingerprint count. Per-pair windows only — a pair's matched
+    * positions are bounded by the shorter document, so no hot partition
+    * at any corpus size. */
+  private val winnowSpans: Q = (s, dir) => {
+    val byHash = winnowed(s, dir)
+    val keptHashes = byHash.select("doc_id", "fp_hash").distinct()
+      .groupBy("fp_hash").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= WinnowPairCap).select("fp_hash")
+    val kept = byHash.join(keptHashes, "fp_hash")
+    val matches = kept.as("a").join(kept.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp_pos").as("pos_a"), col("b.fp_pos").as("pos_b"),
+        col("a.fp_hash").as("fp_hash"))
+    val strong = matches.groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("fp_hash")).as("shared"))
+      .filter(col("shared") >= SpanMinShared)
+      .select("doc_a", "doc_b")
+    val mw = Window.partitionBy("doc_a", "doc_b")
+      .orderBy("pos_a", "pos_b")
+    val spans = matches.join(strong, Seq("doc_a", "doc_b"))
+      .withColumn("brk", when(col("pos_a") -
+        lag("pos_a", 1).over(mw) > SpanGap, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        mw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_a", "doc_b", "island")
+      .agg(min("pos_a").as("a_start"), max("pos_a").as("a_end"),
+        min("pos_b").as("b_start"), max("pos_b").as("b_end"),
+        count(lit(1)).as("n_fp"))
+      .drop("island")
+    spans.orderBy("doc_a", "doc_b", "a_start", "b_start")
+  }
+
+  private val winnowSpansSql =
+    s"""WITH $winnowedCteSql, kepth AS (
+       |  SELECT fp_hash FROM (SELECT DISTINCT doc_id, fp_hash FROM sel)
+       |  GROUP BY 1 HAVING COUNT(*) <= $WinnowPairCap
+       |), kept AS (
+       |  SELECT doc_id, fp_hash, fp_pos FROM sel
+       |  WHERE fp_hash IN (SELECT fp_hash FROM kepth)
+       |), m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.fp_pos AS pos_a, b.fp_pos AS pos_b, a.fp_hash
+       |  FROM kept a JOIN kept b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |), strong AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, COUNT(DISTINCT fp_hash) AS shared
+       |    FROM m GROUP BY 1, 2)
+       |  WHERE shared >= $SpanMinShared
+       |), brk AS (
+       |  SELECT m.*, CASE WHEN pos_a - LAG(pos_a) OVER w > $SpanGap
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM m JOIN strong USING (doc_a, doc_b)
+       |  WINDOW w AS (PARTITION BY doc_a, doc_b ORDER BY pos_a, pos_b)
+       |), isl AS (
+       |  SELECT brk.*, SUM(brk) OVER (PARTITION BY doc_a, doc_b
+       |    ORDER BY pos_a, pos_b ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS island
+       |  FROM brk
+       |)
+       |SELECT doc_a, doc_b, MIN(pos_a) AS a_start, MAX(pos_a) AS a_end,
+       |  MIN(pos_b) AS b_start, MAX(pos_b) AS b_end, COUNT(*) AS n_fp
+       |FROM isl GROUP BY doc_a, doc_b, island
+       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -599,6 +678,7 @@ object Relational7 {
     "sim_mmr_topk"       -> mmrTopK,
     "q_permutation_fdr"  -> permutationFdr,
     "q_quantile_norm"    -> quantileNorm,
+    "text_winnow_spans"  -> winnowSpans,
   )
 
   private val permutationFdrSql =
@@ -677,5 +757,6 @@ object Relational7 {
     "sim_mmr_topk"       -> mmrTopKSql,
     "q_permutation_fdr"  -> permutationFdrSql,
     "q_quantile_norm"    -> quantileNormSql,
+    "text_winnow_spans"  -> winnowSpansSql,
   )
 }
