@@ -327,6 +327,80 @@ object Relational7 {
        |FROM isl GROUP BY doc_a, doc_b, island
        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
 
+  /** Snapshot diff — the table-version regression gate a pipeline runs
+    * after every backfill or code migration: given two versions of a
+    * keyed table, classify every key as added / deleted / changed /
+    * unchanged and attribute changes to columns. The "new" version here
+    * is a deterministic mutation of the events table (drop id%97=0,
+    * re-key id%89=0 as inserts past max id, bump value on id%13=0), so
+    * both engines diff the identical pair of versions; in production the
+    * two sides are two table snapshots. One full-outer join on the key —
+    * co-partitioned/bucketed snapshots make it exchange-free — and one
+    * hash agg; no row data leaves the executors, only the count matrix. */
+  private val snapshotDiff: Q = (s, dir) => {
+    val old = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val maxId = old.agg(max("event_id")).collect()(0).getLong(0)
+    val base = old.filter(col("event_id") % 97 =!= 0)
+    val moved = base.filter(col("event_id") % 89 === 0)
+      .select((col("event_id") + maxId + 1).as("event_id"),
+        col("event_type"), col("value"))
+    val bumped = base
+      .withColumn("value", when(col("event_id") % 13 === 0,
+        col("value") + 1.0).otherwise(col("value")))
+    val nw = bumped.unionByName(moved)
+    val o = old.select(col("event_id"), col("event_type").as("ot"),
+      col("value").as("ov"))
+    val n = nw.select(col("event_id"), col("event_type").as("nt"),
+      col("value").as("nv"))
+    val j = o.join(n, Seq("event_id"), "full_outer")
+      .withColumn("status",
+        when(col("ot").isNull, "added")
+          .when(col("nt").isNull, "deleted")
+          .when(col("ot") =!= col("nt") || col("ov") =!= col("nv"),
+            "changed")
+          .otherwise("unchanged"))
+    j.groupBy("status").agg(count(lit(1)).as("n"),
+        sum(when(col("status") === "changed" &&
+          col("ov") =!= col("nv"), 1L).otherwise(0L)).as("n_value_diff"),
+        sum(when(col("status") === "changed" &&
+          col("ot") =!= col("nt"), 1L).otherwise(0L)).as("n_type_diff"))
+      .orderBy("status")
+  }
+
+  private val snapshotDiffSql =
+    """WITH old AS (
+      |  SELECT event_id, event_type, value FROM events
+      |), mx AS (SELECT MAX(event_id) AS m FROM old),
+      |base AS (SELECT * FROM old WHERE event_id % 97 <> 0),
+      |moved AS (
+      |  SELECT event_id + (SELECT m FROM mx) + 1 AS event_id,
+      |    event_type, value
+      |  FROM base WHERE event_id % 89 = 0
+      |), bumped AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN value + 1.0 ELSE value END
+      |      AS value
+      |  FROM base
+      |), nw AS (SELECT * FROM bumped UNION ALL SELECT * FROM moved),
+      |j AS (
+      |  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+      |    o.event_type AS ot, o.value AS ov,
+      |    n.event_type AS nt, n.value AS nv,
+      |    CASE WHEN o.event_id IS NULL THEN 'added'
+      |      WHEN n.event_id IS NULL THEN 'deleted'
+      |      WHEN o.event_type <> n.event_type OR o.value <> n.value
+      |        THEN 'changed'
+      |      ELSE 'unchanged' END AS status
+      |  FROM old o FULL OUTER JOIN nw n ON n.event_id = o.event_id
+      |)
+      |SELECT status, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN status = 'changed' AND ov <> nv
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_value_diff,
+      |  CAST(SUM(CASE WHEN status = 'changed' AND ot <> nt
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_type_diff
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -679,6 +753,7 @@ object Relational7 {
     "q_permutation_fdr"  -> permutationFdr,
     "q_quantile_norm"    -> quantileNorm,
     "text_winnow_spans"  -> winnowSpans,
+    "q_snapshot_diff"    -> snapshotDiff,
   )
 
   private val permutationFdrSql =
@@ -758,5 +833,6 @@ object Relational7 {
     "q_permutation_fdr"  -> permutationFdrSql,
     "q_quantile_norm"    -> quantileNormSql,
     "text_winnow_spans"  -> winnowSpansSql,
+    "q_snapshot_diff"    -> snapshotDiffSql,
   )
 }
