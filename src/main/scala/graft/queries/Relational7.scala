@@ -401,6 +401,95 @@ object Relational7 {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_type_diff
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Information-gain feature ranking against the curation verdict —
+    * "which metadata dimension best predicts whether a document
+    * survives curation": IG(F) = H(keep) − H(keep|F) for F ∈ {lang,
+    * source, length decile, quality bin}. The answer feeds crawler
+    * prioritization (fetch more from the predictive strata) and leakage
+    * review (a too-predictive feature often means the verdict is keying
+    * on metadata, not content).
+    *
+    * One melt (explode of 4 (feature, value) structs per doc — no
+    * per-feature re-scan), one (feature, value, label) count aggregate,
+    * entropy terms as −(n_fk/N)·ln(n_fk/n_f) summed decimal-exact (the
+    * q_mutual_info pattern). Label marginal H(keep) is a 2-row
+    * aggregate broadcast. */
+  private val featureGain: Q = (s, dir) => {
+    val cf = Extensions.curationFrame(s, dir)
+      .select(col("doc_id"), col("n_toks"), col("quality_score"),
+        (col("verdict") === "keep").cast("int").as("keep"))
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
+    val base = cf.join(docs, "doc_id").localCheckpoint(true)
+    val n = base.count()
+    val melted = base.select(col("keep"), explode(array(
+        struct(lit("lang").as("feature"), col("lang").as("fval")),
+        struct(lit("source").as("feature"), col("source").as("fval")),
+        struct(lit("len_decile").as("feature"),
+          least(expr("n_toks div 10"), lit(9L)).cast("string").as("fval")),
+        struct(lit("quality_bin").as("feature"),
+          least(floor(col("quality_score") * 10), lit(9.0)).cast("long")
+            .cast("string").as("fval")))).as("fv"))
+      .select(col("keep"), col("fv.feature").as("feature"),
+        col("fv.fval").as("fval"))
+    val fk = melted.groupBy("feature", "fval", "keep")
+      .agg(count(lit(1)).as("nfk"))
+    val f = fk.groupBy("feature", "fval").agg(sum("nfk").as("nf"))
+    val hcond = fk.join(f, Seq("feature", "fval"))
+      .select(col("feature"),
+        (-(col("nfk").cast("double") / n) *
+          log(col("nfk").cast("double") / col("nf"))).as("term"))
+      .groupBy("feature").agg(Num.dsum(col("term"), 12).as("h_cond"))
+    val nvals = f.groupBy("feature").agg(count(lit(1)).as("n_values"))
+    val hl = base.groupBy("keep").agg(count(lit(1)).as("nk"))
+      .agg(Num.dsum(-(col("nk").cast("double") / n) *
+        log(col("nk").cast("double") / n), 12).as("h_label"))
+    hcond.join(nvals, "feature").crossJoin(broadcast(hl))
+      .select(col("feature"), col("n_values"),
+        round(col("h_cond"), 6).as("h_cond"),
+        round(col("h_label") - col("h_cond"), 6).as("info_gain"))
+      .orderBy(desc("info_gain"), col("feature"))
+  }
+
+  private val featureGainSql =
+    s"""WITH ${Extensions.curationCtesSql},
+       |b AS (
+       |  SELECT v.doc_id,
+       |    CASE WHEN v.verdict = 'keep' THEN 1 ELSE 0 END AS keep,
+       |    d2.lang, d2.source, v.n_toks, v.quality_score
+       |  FROM verdicts v JOIN documents d2 USING (doc_id)
+       |), nn AS (SELECT COUNT(*) AS n FROM b),
+       |m AS (
+       |  SELECT keep, f.feature, f.fval FROM b CROSS JOIN LATERAL (VALUES
+       |    ('lang', lang),
+       |    ('source', source),
+       |    ('len_decile', CAST(LEAST(n_toks // 10, 9) AS VARCHAR)),
+       |    ('quality_bin', CAST(CAST(LEAST(FLOOR(quality_score * 10), 9.0)
+       |      AS BIGINT) AS VARCHAR))
+       |  ) AS f(feature, fval)
+       |), fk AS (
+       |  SELECT feature, fval, keep, COUNT(*) AS nfk FROM m GROUP BY 1, 2, 3
+       |), f AS (
+       |  SELECT feature, fval, SUM(nfk) AS nf FROM fk GROUP BY 1, 2
+       |), hcond AS (
+       |  SELECT fk.feature, CAST(SUM(CAST(
+       |      -(CAST(nfk AS DOUBLE) / (SELECT n FROM nn))
+       |      * ln(CAST(nfk AS DOUBLE) / nf) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS h_cond
+       |  FROM fk JOIN f USING (feature, fval) GROUP BY 1
+       |), nvals AS (SELECT feature, COUNT(*) AS n_values FROM f GROUP BY 1),
+       |hl AS (
+       |  SELECT CAST(SUM(CAST(
+       |      -(CAST(nk AS DOUBLE) / (SELECT n FROM nn))
+       |      * ln(CAST(nk AS DOUBLE) / (SELECT n FROM nn))
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS h_label
+       |  FROM (SELECT keep, COUNT(*) AS nk FROM b GROUP BY 1)
+       |)
+       |SELECT hcond.feature, nvals.n_values,
+       |  ROUND(h_cond, 6) AS h_cond,
+       |  ROUND((SELECT h_label FROM hl) - h_cond, 6) AS info_gain
+       |FROM hcond JOIN nvals USING (feature)
+       |ORDER BY info_gain DESC, feature""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -754,6 +843,7 @@ object Relational7 {
     "q_quantile_norm"    -> quantileNorm,
     "text_winnow_spans"  -> winnowSpans,
     "q_snapshot_diff"    -> snapshotDiff,
+    "q_feature_gain"     -> featureGain,
   )
 
   private val permutationFdrSql =
@@ -834,5 +924,6 @@ object Relational7 {
     "q_quantile_norm"    -> quantileNormSql,
     "text_winnow_spans"  -> winnowSpansSql,
     "q_snapshot_diff"    -> snapshotDiffSql,
+    "q_feature_gain"     -> featureGainSql,
   )
 }
