@@ -490,6 +490,54 @@ object Relational7 {
        |FROM hcond JOIN nvals USING (feature)
        |ORDER BY info_gain DESC, feature""".stripMargin
 
+  /** Lang-ID confusion matrix — the labeler-evaluation aggregate over
+    * the per-doc `text_lang_id` predictions: observed (gold, predicted)
+    * counts plus each cell's within-gold-row share in ppm (the recall
+    * structure: diagonal ppm = per-language recall). The eval every
+    * heuristic labeler needs before its output feeds curation; one
+    * count aggregate over the scoring scan, integer `div` ppm in both
+    * engines. */
+  private val langConfusion: Q = (s, dir) => {
+    val pred = Tables.documents(s, dir)
+      .select(col("lang"), graft.text.TextOps.tokens(col("text")).as("toks"))
+      .select(col("lang"), graft.text.TextOps.langId(col("toks")).as("lang_pred"))
+    val cells = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").as("tot"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("n * 1000000 div tot").as("row_ppm"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  private val langConfusionSql = {
+    val scoreExprs = graft.text.TextOps.LangStopwords.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      l -> ("len(list_filter(list_filter(string_split(text, ' '), " +
+        s"x -> x <> ''), x -> list_contains([$list], x)))")
+    }
+    val scoreCols = scoreExprs.map { case (l, e) => s"$e AS sc_$l" }
+      .mkString(",\n  ")
+    val best = scoreExprs.map(e => s"sc_${e._1}")
+      .mkString("GREATEST(", ", ", ")")
+    val cases = scoreExprs.map { case (l, _) =>
+      s"WHEN sc_$l > 0 AND sc_$l = $best THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM documents
+       |), pred AS (
+       |  SELECT lang, CASE $cases ELSE 'und' END AS lang_pred FROM scored
+       |), cells AS (
+       |  SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM cells GROUP BY 1
+       |)
+       |SELECT cells.lang, lang_pred, n, (n * 1000000) // tot AS row_ppm
+       |FROM cells JOIN totals ON totals.lang = cells.lang
+       |ORDER BY cells.lang, lang_pred""".stripMargin
+  }
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -844,6 +892,7 @@ object Relational7 {
     "text_winnow_spans"  -> winnowSpans,
     "q_snapshot_diff"    -> snapshotDiff,
     "q_feature_gain"     -> featureGain,
+    "text_lang_confusion" -> langConfusion,
   )
 
   private val permutationFdrSql =
@@ -925,5 +974,6 @@ object Relational7 {
     "text_winnow_spans"  -> winnowSpansSql,
     "q_snapshot_diff"    -> snapshotDiffSql,
     "q_feature_gain"     -> featureGainSql,
+    "text_lang_confusion" -> langConfusionSql,
   )
 }
