@@ -67,4 +67,47 @@ object PageRank {
     }
     pr
   }
+
+  /** Personalized PageRank: teleport (and dangling) mass returns to the
+    * `seeds` set (uniform over seeds) instead of all nodes — "relevance
+    * to THIS cluster/set", the seed-expansion primitive (find documents
+    * related to a known-good set, addresses related to a flagged set).
+    * Same per-iteration shape and decimal-exactness as [[run]]; the seed
+    * vector s(v) = 1/|S| replaces the uniform 1/n in both the teleport
+    * and the dangling redistribution, so ranks still sum to 1. */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val nS = seeds.distinct().count()
+    require(nS >= 1, "seeds must be non-empty")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .join(seeds.distinct().select(col("id"), lit(1).as("is_seed")),
+        Seq("id"), "left")
+      .select(col("id"), when(col("is_seed") === 1, lit(1.0) / nS)
+        .otherwise(lit(0.0)).as("sv"))
+      .localCheckpoint(true) // referenced every iteration + by the result
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    val dangling = nodes.join(
+      deg.select(col("src").as("id")), Seq("id"), "left_anti")
+    var pr = nodes.select(col("id"), col("sv").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(pr, ed("src") === pr("id"))
+        .select(ed("dst").as("id"), (col("pr") / col("deg")).as("c"))
+      val mass = contrib.groupBy("id")
+        .agg(sum(col("c").cast(DecimalType(38, 12))).cast("double").as("m"))
+      val dm = pr.join(dangling.select("id"), Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("pr").cast(DecimalType(38, 12))),
+          lit(0).cast(DecimalType(38, 12))).cast("double").as("dm"))
+      pr = nodes.join(mass, Seq("id"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("id"),
+          ((lit(1.0 - damping) + lit(damping) * col("dm")) * col("sv") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+        .localCheckpoint(true) // pr is read twice next iteration
+    }
+    pr
+  }
 }

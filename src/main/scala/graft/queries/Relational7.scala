@@ -538,6 +538,94 @@ object Relational7 {
        |ORDER BY cells.lang, lang_pred""".stripMargin
   }
 
+  /** Personalized PageRank from the block-head seed set over the
+    * symmetric doc chain (q_pagerank's graph) — seed expansion: "how
+    * related is every document to THIS known set", the primitive behind
+    * related-docs, flagged-address neighborhoods, and cluster growing.
+    * Teleport and dangling mass return to the seeds (1/|S| each), so
+    * mass decays with chain distance from a block head — a locality
+    * global PageRank cannot express. 3 unrolled decimal-exact
+    * iterations via [[graft.analytics.PageRank.runPersonalized]]. */
+  private val ppr: Q = (s, dir) => {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val fwd = ids.as("x")
+      .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .filter(col("x.doc_id") % 50 =!= 49)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = ids.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("id"))
+    graft.analytics.PageRank.runPersonalized(edges, seeds, iters = 3)
+      .select(col("id").as("doc_id"), col("pr").as("ppr"))
+      .orderBy("doc_id")
+  }
+
+  private val pprSql = {
+    def step(prev: String, out: String) =
+      s"""d_$out AS (
+         |  SELECT CAST(COALESCE(SUM(CAST(p.pr AS DECIMAL(38,12))),
+         |    CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS dm
+         |  FROM $prev p JOIN dang ON p.id = dang.id
+         |),
+         |$out AS (
+         |  SELECT n.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+         |      + CAST(0.85 AS DOUBLE) * (SELECT dm FROM d_$out)) * n.sv
+         |    + CAST(0.85 AS DOUBLE) * COALESCE(s.m, CAST(0 AS DOUBLE))
+         |      AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(38,12))) AS DOUBLE)
+         |        AS m
+         |    FROM e JOIN $prev p ON e.src = p.id JOIN deg ON e.src = deg.src
+         |    GROUP BY 1) s ON n.id = s.id
+         |)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 50 <> 49
+       |), e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+       |seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+       |ns AS (SELECT COUNT(*) AS c FROM seeds),
+       |n AS (
+       |  SELECT u.id, CASE WHEN s2.id IS NOT NULL
+       |    THEN CAST(1 AS DOUBLE) / (SELECT c FROM ns) ELSE 0.0 END AS sv
+       |  FROM (SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)) u
+       |  LEFT JOIN seeds s2 ON s2.id = u.id
+       |), deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |dang AS (
+       |  SELECT id FROM n
+       |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = n.id)
+       |), it0 AS (SELECT id, sv AS pr FROM n),
+       |${step("it0", "it1")},
+       |${step("it1", "it2")},
+       |${step("it2", "it3")}
+       |SELECT n.id AS doc_id, it3.pr AS ppr
+       |FROM n JOIN it3 ON it3.id = n.id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-document compression-ratio quality signal — DEFLATE output size
+    * over raw UTF-8 size in exact integer ppm, via the codegen'd
+    * [[graft.functions.DeflateLenExpr]]. Low ratio = repetitive
+    * boilerplate, ratio near 1e6 = high-entropy junk; both tails are the
+    * Gopher-style drop candidates. One scan, no shuffle before the sort.
+    * No DuckDB oracle (zlib output is not pinned across library builds —
+    * the same rows-only gate as the binary multimodal family); semantics
+    * are spec-proven in `CompressSpec`. */
+  private val compressRatio: Q = (s, dir) => {
+    graft.functions.CompressFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), octet_length(col("text")).as("raw_bytes"),
+        graft.functions.CompressFunctions.deflateLen(col("text"))
+          .as("deflate_bytes"))
+      .filter(col("raw_bytes") > 0)
+      .withColumn("ratio_ppm",
+        expr("cast(deflate_bytes as bigint) * 1000000 div raw_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -893,6 +981,8 @@ object Relational7 {
     "q_snapshot_diff"    -> snapshotDiff,
     "q_feature_gain"     -> featureGain,
     "text_lang_confusion" -> langConfusion,
+    "q_ppr"              -> ppr,
+    "text_compress_ratio" -> compressRatio,
   )
 
   private val permutationFdrSql =
@@ -975,5 +1065,6 @@ object Relational7 {
     "q_snapshot_diff"    -> snapshotDiffSql,
     "q_feature_gain"     -> featureGainSql,
     "text_lang_confusion" -> langConfusionSql,
+    "q_ppr"              -> pprSql,
   )
 }

@@ -186,6 +186,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(pr2 == pr) // dangling sum is decimal-exact too
   }
 
+  test("personalized pagerank: mass 1, locality to the seed, " +
+      "partition-invariant") {
+    // chain 1-2-3-4-5 (symmetric), seed {1}: after 3 iterations mass is
+    // zero beyond 3 hops and decays with distance PAST the seed's
+    // neighbor. (The neighbor legitimately out-ranks the endpoint seed:
+    // a degree-1 seed ships ALL its mass to it every iteration and only
+    // teleport returns — the same shape q_ppr shows on the doc chain.)
+    val fwd = (1L to 4L).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val pr = graft.analytics.PageRank.runPersonalized(edges, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr)
+    // a path is bipartite, so at a finite iteration count mass
+    // oscillates by parity — decay is monotone WITHIN a parity class
+    assert(pr(2L) > pr(4L) && pr(4L) > 0.0, pr) // odd distance
+    assert(pr(1L) > pr(3L) && pr(3L) > 0.0, pr) // even distance
+    assert(pr(5L) == 0.0, pr) // 4 hops away: unreachable in 3 iterations
+    val pr2 = graft.analytics.PageRank.runPersonalized(
+      edges.repartition(7), seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr2 == pr)
+  }
+
   test("hits: hubs/authorities separate on a directed graph, unit L2 norm," +
       " partition-invariant") {
     // 1,2 cite both 10 and 11; 3 cites only 10. Citers are pure hubs
