@@ -626,6 +626,65 @@ object Relational7 {
       .orderBy("doc_id")
   }
 
+  /** Incremental materialized-view maintenance — the delta-algebra a
+    * warehouse uses to keep an aggregate MV current WITHOUT rescanning
+    * the base table: for distributive aggregates (count, sum),
+    * MV(base ⊎ delta) = merge(MV(base), agg(delta)) with deletions as
+    * NEGATIVE multiplicities. The entry maintains a per-(type, hour)
+    * count/sum MV through an insert batch AND a delete batch purely via
+    * the delta path (aggregate the small delta, full-outer merge into
+    * the old MV, drop groups whose count reaches 0) — the base table is
+    * never re-read after the initial MV build. The ORACLE recomputes the
+    * final state directly from the final table content, so agreement
+    * proves the incremental algebra, not the plan.
+    *
+    * Scale: delta aggregation is proportional to the DELTA; the merge
+    * is a keyed outer join on the (small) group space. Sums ride
+    * fixed-point longs so merged totals are exact. */
+  private val mvMaintain: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      col("event_id"), hour(col("ts")).cast("long").as("hr"),
+      round(col("value") * 1e6, 0).cast("long").as("vfx"))
+    def mv(df: DataFrame) = df.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("cnt"), sum("vfx").as("sfx"))
+    // initial state: ids ≡ 0 (mod 3) never arrive; build the MV once
+    val base = ev.filter(col("event_id") % 3 =!= 0)
+    // insert batch: the late arrivals; delete batch: ids ≡ 1 (mod 7)
+    val inserts = ev.filter(col("event_id") % 3 === 0)
+    val deletes = ev.filter(col("event_id") % 3 =!= 0 &&
+      col("event_id") % 7 === 1)
+    val delta = inserts.withColumn("mult", lit(1L))
+      .unionByName(deletes.withColumn("mult", lit(-1L)))
+      .groupBy("event_type", "hr")
+      .agg(sum(col("mult")).as("dcnt"),
+        sum(col("mult") * col("vfx")).as("dsfx"))
+    val merged = mv(base)
+      .join(delta, Seq("event_type", "hr"), "full_outer")
+      .select(col("event_type"), col("hr"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("sfx"), lit(0L)) + coalesce(col("dsfx"), lit(0L)))
+          .as("sfx"))
+      .filter(col("cnt") > 0)
+    merged.select(col("event_type"), col("hr"), col("cnt"),
+        (col("sfx").cast("double") / 1e6).as("sum_value"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** The oracle computes the FINAL table state directly (all rows except
+    * the deleted ids) and aggregates once — a different evaluation
+    * strategy from the engine's delta merge. */
+  private val mvMaintainSql =
+    """WITH fin AS (
+      |  SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+      |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx
+      |  FROM events
+      |  WHERE NOT (event_id % 3 <> 0 AND event_id % 7 = 1)
+      |)
+      |SELECT event_type, hr, COUNT(*) AS cnt,
+      |  CAST(CAST(SUM(vfx) AS BIGINT) AS DOUBLE) / 1e6 AS sum_value
+      |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -983,6 +1042,7 @@ object Relational7 {
     "text_lang_confusion" -> langConfusion,
     "q_ppr"              -> ppr,
     "text_compress_ratio" -> compressRatio,
+    "q_mv_maintain"      -> mvMaintain,
   )
 
   private val permutationFdrSql =
@@ -1066,5 +1126,6 @@ object Relational7 {
     "q_feature_gain"     -> featureGainSql,
     "text_lang_confusion" -> langConfusionSql,
     "q_ppr"              -> pprSql,
+    "q_mv_maintain"      -> mvMaintainSql,
   )
 }
