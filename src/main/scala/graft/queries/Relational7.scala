@@ -834,6 +834,7 @@ object Relational7 {
     val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
       round(col("value") * 1e6, 0).cast("long").as("vfx"),
       (hour(col("ts")) < 12).cast("int").as("ga"))
+      .localCheckpoint(true) // read by tc AND the ×B replicate explode
     val tc = ev.groupBy("event_type").agg(
       dsum(when(col("ga") === 1, col("vfx")).otherwise(0L)).as("sA"),
       dsum(when(col("ga") === 0, col("vfx")).otherwise(0L)).as("sB"),
@@ -843,6 +844,7 @@ object Relational7 {
       .withColumn("obs", when(col("nA") === 0 || col("nB") === 0, lit(0.0))
         .otherwise(abs(col("sA").cast("double") / col("nA")
           - col("sB").cast("double") / col("nB"))))
+      .localCheckpoint(true) // m rows; read by the join, p, and broadcast
     // 4 independent 32-bit draws per md5 (the MinHash hash-window trick),
     // staged as TWO explodes so each digest is computed exactly once and
     // no row carries a B-long array: explode the ⌈B/4⌉ digest groups,

@@ -482,6 +482,22 @@ class PlanSpec extends SparkSpec {
       assert(!wp.contains("Exchange SinglePartition"), s"$q:\n$wp")
       assert(!wp.contains("CartesianProduct"), s"$q:\n$wp")
     }
+    // quantile-norm and MV maintenance carry no scalar aggregate, so
+    // their plans must be free of single-partition exchanges entirely
+    // (ranks ride DistributedRank's bucket-partitioned windows); the FDR
+    // screen's m-row BH stages legitimately plan 1-row exchanges, so for
+    // it assert the heavy replicate stage combines map-side and nothing
+    // degenerates to a cartesian product
+    Seq("q_quantile_norm", "q_mv_maintain").foreach { q =>
+      val p = graft.queries.Relational7.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    val fdr = graft.queries.Relational7.queries("q_permutation_fdr")(
+      spark, dir).queryExecution.executedPlan.toString
+    assert(!fdr.contains("CartesianProduct"), fdr)
+    assert(fdr.contains("partial_"), s"no map-side partials\n$fdr")
   }
 
   test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
