@@ -685,6 +685,190 @@ object Relational7 {
       |  CAST(CAST(SUM(vfx) AS BIGINT) AS DOUBLE) / 1e6 AS sum_value
       |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Channels (event types that can appear mid-journey) for the
+    * attribution chain; 'purchase' is the absorbing conversion. Static
+    * because the removal-variant SQL chains are generated per channel. */
+  private val AttrChannels = Seq("click", "error", "signup", "view")
+  private val AttrSteps = 24
+  private val AttrScale = 1000000000000L // 1e12 fixed-point mass
+
+  /** Markov removal-effect attribution — the data-driven alternative to
+    * last-touch: model user journeys as a first-order chain
+    * (start → channels → conv|null, absorbing at the FIRST purchase),
+    * then credit each channel by how much the start→conv probability
+    * drops when that channel is removed (its transitions redirect to
+    * null). Shapley-lite, the standard marketing-attribution construct.
+    *
+    * The DISTRIBUTED stage is the transition-count aggregate (per-user
+    * windows + one count agg — the q_markov shape). The chain itself is
+    * a codebook-sized object (|channels|+3 states), collected like every
+    * other bounded codebook in the repo, and absorbed for a FIXED
+    * [[AttrSteps]] steps in exact ×1e12 integer arithmetic: each step's
+    * contribution is (v_i·n_ij) div rowTot_i in longs, so addition order
+    * cannot matter and the DuckDB twin — the same steps UNROLLED as
+    * non-recursive CTEs — reproduces every intermediate mass
+    * bit-for-bit. Unabsorbed tail mass past K steps is dropped by both
+    * engines identically. */
+  private val attribution: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val kept = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("cumBefore", coalesce(sum(
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cumBefore") === 0)
+    val kw = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val seq = kept
+      .withColumn("rn", row_number().over(kw))
+      .withColumn("next", lead(col("event_type"), 1).over(kw))
+    val mids = seq.filter(col("next").isNotNull)
+      .select(col("event_type").as("from_type"),
+        when(col("next") === "purchase", "conv").otherwise(col("next"))
+          .as("to_type"))
+    val starts = seq.filter(col("rn") === 1)
+      .select(lit("start").as("from_type"),
+        when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")).as("to_type"))
+    val ends = seq.filter(col("next").isNull &&
+        col("event_type") =!= "purchase")
+      .select(col("event_type").as("from_type"), lit("null").as("to_type"))
+    val trans = mids.unionByName(starts).unionByName(ends)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // exact integer absorption: v (×1e12) over transient states
+    def absorb(edges: Array[(String, String, Long)]): Long = {
+      val rowTot = edges.groupBy(_._1).map { case (f, es) =>
+        f -> es.map(_._3).sum }
+      var v = Map("start" -> AttrScale)
+      var conv = 0L
+      for (_ <- 1 to AttrSteps) {
+        val next = scala.collection.mutable.Map[String, Long]()
+        for ((f, t, n) <- edges.sortBy(e => (e._1, e._2))) {
+          v.get(f).foreach { m =>
+            val c = m * n / rowTot(f)
+            if (t == "conv") conv += c
+            else if (t != "null")
+              next(t) = next.getOrElse(t, 0L) + c
+          }
+        }
+        v = next.toMap
+      }
+      conv
+    }
+    def removed(c: String): Array[(String, String, Long)] =
+      trans.filter(_._1 != c)
+        .map { case (f, t, n) => (f, if (t == c) "null" else t, n) }
+        // re-merge edges that collapsed onto (from, 'null')
+        .groupBy(e => (e._1, e._2))
+        .map { case ((f, t), es) => (f, t, es.map(_._3).sum) }.toArray
+    val base = absorb(trans)
+    val rows = AttrChannels.map { c =>
+      val without = absorb(removed(c))
+      val eff = if (base == 0) 0L else (base - without) * 1000000L / base
+      (c, base, without, eff)
+    }
+    rows.toDF("channel", "conv_fx_base", "conv_fx_without",
+        "removal_effect_ppm")
+      .orderBy("channel")
+  }
+
+  private val attributionSql = {
+    val transCte =
+      """kept AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER w AS rn, lead(event_type) OVER w AS next
+        |  FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |      COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |        ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cumBefore
+        |    FROM events
+        |  ) WHERE cumBefore = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), tr AS MATERIALIZED (
+        |  SELECT from_type, to_type, COUNT(*) AS n FROM (
+        |    SELECT event_type AS from_type,
+        |      CASE WHEN next = 'purchase' THEN 'conv' ELSE next END
+        |        AS to_type
+        |    FROM kept WHERE next IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'start',
+        |      CASE WHEN event_type = 'purchase' THEN 'conv'
+        |        ELSE event_type END
+        |    FROM kept WHERE rn = 1
+        |    UNION ALL
+        |    SELECT event_type, 'null'
+        |    FROM kept WHERE next IS NULL AND event_type <> 'purchase'
+        |  ) GROUP BY 1, 2
+        |)""".stripMargin
+    // one removal variant: drop rows FROM c, redirect rows INTO c to
+    // 'null', re-merging collapsed edges
+    def variant(name: String, c: Option[String]) = c match {
+      case None => s"$name AS MATERIALIZED (SELECT * FROM tr)"
+      case Some(ch) =>
+        s"""$name AS MATERIALIZED (
+           |  SELECT from_type,
+           |    CASE WHEN to_type = '$ch' THEN 'null' ELSE to_type END
+           |      AS to_type,
+           |    CAST(SUM(n) AS BIGINT) AS n
+           |  FROM tr WHERE from_type <> '$ch' GROUP BY 1, 2
+           |)""".stripMargin
+    }
+    // K exact-integer absorption steps over a variant's edges; emits
+    // CTEs <v>_vK (transient mass) and <v>_cK (cumulative conv mass)
+    def chain(v: String) = {
+      val cte0 =
+        s"""${v}_v0(state, m) AS (SELECT 'start', CAST($AttrScale AS BIGINT)),
+           |${v}_c0(cm) AS (SELECT CAST(0 AS BIGINT))""".stripMargin
+      val steps = (1 to AttrSteps).map { k =>
+        val p = k - 1
+        s"""${v}_f$k AS MATERIALIZED (
+           |  SELECT e.to_type,
+           |    CAST((pv.m * e.n) // rt.tot AS BIGINT) AS c
+           |  FROM $v e
+           |  JOIN (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+           |        FROM $v GROUP BY 1) rt ON rt.from_type = e.from_type
+           |  JOIN ${v}_v$p pv ON pv.state = e.from_type
+           |),
+           |${v}_v$k(state, m) AS MATERIALIZED (
+           |  SELECT to_type, CAST(SUM(c) AS BIGINT) FROM ${v}_f$k
+           |  WHERE to_type NOT IN ('conv', 'null') GROUP BY 1
+           |),
+           |${v}_c$k(cm) AS MATERIALIZED (
+           |  SELECT (SELECT cm FROM ${v}_c$p)
+           |    + COALESCE((SELECT CAST(SUM(c) AS BIGINT) FROM ${v}_f$k
+           |        WHERE to_type = 'conv'), 0)
+           |)""".stripMargin
+      }
+      (cte0 +: steps).mkString(",\n")
+    }
+    val variants = variant("t_base", None) +:
+      AttrChannels.map(c => variant(s"t_$c", Some(c)))
+    val chains = ("t_base" +: AttrChannels.map(c => s"t_$c"))
+      .map(chain)
+    val selects = AttrChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT cm FROM t_base_c$AttrSteps) AS conv_fx_base,
+         |  (SELECT cm FROM t_${c}_c$AttrSteps) AS conv_fx_without,
+         |  CASE WHEN (SELECT cm FROM t_base_c$AttrSteps) = 0 THEN 0
+         |    ELSE ((SELECT cm FROM t_base_c$AttrSteps)
+         |      - (SELECT cm FROM t_${c}_c$AttrSteps)) * 1000000
+         |      // (SELECT cm FROM t_base_c$AttrSteps) END
+         |    AS removal_effect_ppm""".stripMargin
+    }
+    s"""WITH $transCte,
+       |${variants.mkString(",\n")},
+       |${chains.mkString(",\n")}
+       |SELECT * FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) ORDER BY channel""".stripMargin
+  }
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1045,6 +1229,7 @@ object Relational7 {
     "q_ppr"              -> ppr,
     "text_compress_ratio" -> compressRatio,
     "q_mv_maintain"      -> mvMaintain,
+    "q_attribution"      -> attribution,
   )
 
   private val permutationFdrSql =
@@ -1129,5 +1314,6 @@ object Relational7 {
     "text_lang_confusion" -> langConfusionSql,
     "q_ppr"              -> pprSql,
     "q_mv_maintain"      -> mvMaintainSql,
+    "q_attribution"      -> attributionSql,
   )
 }
