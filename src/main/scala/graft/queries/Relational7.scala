@@ -869,6 +869,94 @@ object Relational7 {
        |) ORDER BY channel""".stripMargin
   }
 
+  /** Kaplan–Meier survival curve for time-to-first-purchase with right
+    * censoring — the survival-analysis member of the statistics family
+    * (churn/conversion-latency curves; censoring is what a naive
+    * "average time to convert" gets WRONG, since never-converters would
+    * be silently dropped). Durations are hours from a user's first event
+    * to their first purchase (event) or last event (censored); the risk
+    * set at h is everyone with duration ≥ h; S(h) = Π_{h'≤h}(1−d/n),
+    * computed in log space with decimal-exact term sums (the q_cumprod
+    * pattern) so the doubles match across engines.
+    *
+    * Scale shape: the row-scale stage is ONE per-user aggregate; the
+    * curve frame is duration-hour-bounded, so both cumulatives (reverse
+    * risk-set, forward log-survival) run as broadcast self-joins over
+    * the bounded frame — no single-partition window anywhere. */
+  private val kmSurvival: Q = (s, dir) => {
+    val hourUs = 3600000000L
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("tconv"),
+        max(unix_micros(col("ts"))).as("tmax"))
+      .select(col("tconv").isNotNull.as("converted"),
+        expr(s"(coalesce(tconv, tmax) - t0) div $hourUs").as("dur_hr"))
+    val grouped = perUser.groupBy("dur_hr").agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+      .localCheckpoint(true) // bounded curve frame, self-joined twice
+    val other = grouped.select(col("dur_hr").as("h2"),
+      (col("d") + col("c")).as("dc2"), col("d").as("d2"), col("c").as("c2"))
+    val risk = grouped.join(broadcast(other), col("h2") >= col("dur_hr"))
+      .groupBy("dur_hr", "d", "c").agg(sum(col("dc2")).as("n_risk"))
+    val terms = risk.select(col("dur_hr"),
+      when(col("d") === col("n_risk"), lit(0.0))
+        .otherwise(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+        .as("lnterm"),
+      (col("d") === col("n_risk")).cast("int").as("zero"))
+    val tother = terms.select(col("dur_hr").as("h3"),
+      col("lnterm").as("lt3"), col("zero").as("z3"))
+    val surv = risk.join(broadcast(tother), col("h3") <= col("dur_hr"))
+      .groupBy("dur_hr", "d", "c", "n_risk")
+      .agg(sum(col("lt3").cast(
+          org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
+          .as("cumln"),
+        max(col("z3")).as("anyzero"))
+      .select(col("dur_hr"), col("n_risk"), col("d"), col("c"),
+        when(col("anyzero") === 1, lit(0.0))
+          .otherwise(round(exp(col("cumln")), 6)).as("survival"))
+    surv.orderBy("dur_hr")
+  }
+
+  private val kmSurvivalSql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(ts)) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS tconv,
+      |    MAX(epoch_us(ts)) AS tmax
+      |  FROM events GROUP BY 1
+      |), dur AS (
+      |  SELECT tconv IS NOT NULL AS converted,
+      |    (COALESCE(tconv, tmax) - t0) // 3600000000 AS dur_hr
+      |  FROM pu
+      |), grouped AS (
+      |  SELECT dur_hr,
+      |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM dur GROUP BY 1
+      |), risk AS (
+      |  SELECT g.dur_hr, g.d, g.c,
+      |    CAST(SUM(o.d + o.c) AS BIGINT) AS n_risk
+      |  FROM grouped g JOIN grouped o ON o.dur_hr >= g.dur_hr
+      |  GROUP BY 1, 2, 3
+      |), terms AS (
+      |  SELECT dur_hr,
+      |    CASE WHEN d = n_risk THEN 0.0
+      |      ELSE LN(1.0 - CAST(d AS DOUBLE) / n_risk) END AS lnterm,
+      |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zero
+      |  FROM risk
+      |)
+      |SELECT r.dur_hr, r.n_risk, r.d, r.c,
+      |  CASE WHEN MAX(t.zero) = 1 THEN 0.0
+      |    ELSE ROUND(EXP(CAST(SUM(CAST(t.lnterm AS DECIMAL(38,12)))
+      |      AS DOUBLE)), 6) END AS survival
+      |FROM risk r JOIN terms t ON t.dur_hr <= r.dur_hr
+      |GROUP BY r.dur_hr, r.n_risk, r.d, r.c
+      |ORDER BY r.dur_hr""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1230,6 +1318,7 @@ object Relational7 {
     "text_compress_ratio" -> compressRatio,
     "q_mv_maintain"      -> mvMaintain,
     "q_attribution"      -> attribution,
+    "q_km_survival"      -> kmSurvival,
   )
 
   private val permutationFdrSql =
@@ -1315,5 +1404,6 @@ object Relational7 {
     "q_ppr"              -> pprSql,
     "q_mv_maintain"      -> mvMaintainSql,
     "q_attribution"      -> attributionSql,
+    "q_km_survival"      -> kmSurvivalSql,
   )
 }
