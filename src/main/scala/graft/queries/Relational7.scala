@@ -957,6 +957,127 @@ object Relational7 {
       |GROUP BY r.dur_hr, r.n_risk, r.d, r.c
       |ORDER BY r.dur_hr""".stripMargin
 
+  /** Log-rank test between two conversion-latency survival curves — the
+    * hypothesis test that pairs with [[kmSurvival]] (the A/B family's
+    * survival member: KS compares value distributions, Welch compares
+    * means, Mann–Whitney compares ranks, log-rank compares censored
+    * time-to-event curves). Arms are user_id parity (the repo's standing
+    * deterministic A/B assignment proxy). At each event hour h:
+    * E_A = d·n_A/n and V = d·(n_A/n)·(n_B/n)·(n−d)/(n−1); the statistic
+    * is (ΣO_A − ΣE_A)²/ΣV ~ χ²(1). Hour tables are bounded, so the
+    * per-arm risk sets come from broadcast spine×arm self-joins (no
+    * single-partition window); term sums are decimal-exact. */
+  private val logrank: Q = (s, dir) => {
+    val hourUs = 3600000000L
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("tconv"),
+        max(unix_micros(col("ts"))).as("tmax"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+        col("tconv").isNotNull.as("converted"),
+        expr(s"(coalesce(tconv, tmax) - t0) div $hourUs").as("dur_hr"))
+    val g2 = perUser.groupBy("arm", "dur_hr").agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("dc"))
+      .localCheckpoint(true)
+    val spine = g2.select("dur_hr").distinct()
+    val armRows = g2.select(col("arm").as("a2"), col("dur_hr").as("h2"),
+      col("dc").as("dc2"))
+    val risk = spine.join(broadcast(armRows), col("h2") >= col("dur_hr"))
+      .groupBy("dur_hr", "a2").agg(sum("dc2").as("n_risk"))
+    val deaths = g2.select(col("dur_hr"), col("arm"), col("d"))
+    val byHour = spine
+      .join(broadcast(risk.filter(col("a2") === 0)
+        .select(col("dur_hr"), col("n_risk").as("nA"))), Seq("dur_hr"), "left")
+      .join(broadcast(risk.filter(col("a2") === 1)
+        .select(col("dur_hr"), col("n_risk").as("nB"))), Seq("dur_hr"), "left")
+      .join(broadcast(deaths.filter(col("arm") === 0)
+        .select(col("dur_hr"), col("d").as("dA"))), Seq("dur_hr"), "left")
+      .join(broadcast(deaths.filter(col("arm") === 1)
+        .select(col("dur_hr"), col("d").as("dB"))), Seq("dur_hr"), "left")
+      .select(col("dur_hr"),
+        coalesce(col("nA"), lit(0L)).as("nA"),
+        coalesce(col("nB"), lit(0L)).as("nB"),
+        coalesce(col("dA"), lit(0L)).as("dA"),
+        coalesce(col("dB"), lit(0L)).as("dB"))
+      .withColumn("n", col("nA") + col("nB"))
+      .withColumn("d", col("dA") + col("dB"))
+      .filter(col("d") > 0)
+    val terms = byHour.select(
+      col("dA").cast("double").as("oA"),
+      (col("d").cast("double") * col("nA") / col("n")).as("eA"),
+      when(col("n") > 1,
+        col("d").cast("double") * (col("nA").cast("double") / col("n"))
+          * (col("nB").cast("double") / col("n"))
+          * (col("n") - col("d")).cast("double") / (col("n") - 1))
+        .otherwise(lit(0.0)).as("v"))
+    terms.agg(
+        sum(col("oA").cast(Dec)).cast("double").as("o_a"),
+        sum(col("eA").cast(Dec)).cast("double").as("e_a"),
+        sum(col("v").cast(Dec)).cast("double").as("var_a"))
+      .select(col("o_a"),
+        round(col("e_a"), 6).as("e_a"),
+        round(col("var_a"), 6).as("var_a"),
+        round(pow(col("o_a") - col("e_a"), 2) / col("var_a"), 6)
+          .as("chi2"))
+  }
+
+  private val logrankSql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(ts)) AS t0,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS tconv,
+      |    MAX(epoch_us(ts)) AS tmax
+      |  FROM events GROUP BY 1
+      |), dur AS (
+      |  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+      |    tconv IS NOT NULL AS converted,
+      |    (COALESCE(tconv, tmax) - t0) // 3600000000 AS dur_hr
+      |  FROM pu
+      |), g2 AS (
+      |  SELECT arm, dur_hr,
+      |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    COUNT(*) AS dc
+      |  FROM dur GROUP BY 1, 2
+      |), spine AS (SELECT DISTINCT dur_hr FROM g2),
+      |risk AS (
+      |  SELECT s.dur_hr, a.arm, CAST(SUM(a.dc) AS BIGINT) AS n_risk
+      |  FROM spine s JOIN g2 a ON a.dur_hr >= s.dur_hr
+      |  GROUP BY 1, 2
+      |), byhour AS (
+      |  SELECT s.dur_hr,
+      |    COALESCE(rA.n_risk, 0) AS nA, COALESCE(rB.n_risk, 0) AS nB,
+      |    COALESCE(dA.d, 0) AS dA, COALESCE(dB.d, 0) AS dB
+      |  FROM spine s
+      |  LEFT JOIN risk rA ON rA.dur_hr = s.dur_hr AND rA.arm = 0
+      |  LEFT JOIN risk rB ON rB.dur_hr = s.dur_hr AND rB.arm = 1
+      |  LEFT JOIN g2 dA ON dA.dur_hr = s.dur_hr AND dA.arm = 0
+      |  LEFT JOIN g2 dB ON dB.dur_hr = s.dur_hr AND dB.arm = 1
+      |), terms AS (
+      |  SELECT CAST(dA AS DOUBLE) AS oA,
+      |    CAST(dA + dB AS DOUBLE) * nA / (nA + nB) AS eA,
+      |    CASE WHEN nA + nB > 1 THEN
+      |      CAST(dA + dB AS DOUBLE)
+      |        * (CAST(nA AS DOUBLE) / (nA + nB))
+      |        * (CAST(nB AS DOUBLE) / (nA + nB))
+      |        * CAST((nA + nB) - (dA + dB) AS DOUBLE) / ((nA + nB) - 1)
+      |      ELSE 0.0 END AS v
+      |  FROM byhour WHERE dA + dB > 0
+      |), agg AS (
+      |  SELECT
+      |    CAST(SUM(CAST(oA AS DECIMAL(38,12))) AS DOUBLE) AS o_a,
+      |    CAST(SUM(CAST(eA AS DECIMAL(38,12))) AS DOUBLE) AS e_a,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS var_a
+      |  FROM terms
+      |)
+      |SELECT o_a, ROUND(e_a, 6) AS e_a, ROUND(var_a, 6) AS var_a,
+      |  ROUND(POW(o_a - e_a, 2) / var_a, 6) AS chi2
+      |FROM agg""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1319,6 +1440,7 @@ object Relational7 {
     "q_mv_maintain"      -> mvMaintain,
     "q_attribution"      -> attribution,
     "q_km_survival"      -> kmSurvival,
+    "q_logrank"          -> logrank,
   )
 
   private val permutationFdrSql =
@@ -1405,5 +1527,6 @@ object Relational7 {
     "q_mv_maintain"      -> mvMaintainSql,
     "q_attribution"      -> attributionSql,
     "q_km_survival"      -> kmSurvivalSql,
+    "q_logrank"          -> logrankSql,
   )
 }
