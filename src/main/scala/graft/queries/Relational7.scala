@@ -1078,6 +1078,85 @@ object Relational7 {
       |  ROUND(POW(o_a - e_a, 2) / var_a, 6) AS chi2
       |FROM agg""".stripMargin
 
+  /** RFM segmentation — the classic behavioral-marketing cube: per-user
+    * Recency (hours since last event vs the corpus anchor), Frequency
+    * (event count), Monetary (fixed-point value sum), each scored into
+    * quintiles, reported as the (r, f, m) segment grid with counts and
+    * decimal-exact metric means. Recency scores INVERT (5 = most
+    * recent). All three quintiles ride [[DistributedRank]]'s two-phase
+    * histogram + `ntileFromRank` — byte-identical to the window NTILE
+    * the oracle uses, with (metric, user_id) total order — so no global
+    * window anywhere in the engine plan. */
+  private val rfm: Q = (s, dir) => {
+    val hourUs = 3600000000L
+    val ev = Tables.events(s, dir)
+    val anchor = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val pu = ev.groupBy("user_id").agg(
+        max(unix_micros(col("ts"))).as("tlast"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 1e6, 0).cast("long")).as("mfx"))
+      .select(col("user_id"),
+        expr(s"($anchor - tlast) div $hourUs").as("rec_hr"),
+        col("freq"), col("mfx"))
+      .localCheckpoint(true) // ranked three times + final agg
+    val nb = math.max(1, s.sparkContext.defaultParallelism * 4)
+    def quintile(metric: String): DataFrame = {
+      val r0 = pu.agg(min(metric), max(metric)).collect()(0)
+      val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+      val width = math.max((mx - mn) / nb, 1L)
+      val bucket = least(expr(s"($metric - $mn) div $width"), lit(nb - 1L))
+      val (ranked, n) = DistributedRank.withRank(pu, bucket,
+        Seq(col(metric), col("user_id")))
+      ranked.select(col("user_id"),
+        DistributedRank.ntileFromRank(col("rank"), n, 5).as(s"t_$metric"))
+    }
+    val scored = pu
+      .join(quintile("rec_hr"), "user_id")
+      .join(quintile("freq"), "user_id")
+      .join(quintile("mfx"), "user_id")
+      .select(col("rec_hr"), col("freq"), col("mfx"),
+        (lit(6L) - col("t_rec_hr")).as("r_score"), // recent = high score
+        col("t_freq").as("f_score"), col("t_mfx").as("m_score"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        round(Num.dsum(col("rec_hr").cast("double"), 6) / count(lit(1)), 6)
+          .as("mean_rec_hr"),
+        round(Num.dsum(col("freq").cast("double"), 6) / count(lit(1)), 6)
+          .as("mean_freq"),
+        round(Num.dsum(col("mfx").cast("double") / 1e6, 6)
+          / count(lit(1)), 6).as("mean_value"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val rfmSql =
+    """WITH anchor AS (SELECT MAX(epoch_us(ts)) AS a FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    ((SELECT a FROM anchor) - MAX(epoch_us(ts))) // 3600000000
+      |      AS rec_hr,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(ROUND(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+      |      AS mfx
+      |  FROM events GROUP BY 1
+      |), scored AS (
+      |  SELECT rec_hr, freq, mfx,
+      |    6 - NTILE(5) OVER (ORDER BY rec_hr, user_id) AS r_score,
+      |    NTILE(5) OVER (ORDER BY freq, user_id) AS f_score,
+      |    NTILE(5) OVER (ORDER BY mfx, user_id) AS m_score
+      |  FROM pu
+      |)
+      |SELECT CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  COUNT(*) AS n_users,
+      |  ROUND(CAST(SUM(CAST(CAST(rec_hr AS DOUBLE) AS DECIMAL(38,6)))
+      |    AS DOUBLE) / COUNT(*), 6) AS mean_rec_hr,
+      |  ROUND(CAST(SUM(CAST(CAST(freq AS DOUBLE) AS DECIMAL(38,6)))
+      |    AS DOUBLE) / COUNT(*), 6) AS mean_freq,
+      |  ROUND(CAST(SUM(CAST(CAST(mfx AS DOUBLE) / 1e6 AS DECIMAL(38,6)))
+      |    AS DOUBLE) / COUNT(*), 6) AS mean_value
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1441,6 +1520,7 @@ object Relational7 {
     "q_attribution"      -> attribution,
     "q_km_survival"      -> kmSurvival,
     "q_logrank"          -> logrank,
+    "q_rfm"              -> rfm,
   )
 
   private val permutationFdrSql =
@@ -1528,5 +1608,6 @@ object Relational7 {
     "q_attribution"      -> attributionSql,
     "q_km_survival"      -> kmSurvivalSql,
     "q_logrank"          -> logrankSql,
+    "q_rfm"              -> rfmSql,
   )
 }
