@@ -1157,6 +1157,88 @@ object Relational7 {
       |    AS DOUBLE) / COUNT(*), 6) AS mean_value
       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Difference-in-differences — the pre/post × treat/control causal
+    * screen: DiD = (T̄post − T̄pre) − (C̄post − C̄pre) cancels both the
+    * group-level baseline difference and the common time trend, which a
+    * naive post-period comparison conflates. Arms are user parity (the
+    * standing A/B proxy), the period split is the exact midpoint of the
+    * observed time range (computed in integer micros). One conditional
+    * aggregate over the scan; cell means from decimal-exact fixed-point
+    * sums so the four means — and the DiD double — are bit-identical in
+    * both engines. */
+  private val did: Q = (s, dir) => {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev0 = Tables.events(s, dir)
+    val r0 = ev0.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).collect()(0)
+    val mid = (r0.getLong(0) + r0.getLong(1)) / 2
+    val ev = ev0.select(
+      (pmod(col("user_id"), lit(2)) === 1).as("treat"),
+      (unix_micros(col("ts")) >= mid).as("post"),
+      round(col("value") * 1e6, 0).cast("long").as("vfx"))
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(col("treat") === t && col("post") === p, 1L).otherwise(0L))
+        .as(s"n_$suffix"),
+      (sum(when(col("treat") === t && col("post") === p,
+        col("vfx")).otherwise(0L).cast(Dec)).cast("double") /
+        sum(when(col("treat") === t && col("post") === p, 1L)
+          .otherwise(0L)) / 1e6).as(s"m_$suffix"))
+    val cells = cell(true, false, "t_pre") ++ cell(true, true, "t_post") ++
+      cell(false, false, "c_pre") ++ cell(false, true, "c_post")
+    ev.agg(cells.head, cells.tail: _*)
+      .withColumn("did", round((col("m_t_post") - col("m_t_pre")) -
+        (col("m_c_post") - col("m_c_pre")), 6))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"),
+        round(col("m_t_pre"), 6).as("m_t_pre"),
+        round(col("m_t_post"), 6).as("m_t_post"),
+        round(col("m_c_pre"), 6).as("m_c_pre"),
+        round(col("m_c_post"), 6).as("m_c_post"), col("did"))
+  }
+
+  private val didSql =
+    """WITH rng AS (
+      |  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+      |  FROM events
+      |), e AS (
+      |  SELECT user_id % 2 = 1 AS treat,
+      |    epoch_us(ts) >= (SELECT mid FROM rng) AS post,
+      |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx
+      |  FROM events
+      |), agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t_pre,
+      |    CAST(SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t_post,
+      |    CAST(SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c_pre,
+      |    CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c_post,
+      |    CAST(SUM(CAST(CASE WHEN treat AND NOT post THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |      / SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) / 1e6
+      |      AS m_t_pre,
+      |    CAST(SUM(CAST(CASE WHEN treat AND post THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |      / SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) / 1e6
+      |      AS m_t_post,
+      |    CAST(SUM(CAST(CASE WHEN NOT treat AND NOT post THEN vfx
+      |      ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE)
+      |      / SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
+      |      / 1e6 AS m_c_pre,
+      |    CAST(SUM(CAST(CASE WHEN NOT treat AND post THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |      / SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) / 1e6
+      |      AS m_c_post
+      |  FROM e
+      |)
+      |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |  ROUND(m_t_pre, 6) AS m_t_pre, ROUND(m_t_post, 6) AS m_t_post,
+      |  ROUND(m_c_pre, 6) AS m_c_pre, ROUND(m_c_post, 6) AS m_c_post,
+      |  ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
+      |FROM agg""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1521,6 +1603,7 @@ object Relational7 {
     "q_km_survival"      -> kmSurvival,
     "q_logrank"          -> logrank,
     "q_rfm"              -> rfm,
+    "q_did"              -> did,
   )
 
   private val permutationFdrSql =
@@ -1609,5 +1692,6 @@ object Relational7 {
     "q_km_survival"      -> kmSurvivalSql,
     "q_logrank"          -> logrankSql,
     "q_rfm"              -> rfmSql,
+    "q_did"              -> didSql,
   )
 }
