@@ -1239,6 +1239,75 @@ object Relational7 {
       |  ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
       |FROM agg""".stripMargin
 
+  /** Zipf-law fit of the token frequency spectrum — the third member of
+    * the corpus-statistics trio (Heaps = vocabulary growth, heavy
+    * hitters = the head, Zipf = the SHAPE of the head): OLS slope of
+    * ln(tf) on ln(rank) over the top-100 tokens. Natural corpora fit
+    * slope ≈ −1; a much flatter slope flags synthetic/templated text —
+    * exactly the signal this fixture should (and does) trip. Ranks are
+    * assigned on the 100-row head by a broadcast self-join (no global
+    * window); the moment sums are decimal-exact; ln/exp follow the
+    * q_cumprod parity precedent. */
+  private val zipfFit: Q = (s, dir) => {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val top = Tables.documents(s, dir)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), col("token")).limit(100)
+      .localCheckpoint(true)
+    val other = top.select(col("tf").as("tf2"), col("token").as("tok2"))
+    val ranked = top.join(broadcast(other),
+        col("tf2") > col("tf") ||
+          (col("tf2") === col("tf") && col("tok2") < col("token")),
+        "left")
+      .groupBy("token", "tf")
+      .agg((count(col("tok2")) + 1).as("rank"))
+    val xy = ranked.select(log(col("rank").cast("double")).as("x"),
+      log(col("tf").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(Dec)).cast("double").as("sx"),
+        sum(col("y").cast(Dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(Dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(Dec)).cast("double").as("sxx"))
+      .select(col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 6)
+          .as("zipf_slope"),
+        round((col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n"))) * col("sx"))
+          / col("n"), 6).as("intercept"))
+  }
+
+  private val zipfFitSql =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS token
+      |  FROM documents
+      |), top AS (
+      |  SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1
+      |  ORDER BY tf DESC, token LIMIT 100
+      |), ranked AS (
+      |  SELECT a.token, a.tf, COUNT(b.token) + 1 AS rank
+      |  FROM top a LEFT JOIN top b
+      |    ON b.tf > a.tf OR (b.tf = a.tf AND b.token < a.token)
+      |  GROUP BY 1, 2
+      |), xy AS (
+      |  SELECT LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(tf AS DOUBLE)) AS y
+      |  FROM ranked
+      |), agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      |  FROM xy
+      |)
+      |SELECT n,
+      |  ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+      |  ROUND((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n,
+      |    6) AS intercept
+      |FROM agg""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1604,6 +1673,7 @@ object Relational7 {
     "q_logrank"          -> logrank,
     "q_rfm"              -> rfm,
     "q_did"              -> did,
+    "text_zipf_fit"      -> zipfFit,
   )
 
   private val permutationFdrSql =
@@ -1693,5 +1763,6 @@ object Relational7 {
     "q_logrank"          -> logrankSql,
     "q_rfm"              -> rfmSql,
     "q_did"              -> didSql,
+    "text_zipf_fit"      -> zipfFitSql,
   )
 }
