@@ -1308,6 +1308,119 @@ object Relational7 {
       |    6) AS intercept
       |FROM agg""".stripMargin
 
+  /** Degree assortativity of the doc graph — Newman's r: the Pearson
+    * correlation of endpoint degrees over all (directed-both-ways)
+    * edges. Positive = hubs link hubs (social nets), negative = hubs
+    * link leaves (infrastructure); it decides whether hub-removal or
+    * periphery-sampling strategies make sense on this graph. One degree
+    * aggregate + one keyed join of degrees onto edges + exact integer
+    * moment sums (degrees are small ints, so Σd², Σd·d' etc. stay well
+    * inside long range at any edge count via decimal casts). */
+  private val assortativity: Q = (s, dir) => {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e0 = Relational4.docEdges(s, dir)
+    val edges = e0.select(col("u"), col("v"))
+      .union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("u"), col("deg").as("du"))
+    val dv = deg.select(col("u").as("v"), col("deg").as("dv"))
+    val j = edges.join(du, "u").join(dv, "v")
+    j.agg(count(lit(1)).as("m"),
+        sum(col("du").cast(Dec)).cast("double").as("sx"),
+        sum(col("dv").cast(Dec)).cast("double").as("sy"),
+        sum((col("du") * col("dv")).cast(Dec)).cast("double").as("sxy"),
+        sum((col("du") * col("du")).cast(Dec)).cast("double").as("sxx"),
+        sum((col("dv") * col("dv")).cast(Dec)).cast("double").as("syy"))
+      .select(col("m"),
+        round((col("sxy") - col("sx") * col("sy") / col("m")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("m")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("m"))), 6)
+          .as("assortativity"))
+  }
+
+  private val assortativitySql =
+    s"""WITH ${Relational4.docEdgesCte},
+       |ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT u, COUNT(*) AS deg FROM ed GROUP BY 1),
+       |j AS (
+       |  SELECT a.deg AS du, b.deg AS dv
+       |  FROM ed JOIN deg a ON a.u = ed.u JOIN deg b ON b.u = ed.v
+       |), agg AS (
+       |  SELECT COUNT(*) AS m,
+       |    CAST(SUM(CAST(du AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS DOUBLE) AS syy
+       |  FROM j
+       |)
+       |SELECT m,
+       |  ROUND((sxy - sx * sy / m) /
+       |    (SQRT(sxx - sx * sx / m) * SQRT(syy - sy * sy / m)), 6)
+       |    AS assortativity
+       |FROM agg""".stripMargin
+
+  /** Token burstiness (Church–Gale): variance-to-mean ratio of a token's
+    * per-document counts over the whole corpus. VMR ≈ 1 = Poisson
+    * (function words); VMR ≫ 1 = bursty content words; an
+    * anomalously bursty head token flags keyword stuffing / template
+    * spam. Per-token moments come from ONE (token, doc) count aggregate
+    * — Σc and Σc² with the zero-docs correction applied analytically
+    * (docs where the token is absent contribute 0 to both sums, so only
+    * N_docs is needed), never a dense token×doc matrix. Top-20 by VMR
+    * among tokens appearing in ≥ 20 docs, fixed-point tie-safe rank. */
+  private val burstiness: Q = (s, dir) => {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val td = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    val mom = td.groupBy("token").agg(
+      count(lit(1)).as("n_docs_present"),
+      sum(col("c").cast(Dec)).cast("double").as("sc"),
+      sum((col("c") * col("c")).cast(Dec)).cast("double").as("scc"))
+    // mean/variance over ALL docs (absent docs contribute zeros)
+    val withVmr = mom.filter(col("n_docs_present") >= 20)
+      .withColumn("mean_c", col("sc") / nDocs)
+      .withColumn("var_c", (col("scc") - col("sc") * col("sc") / nDocs)
+        / (nDocs - 1))
+      .withColumn("vmr", col("var_c") / col("mean_c"))
+    withVmr.select(col("token"), col("n_docs_present"),
+        round(col("mean_c"), 6).as("mean_c"),
+        round(col("vmr"), 6).as("vmr"),
+        round(col("vmr") * 1e6, 0).cast("long").as("fx"))
+      .orderBy(desc("fx"), col("token")).limit(20)
+      .drop("fx")
+  }
+
+  private val burstinessSql =
+    """WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+      |td AS (
+      |  SELECT token, doc_id, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |      x -> x <> '')) AS token
+      |    FROM documents
+      |  ) GROUP BY 1, 2
+      |), mom AS (
+      |  SELECT token, COUNT(*) AS n_docs_present,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS scc
+      |  FROM td GROUP BY 1
+      |), v AS (
+      |  SELECT token, n_docs_present,
+      |    sc / (SELECT n FROM nd) AS mean_c,
+      |    ((scc - sc * sc / (SELECT n FROM nd))
+      |      / ((SELECT n FROM nd) - 1))
+      |      / (sc / (SELECT n FROM nd)) AS vmr
+      |  FROM mom WHERE n_docs_present >= 20
+      |)
+      |SELECT token, n_docs_present, ROUND(mean_c, 6) AS mean_c,
+      |  ROUND(vmr, 6) AS vmr
+      |FROM v
+      |ORDER BY CAST(ROUND(vmr * 1e6, 0) AS BIGINT) DESC, token
+      |LIMIT 20""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1674,6 +1787,8 @@ object Relational7 {
     "q_rfm"              -> rfm,
     "q_did"              -> did,
     "text_zipf_fit"      -> zipfFit,
+    "q_assortativity"    -> assortativity,
+    "text_burstiness"    -> burstiness,
   )
 
   private val permutationFdrSql =
@@ -1764,5 +1879,7 @@ object Relational7 {
     "q_rfm"              -> rfmSql,
     "q_did"              -> didSql,
     "text_zipf_fit"      -> zipfFitSql,
+    "q_assortativity"    -> assortativitySql,
+    "text_burstiness"    -> burstinessSql,
   )
 }
