@@ -1421,6 +1421,134 @@ object Relational7 {
       |ORDER BY CAST(ROUND(vmr * 1e6, 0) AS BIGINT) DESC, token
       |LIMIT 20""".stripMargin
 
+  /** Restricted-mean survival time horizon (hours). One week: the
+    * standard reporting window for conversion latency. */
+  private val RmstTau = 168
+
+  /** Per-arm RMST and median survival — the effect-SIZE companion to
+    * [[logrank]]'s p-value (and the correct "average conversion latency
+    * under censoring": a naive mean of min(T, τ) over users is biased by
+    * censoring; the area under the KM curve is not). For each parity arm:
+    * S_g as in [[kmSurvival]], RMST(τ) = Σ_{h<τ} S_g(h) over an hourly
+    * spine (as-of join of each spine hour to the last event hour ≤ h —
+    * bounded frames throughout), and the median = first hour with
+    * S ≤ 0.5 (−1 when the curve never crosses). */
+  private val rmst: Q = (s, dir) => {
+    val hourUs = 3600000000L
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("tconv"),
+        max(unix_micros(col("ts"))).as("tmax"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+        col("tconv").isNotNull.as("converted"),
+        expr(s"(coalesce(tconv, tmax) - t0) div $hourUs").as("dur_hr"))
+    val g2 = perUser.groupBy("arm", "dur_hr").agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("dc"))
+      .localCheckpoint(true)
+    val armRows = g2.select(col("arm").as("a2"), col("dur_hr").as("h2"),
+      col("dc").as("dc2"))
+    val risk = g2.join(broadcast(armRows),
+        col("a2") === col("arm") && col("h2") >= col("dur_hr"))
+      .groupBy("arm", "dur_hr", "d").agg(sum("dc2").as("n_risk"))
+    val terms = risk.select(col("arm"), col("dur_hr"),
+      when(col("d") === col("n_risk"), lit(0.0))
+        .otherwise(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+        .as("lnterm"),
+      (col("d") === col("n_risk")).cast("int").as("zero"))
+    val tother = terms.select(col("arm").as("a3"), col("dur_hr").as("h3"),
+      col("lnterm").as("lt3"), col("zero").as("z3"))
+    val surv = risk.join(broadcast(tother),
+        col("a3") === col("arm") && col("h3") <= col("dur_hr"))
+      .groupBy("arm", "dur_hr")
+      .agg(sum(col("lt3").cast(Dec)).cast("double").as("cumln"),
+        max(col("z3")).as("anyzero"))
+      .select(col("arm"), col("dur_hr"),
+        when(col("anyzero") === 1, lit(0.0))
+          .otherwise(exp(col("cumln"))).as("s"))
+      .localCheckpoint(true)
+    val arms = surv.select(col("arm").as("sa")).distinct()
+    val spine = arms.crossJoin(broadcast(
+      s.range(0, RmstTau).select(col("id").as("h"))))
+    // as-of: S at spine hour h = S of the last event hour <= h (1.0
+    // before the first event hour)
+    val sAt = spine.join(broadcast(surv),
+        col("arm") === col("sa") && col("dur_hr") <= col("h"), "left")
+      .groupBy(col("sa").as("arm"), col("h"))
+      .agg(coalesce(max_by(col("s"), col("dur_hr")), lit(1.0)).as("sh"))
+    val rmstCol = sAt.groupBy("arm")
+      .agg(sum(col("sh").cast(Dec)).cast("double").as("rmst_hr"))
+    val med = surv.filter(col("s") <= 0.5)
+      .groupBy("arm").agg(min(col("dur_hr")).as("median_hr"))
+    val nUsers = perUser.groupBy("arm").agg(count(lit(1)).as("n_users"))
+    nUsers.join(rmstCol, "arm").join(med, Seq("arm"), "left")
+      .select(col("arm"), col("n_users"),
+        round(col("rmst_hr"), 6).as("rmst_hr"),
+        coalesce(col("median_hr"), lit(-1L)).as("median_hr"))
+      .orderBy("arm")
+  }
+
+  private val rmstSql =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    MIN(epoch_us(ts)) AS t0,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |      AS tconv,
+       |    MAX(epoch_us(ts)) AS tmax
+       |  FROM events GROUP BY 1
+       |), dur AS (
+       |  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+       |    tconv IS NOT NULL AS converted,
+       |    (COALESCE(tconv, tmax) - t0) // 3600000000 AS dur_hr
+       |  FROM pu
+       |), g2 AS (
+       |  SELECT arm, dur_hr,
+       |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    COUNT(*) AS dc
+       |  FROM dur GROUP BY 1, 2
+       |), risk AS (
+       |  SELECT g.arm, g.dur_hr, g.d, CAST(SUM(o.dc) AS BIGINT) AS n_risk
+       |  FROM g2 g JOIN g2 o ON o.arm = g.arm AND o.dur_hr >= g.dur_hr
+       |  GROUP BY 1, 2, 3
+       |), terms AS (
+       |  SELECT arm, dur_hr,
+       |    CASE WHEN d = n_risk THEN 0.0
+       |      ELSE LN(1.0 - CAST(d AS DOUBLE) / n_risk) END AS lnterm,
+       |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zero
+       |  FROM risk
+       |), surv AS (
+       |  SELECT r.arm, r.dur_hr,
+       |    CASE WHEN MAX(t.zero) = 1 THEN 0.0
+       |      ELSE EXP(CAST(SUM(CAST(t.lnterm AS DECIMAL(38,12)))
+       |        AS DOUBLE)) END AS s
+       |  FROM risk r JOIN terms t ON t.arm = r.arm AND t.dur_hr <= r.dur_hr
+       |  GROUP BY r.arm, r.dur_hr
+       |), spine AS (
+       |  SELECT a.arm, h FROM (SELECT DISTINCT arm FROM surv) a
+       |  CROSS JOIN (SELECT unnest(range(0, $RmstTau)) AS h)
+       |), s_at AS (
+       |  SELECT sp.arm, sp.h,
+       |    COALESCE(arg_max(sv.s, sv.dur_hr), 1.0) AS sh
+       |  FROM spine sp LEFT JOIN surv sv
+       |    ON sv.arm = sp.arm AND sv.dur_hr <= sp.h
+       |  GROUP BY 1, 2
+       |), rm AS (
+       |  SELECT arm, CAST(SUM(CAST(sh AS DECIMAL(38,12))) AS DOUBLE)
+       |    AS rmst_hr
+       |  FROM s_at GROUP BY 1
+       |), med AS (
+       |  SELECT arm, MIN(dur_hr) AS median_hr FROM surv
+       |  WHERE s <= 0.5 GROUP BY 1
+       |), nu AS (SELECT arm, COUNT(*) AS n_users FROM dur GROUP BY 1)
+       |SELECT nu.arm, nu.n_users, ROUND(rm.rmst_hr, 6) AS rmst_hr,
+       |  COALESCE(med.median_hr, -1) AS median_hr
+       |FROM nu JOIN rm ON rm.arm = nu.arm
+       |LEFT JOIN med ON med.arm = nu.arm
+       |ORDER BY nu.arm""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1789,6 +1917,7 @@ object Relational7 {
     "text_zipf_fit"      -> zipfFit,
     "q_assortativity"    -> assortativity,
     "text_burstiness"    -> burstiness,
+    "q_rmst"             -> rmst,
   )
 
   private val permutationFdrSql =
@@ -1881,5 +2010,6 @@ object Relational7 {
     "text_zipf_fit"      -> zipfFitSql,
     "q_assortativity"    -> assortativitySql,
     "text_burstiness"    -> burstinessSql,
+    "q_rmst"             -> rmstSql,
   )
 }
