@@ -1549,6 +1549,63 @@ object Relational7 {
        |LEFT JOIN med ON med.arm = nu.arm
        |ORDER BY nu.arm""".stripMargin
 
+  /** Deterministic hard-negative mining for contrastive training — the
+    * dataset-construction op a retrieval/embedding trainer runs after
+    * dedup: for each anchor document, pick the 4 most CONFUSABLE
+    * non-duplicates (same language, closest length) as negatives. Easy
+    * negatives (random docs) teach a model nothing; near-dup "negatives"
+    * poison it — so candidates block on (lang, length-bucket), exclude
+    * exact duplicates by text digest, and rank by |Δn_chars| with an
+    * md5 tiebreak so the mined set is a pure function of the corpus.
+    * The join is block-bucketed (never all-pairs); the per-anchor rank
+    * partitions on the anchor. Anchors subsample doc_id ≡ 0 (mod 5) to
+    * bound the output like the other pair reports. */
+  private val hardNegatives: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"),
+        expr("n_chars div 50").as("bkt"))
+      .localCheckpoint(true)
+    val anchors = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("anchor"), col("lang"),
+        col("n_chars").as("alen"), col("h").as("ah"), col("bkt"))
+    val cands = d.select(col("doc_id").as("neg"), col("lang"),
+      col("n_chars").as("nlen"), col("h").as("nh"), col("bkt"))
+    val paired = anchors.join(cands, Seq("lang", "bkt"))
+      .filter(col("anchor") =!= col("neg") && col("ah") =!= col("nh"))
+      .select(col("anchor"), col("neg"),
+        abs(col("alen") - col("nlen")).as("dn"),
+        md5(concat(col("anchor").cast("string"), lit("|"),
+          col("neg").cast("string"))).as("tie"))
+    val w = Window.partitionBy("anchor").orderBy(col("dn"), col("tie"))
+    paired.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select(col("anchor"), col("rk").cast("long").as("rk"),
+        col("neg"), col("dn"))
+      .orderBy("anchor", "rk")
+  }
+
+  private val hardNegativesSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars, md5(text) AS h,
+      |    n_chars // 50 AS bkt
+      |  FROM documents
+      |), paired AS (
+      |  SELECT a.doc_id AS anchor, c.doc_id AS neg,
+      |    ABS(a.n_chars - c.n_chars) AS dn,
+      |    md5(CAST(a.doc_id AS VARCHAR) || '|'
+      |      || CAST(c.doc_id AS VARCHAR)) AS tie
+      |  FROM d a JOIN d c ON c.lang = a.lang AND c.bkt = a.bkt
+      |    AND c.doc_id <> a.doc_id AND c.h <> a.h
+      |  WHERE a.doc_id % 5 = 0
+      |), ranked AS (
+      |  SELECT anchor, neg, dn,
+      |    row_number() OVER (PARTITION BY anchor ORDER BY dn, tie) AS rk
+      |  FROM paired
+      |)
+      |SELECT anchor, CAST(rk AS BIGINT) AS rk, neg, dn
+      |FROM ranked WHERE rk <= 4 ORDER BY anchor, rk""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1918,6 +1975,7 @@ object Relational7 {
     "q_assortativity"    -> assortativity,
     "text_burstiness"    -> burstiness,
     "q_rmst"             -> rmst,
+    "sim_hard_negatives" -> hardNegatives,
   )
 
   private val permutationFdrSql =
@@ -2011,5 +2069,6 @@ object Relational7 {
     "q_assortativity"    -> assortativitySql,
     "text_burstiness"    -> burstinessSql,
     "q_rmst"             -> rmstSql,
+    "sim_hard_negatives" -> hardNegativesSql,
   )
 }
