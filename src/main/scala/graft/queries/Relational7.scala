@@ -1606,6 +1606,72 @@ object Relational7 {
       |SELECT anchor, CAST(rk AS BIGINT) AS rk, neg, dn
       |FROM ranked WHERE rk <= 4 ORDER BY anchor, rk""".stripMargin
 
+  /** Masking-rate numerator: mask a position when its md5 draw falls
+    * below MlmRate/MlmRateDen of the 32-bit space (exact integer
+    * threshold — no float compare). */
+  private val MlmRate = 15
+  private val MlmRateDen = 100
+
+  /** Deterministic MLM masking plan — the span-corruption layout step of
+    * an MLM/T5 pretraining pipeline, as data: each token position is
+    * masked when its seeded md5 draw clears the 15% integer threshold,
+    * and consecutive masked positions merge into spans (the islands
+    * trick, per-doc windows). The plan is a pure function of
+    * (doc_id, position), so re-running a shard — or recovering a failed
+    * one — regenerates the identical corruption without storing it; the
+    * report gives per-doc masked counts and span structure. */
+  private val mlmPlan: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val pos = d.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_tokens"))).as("p"))
+      .withColumn("u", conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit("|"), col("p").cast("string"))),
+        1, 8), 16, 10).cast("long"))
+      .withColumn("masked",
+        (col("u") * MlmRateDen < lit(MlmRate) * lit(4294967296L))
+          .cast("int"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = pos
+      .withColumn("newSpan", when(col("masked") === 1 &&
+        coalesce(lag(col("masked"), 1).over(w), lit(0)) === 0, 1L)
+        .otherwise(0L))
+    spans.groupBy("doc_id", "n_tokens").agg(
+        sum(col("masked").cast("long")).as("n_masked"),
+        sum(col("newSpan")).as("n_spans"))
+      .withColumn("mask_ppm",
+        expr("n_masked * 1000000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val mlmPlanSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, n_tokens, CAST(p AS BIGINT) AS p,
+       |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |        || '|' || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        * $MlmRateDen < $MlmRate * 4294967296 THEN 1 ELSE 0 END
+       |      AS masked
+       |  FROM d, LATERAL unnest(range(1, n_tokens + 1)) AS u(p)
+       |  WHERE n_tokens > 0
+       |), spans AS (
+       |  SELECT pos.*, CASE WHEN masked = 1 AND COALESCE(
+       |      lag(masked) OVER (PARTITION BY doc_id ORDER BY p), 0) = 0
+       |    THEN 1 ELSE 0 END AS newSpan
+       |  FROM pos
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CAST(SUM(masked) AS BIGINT) AS n_masked,
+       |  CAST(SUM(newSpan) AS BIGINT) AS n_spans,
+       |  (CAST(SUM(masked) AS BIGINT) * 1000000) // n_tokens AS mask_ppm
+       |FROM spans GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -1976,6 +2042,7 @@ object Relational7 {
     "text_burstiness"    -> burstiness,
     "q_rmst"             -> rmst,
     "sim_hard_negatives" -> hardNegatives,
+    "text_mlm_plan"      -> mlmPlan,
   )
 
   private val permutationFdrSql =
@@ -2070,5 +2137,6 @@ object Relational7 {
     "text_burstiness"    -> burstinessSql,
     "q_rmst"             -> rmstSql,
     "sim_hard_negatives" -> hardNegativesSql,
+    "text_mlm_plan"      -> mlmPlanSql,
   )
 }
