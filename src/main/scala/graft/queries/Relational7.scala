@@ -1672,6 +1672,64 @@ object Relational7 {
        |  (CAST(SUM(masked) AS BIGINT) * 1000000) // n_tokens AS mask_ppm
        |FROM spans GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Global clustering coefficient — 3·triangles / wedges, the one-row
+    * transitivity summary over [[Relational4]]'s per-node triangle
+    * machinery: wedges come from the degree distribution alone
+    * (Σ d(d−1)/2, one aggregate), triangles from the degree-ordered
+    * orientation count (the m^1.5-bounded plan q_triangles already
+    * proves out) — so the summary inherits the celebrity-vertex-safe
+    * shape instead of re-enumerating paths. */
+  private val clusteringCoef: Q = (s, dir) => {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = Relational4.docEdges(s, dir)
+    val deg = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(sum((col("deg") * (col("deg") - 1) / 2)
+      .cast(Dec)).cast("long").as("wedges"))
+    // degree-ordered orientation (the q_triangles plan), counted once
+    val du = deg.select(col("id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(oriented,
+        (col("b") === col("src") && col("c") === col("dst")) ||
+          (col("c") === col("src") && col("b") === col("dst")),
+        "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+    tri.crossJoin(wedges)
+      .select(col("triangles"), col("wedges"),
+        round(col("triangles") * 3.0 / col("wedges"), 6)
+          .as("clustering_coef"))
+  }
+
+  private val clusteringCoefSql =
+    s"""WITH ${Relational4.docEdgesCte},
+       |ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT u AS id, COUNT(*) AS deg FROM ed GROUP BY 1),
+       |wedges AS (
+       |  SELECT CAST(SUM(CAST(deg * (deg - 1) / 2 AS DECIMAL(38,0)))
+       |    AS BIGINT) AS wedges
+       |  FROM deg
+       |), tri AS (
+       |  SELECT COUNT(*) AS triangles FROM (
+       |    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |    FROM e e1 JOIN e e2 ON e2.u = e1.v
+       |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+       |  )
+       |)
+       |SELECT triangles, wedges,
+       |  ROUND(triangles * 3.0 / wedges, 6) AS clustering_coef
+       |FROM tri, wedges""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -2043,6 +2101,7 @@ object Relational7 {
     "q_rmst"             -> rmst,
     "sim_hard_negatives" -> hardNegatives,
     "text_mlm_plan"      -> mlmPlan,
+    "q_clustering_coef"  -> clusteringCoef,
   )
 
   private val permutationFdrSql =
@@ -2138,5 +2197,6 @@ object Relational7 {
     "q_rmst"             -> rmstSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "text_mlm_plan"      -> mlmPlanSql,
+    "q_clustering_coef"  -> clusteringCoefSql,
   )
 }
