@@ -1730,6 +1730,82 @@ object Relational7 {
        |  ROUND(triangles * 3.0 / wedges, 6) AS clustering_coef
        |FROM tri, wedges""".stripMargin
 
+  /** Inverse-propensity-weighted treatment effect — the observational
+    * causal estimator that complements [[did]] (DiD needs a time
+    * dimension; IPW needs a confounder model): propensity is estimated
+    * per stratum (event_type here) as the exact fraction
+    * p̂ = n_treat/n, each unit is weighted 1/p̂ (treated) or 1/(1−p̂)
+    * (control), and the ATE is the difference of weighted outcome
+    * means. Propensities are exact rationals of integer counts, so
+    * each per-row weighted term is one identical IEEE sequence in both
+    * engines, decimal-quantized before the (order-free) sum — the
+    * standard hash-exactness recipe. One stratum aggregate broadcast
+    * back over the scan. */
+  private val ipw: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      (pmod(col("user_id"), lit(2)) === 1).as("treat"),
+      round(col("value") * 1e6, 0).cast("long").as("vfx"))
+    val strata = ev.groupBy("event_type").agg(
+        sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("n"))
+      .withColumn("nc", col("n") - col("nt"))
+    // weight for a treated unit is n/nt, control n/nc — keep the
+    // numerator (n·vfx or n·1) in DECIMAL and divide by the integer
+    // stratum count inside the final ratio, so sums stay exact
+    val j = ev.join(broadcast(strata), "event_type")
+    def wsum(cond: org.apache.spark.sql.Column,
+             num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column) =
+      sum(when(cond, num.cast("double") * col("n") / den)
+        .otherwise(lit(0.0)).cast(
+          org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double")
+    val agg = j.agg(
+      wsum(col("treat"), col("vfx"), col("nt")).as("swy_t"),
+      wsum(col("treat"), lit(1L), col("nt")).as("sw_t"),
+      wsum(!col("treat"), col("vfx"), col("nc")).as("swy_c"),
+      wsum(!col("treat"), lit(1L), col("nc")).as("sw_c"))
+    agg.select(
+      round(col("swy_t") / col("sw_t") / 1e6, 6).as("mean_treated"),
+      round(col("swy_c") / col("sw_c") / 1e6, 6).as("mean_control"),
+      round((col("swy_t") / col("sw_t") - col("swy_c") / col("sw_c"))
+        / 1e6, 6).as("ate"))
+  }
+
+  private val ipwSql =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 = 1 AS treat,
+      |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx
+      |  FROM events
+      |), strata AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    COUNT(*) AS n
+      |  FROM e GROUP BY 1
+      |), j AS (
+      |  SELECT e.*, s.nt, s.n, s.n - s.nt AS nc
+      |  FROM e JOIN strata s USING (event_type)
+      |), agg AS (
+      |  SELECT
+      |    CAST(SUM(CAST(CASE WHEN treat
+      |      THEN CAST(vfx AS DOUBLE) * n / nt ELSE 0.0 END
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS swy_t,
+      |    CAST(SUM(CAST(CASE WHEN treat
+      |      THEN CAST(1 AS DOUBLE) * n / nt ELSE 0.0 END
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS sw_t,
+      |    CAST(SUM(CAST(CASE WHEN NOT treat
+      |      THEN CAST(vfx AS DOUBLE) * n / nc ELSE 0.0 END
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS swy_c,
+      |    CAST(SUM(CAST(CASE WHEN NOT treat
+      |      THEN CAST(1 AS DOUBLE) * n / nc ELSE 0.0 END
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS sw_c
+      |  FROM j
+      |)
+      |SELECT ROUND(swy_t / sw_t / 1e6, 6) AS mean_treated,
+      |  ROUND(swy_c / sw_c / 1e6, 6) AS mean_control,
+      |  ROUND((swy_t / sw_t - swy_c / sw_c) / 1e6, 6) AS ate
+      |FROM agg""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -2102,6 +2178,7 @@ object Relational7 {
     "sim_hard_negatives" -> hardNegatives,
     "text_mlm_plan"      -> mlmPlan,
     "q_clustering_coef"  -> clusteringCoef,
+    "q_ipw_ate"          -> ipw,
   )
 
   private val permutationFdrSql =
@@ -2198,5 +2275,6 @@ object Relational7 {
     "sim_hard_negatives" -> hardNegativesSql,
     "text_mlm_plan"      -> mlmPlanSql,
     "q_clustering_coef"  -> clusteringCoefSql,
+    "q_ipw_ate"          -> ipwSql,
   )
 }
