@@ -1806,6 +1806,67 @@ object Relational7 {
       |  ROUND((swy_t / sw_t - swy_c / sw_c) / 1e6, 6) AS ate
       |FROM agg""".stripMargin
 
+  /** Exact-cell matching ATT — the third member of the causal trio
+    * (DiD = time dimension, IPW = reweighting, matching = direct
+    * comparison): every treated unit is compared to the mean control
+    * outcome in its exact (event_type, hour) confounder cell, and
+    * treated units in cells with NO controls are reported as unmatched
+    * instead of silently imputed — the honesty property matching has
+    * over regression. Control cell means are rationals of decimal-exact
+    * sums; the ATT accumulates decimal-quantized per-unit differences.
+    * One cell aggregate + one broadcast join back over the treated
+    * scan. */
+  private val matchingAtt: Q = (s, dir) => {
+    val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      hour(col("ts")).cast("int").as("hr"),
+      (pmod(col("user_id"), lit(2)) === 1).as("treat"),
+      round(col("value") * 1e6, 0).cast("long").as("vfx"))
+    val cells = ev.filter(!col("treat"))
+      .groupBy("event_type", "hr")
+      .agg(sum(col("vfx").cast(Dec0)).cast("double").as("sc"),
+        count(lit(1)).as("nc"))
+    val t = ev.filter(col("treat"))
+      .join(broadcast(cells), Seq("event_type", "hr"), "left")
+    t.agg(count(lit(1)).as("n_treated"),
+        sum(when(col("nc").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("nc").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        sum(when(col("nc").isNotNull,
+          (col("vfx").cast("double") - col("sc") / col("nc")).cast(Dec6))
+          .otherwise(lit(null))).cast("double").as("sdiff"))
+      .select(col("n_treated"), col("n_matched"), col("n_unmatched"),
+        round(col("sdiff") / col("n_matched") / 1e6, 6).as("att"))
+  }
+
+  private val matchingAttSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+      |    user_id % 2 = 1 AS treat,
+      |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, hr,
+      |    CAST(SUM(CAST(vfx AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+      |    COUNT(*) AS nc
+      |  FROM e WHERE NOT treat GROUP BY 1, 2
+      |), t AS (
+      |  SELECT e.vfx, c.sc, c.nc
+      |  FROM e LEFT JOIN cells c USING (event_type, hr)
+      |  WHERE e.treat
+      |)
+      |SELECT COUNT(*) AS n_treated,
+      |  CAST(SUM(CASE WHEN nc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_matched,
+      |  CAST(SUM(CASE WHEN nc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched,
+      |  ROUND(CAST(SUM(CASE WHEN nc IS NOT NULL THEN
+      |      CAST(CAST(vfx AS DOUBLE) - sc / nc AS DECIMAL(38,6))
+      |    END) AS DOUBLE)
+      |    / SUM(CASE WHEN nc IS NOT NULL THEN 1 ELSE 0 END) / 1e6, 6)
+      |    AS att
+      |FROM t""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -2179,6 +2240,7 @@ object Relational7 {
     "text_mlm_plan"      -> mlmPlan,
     "q_clustering_coef"  -> clusteringCoef,
     "q_ipw_ate"          -> ipw,
+    "q_matching_att"     -> matchingAtt,
   )
 
   private val permutationFdrSql =
@@ -2276,5 +2338,6 @@ object Relational7 {
     "text_mlm_plan"      -> mlmPlanSql,
     "q_clustering_coef"  -> clusteringCoefSql,
     "q_ipw_ate"          -> ipwSql,
+    "q_matching_att"     -> matchingAttSql,
   )
 }
