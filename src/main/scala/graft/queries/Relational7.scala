@@ -1867,6 +1867,59 @@ object Relational7 {
       |    AS att
       |FROM t""".stripMargin
 
+  /** Effective sample size of the IPW weights — Kish's
+    * ESS = (Σw)²/Σw² per arm, the standard "are my weights degenerate"
+    * diagnostic that should gate any [[ipw]] readout: an ESS ratio near
+    * 1 means the reweighting cost nothing; a collapsed ratio means a
+    * near-empty propensity cell is dominating and the estimate is one
+    * stratum in disguise. Same exact rational weights as q_ipw_ate,
+    * decimal-quantized sums, one stratum broadcast + one aggregate. */
+  private val ipwEss: Q = (s, dir) => {
+    val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      (pmod(col("user_id"), lit(2)) === 1).as("treat"))
+    val strata = ev.groupBy("event_type").agg(
+        sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("n"))
+      .withColumn("nc", col("n") - col("nt"))
+    val j = ev.join(broadcast(strata), "event_type")
+      .select(col("treat").cast("int").as("arm"),
+        when(col("treat"), col("n").cast("double") / col("nt"))
+          .otherwise(col("n").cast("double") / col("nc")).as("w"))
+    j.groupBy("arm").agg(count(lit(1)).as("n_rows"),
+        sum(col("w").cast(Dec6)).cast("double").as("sw"),
+        sum((col("w") * col("w")).cast(Dec6)).cast("double").as("sww"))
+      .select(col("arm"), col("n_rows"),
+        round(col("sw") * col("sw") / col("sww"), 6).as("ess"),
+        round(col("sw") * col("sw") / col("sww") / col("n_rows"), 6)
+          .as("ess_ratio"))
+      .orderBy("arm")
+  }
+
+  private val ipwEssSql =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 = 1 AS treat FROM events
+      |), strata AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    COUNT(*) AS n
+      |  FROM e GROUP BY 1
+      |), j AS (
+      |  SELECT CAST(e.treat AS INTEGER) AS arm,
+      |    CASE WHEN e.treat THEN CAST(s.n AS DOUBLE) / s.nt
+      |      ELSE CAST(s.n AS DOUBLE) / (s.n - s.nt) END AS w
+      |  FROM e JOIN strata s USING (event_type)
+      |)
+      |SELECT arm, COUNT(*) AS n_rows,
+      |  ROUND(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+      |    * CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE), 6) AS ess,
+      |  ROUND(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+      |    * CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)
+      |    / COUNT(*), 6) AS ess_ratio
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -2241,6 +2294,7 @@ object Relational7 {
     "q_clustering_coef"  -> clusteringCoef,
     "q_ipw_ate"          -> ipw,
     "q_matching_att"     -> matchingAtt,
+    "q_ipw_ess"          -> ipwEss,
   )
 
   private val permutationFdrSql =
@@ -2339,5 +2393,6 @@ object Relational7 {
     "q_clustering_coef"  -> clusteringCoefSql,
     "q_ipw_ate"          -> ipwSql,
     "q_matching_att"     -> matchingAttSql,
+    "q_ipw_ess"          -> ipwEssSql,
   )
 }
