@@ -1920,6 +1920,94 @@ object Relational7 {
       |    / COUNT(*), 6) AS ess_ratio
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Doubly-robust (AIPW) treatment effect — the estimator that stays
+    * consistent if EITHER the propensity model or the outcome model is
+    * right (here both are exact cell tables over (event_type, hour), so
+    * the two single-model estimators and this one cross-validate):
+    * ψ = [T(y−m̂₁)/p̂ + m̂₁] − [(1−T)(y−m̂₀)/(1−p̂) + m̂₀], ATE = mean ψ.
+    * Cells missing an arm are dropped and REPORTED (n_dropped), not
+    * imputed. Cell models and propensities are rationals of exact
+    * integer sums; ψ is one identical IEEE sequence per row,
+    * decimal-quantized before the order-free sum. */
+  private val aipw: Q = (s, dir) => {
+    val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      hour(col("ts")).cast("int").as("hr"),
+      (pmod(col("user_id"), lit(2)) === 1).as("treat"),
+      round(col("value") * 1e6, 0).cast("long").as("vfx"))
+    val cells = ev.groupBy("event_type", "hr").agg(
+        sum(when(col("treat"), col("vfx")).otherwise(0L).cast(Dec0))
+          .cast("double").as("s1"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("treat"), col("vfx")).otherwise(0L).cast(Dec0))
+          .cast("double").as("s0"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n0"))
+      .filter(col("n1") > 0 && col("n0") > 0)
+      .select(col("event_type"), col("hr"),
+        (col("s1") / col("n1")).as("m1"),
+        (col("s0") / col("n0")).as("m0"),
+        (col("n1").cast("double") / (col("n1") + col("n0"))).as("p"))
+    val j = ev.join(broadcast(cells), Seq("event_type", "hr"), "left")
+    val psi = when(col("treat"),
+        (col("vfx").cast("double") - col("m1")) / col("p") + col("m1"))
+      .otherwise(col("m1")) -
+      (when(!col("treat"),
+        (col("vfx").cast("double") - col("m0")) / (lit(1.0) - col("p"))
+          + col("m0"))
+        .otherwise(col("m0")))
+    j.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("m1").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("m1").isNotNull, psi.cast(Dec6))
+          .otherwise(lit(null))).cast("double").as("spsi"),
+        sum(when(col("m1").isNotNull, 1L).otherwise(0L)).as("n_used"))
+      .select(col("n_rows"), col("n_used"), col("n_dropped"),
+        round(col("spsi") / col("n_used") / 1e6, 6).as("ate_dr"))
+  }
+
+  private val aipwSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+      |    user_id % 2 = 1 AS treat,
+      |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, hr,
+      |    CAST(SUM(CAST(CASE WHEN treat THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CAST(CASE WHEN NOT treat THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS DOUBLE) AS s0,
+      |    CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0
+      |  FROM e GROUP BY 1, 2
+      |), mdl AS (
+      |  SELECT event_type, hr, s1 / n1 AS m1, s0 / n0 AS m0,
+      |    CAST(n1 AS DOUBLE) / (n1 + n0) AS p
+      |  FROM cells WHERE n1 > 0 AND n0 > 0
+      |), j AS (
+      |  SELECT e.treat, e.vfx, m.m1, m.m0, m.p
+      |  FROM e LEFT JOIN mdl m USING (event_type, hr)
+      |), terms AS (
+      |  SELECT m1,
+      |    (CASE WHEN treat
+      |      THEN (CAST(vfx AS DOUBLE) - m1) / p + m1 ELSE m1 END) -
+      |    (CASE WHEN NOT treat
+      |      THEN (CAST(vfx AS DOUBLE) - m0) / (1.0 - p) + m0
+      |      ELSE m0 END) AS psi
+      |  FROM j
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_used,
+      |  CAST(SUM(CASE WHEN m1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  ROUND(CAST(SUM(CASE WHEN m1 IS NOT NULL
+      |      THEN CAST(psi AS DECIMAL(38,6)) END) AS DOUBLE)
+      |    / SUM(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END) / 1e6, 6)
+      |    AS ate_dr
+      |FROM terms""".stripMargin
+
   /** MMR trade-off weight: score = rel − λ·max-sim-to-selected. 0.5
     * balances relevance and diversity (Carbonell & Goldstein 1998). */
   private val MmrLambda = 0.5
@@ -2295,6 +2383,7 @@ object Relational7 {
     "q_ipw_ate"          -> ipw,
     "q_matching_att"     -> matchingAtt,
     "q_ipw_ess"          -> ipwEss,
+    "q_aipw_ate"         -> aipw,
   )
 
   private val permutationFdrSql =
@@ -2394,5 +2483,6 @@ object Relational7 {
     "q_ipw_ate"          -> ipwSql,
     "q_matching_att"     -> matchingAttSql,
     "q_ipw_ess"          -> ipwEssSql,
+    "q_aipw_ate"         -> aipwSql,
   )
 }
