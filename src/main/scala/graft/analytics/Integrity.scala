@@ -26,6 +26,11 @@ object Integrity {
         // integer division (Spark `/` is always double; a double→long
         // cast truncates in Spark but rounds in DuckDB — the Benford
         // parity trap), so the ppm stays a BIGINT in both engines
-        expr("n_orphans * 1000000 div n_rows").as("orphan_ppm"))
+        // empty-fact guard: div by 0 is NULL in Spark but an error in
+        // DuckDB's `//` — a NULL ppm would also silently pass any
+        // `ppm <= budget` gate. An empty fact has zero orphans → 0 ppm.
+        when(col("n_rows") === 0, 0L)
+          .otherwise(expr("n_orphans * 1000000 div n_rows"))
+          .as("orphan_ppm"))
   }
 }

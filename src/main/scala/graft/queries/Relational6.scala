@@ -305,8 +305,11 @@ object Relational6 {
     * along for the demo; one hash aggregate, noise applied post-agg to
     * ONE row per group. */
   private val dpCounts: Q = (s, dir) => {
-    val u = conv(substring(md5(concat(lit("dp|"), col("event_type"))), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    // half-open offset (h+0.5)/2^32 as in q_weighted_sample/q_bootstrap_ci:
+    // u=0 would make noise = ln(0) = -Inf for a group whose first 8 md5 hex
+    // digits are all zero, deterministically breaking its released count.
+    val u = (conv(substring(md5(concat(lit("dp|"), col("event_type"))), 1, 8),
+      16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
     val c = u - lit(0.5)
     val noise = when(c < 0, log(lit(1.0) + lit(2.0) * c))
       .otherwise(-log(lit(1.0) - lit(2.0) * c))
@@ -323,10 +326,10 @@ object Relational6 {
       |  SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY 1
       |), u AS (
       |  SELECT event_type, exact_n,
-      |    CAST(list_sum(list_transform(range(1, 9), p ->
+      |    (CAST(list_sum(list_transform(range(1, 9), p ->
       |      (strpos('0123456789abcdef',
       |        substr(md5('dp|' || event_type), CAST(p AS INTEGER), 1)) - 1)
-      |      * power(16, 8 - p))) AS BIGINT) / 4294967296.0 - 0.5 AS c
+      |      * power(16, 8 - p))) AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS c
       |  FROM g
       |)
       |SELECT event_type, exact_n,
@@ -470,9 +473,10 @@ object Relational6 {
          |  (SELECT COUNT(*) FROM $fact WHERE $fk NOT IN
          |    (SELECT $pk FROM $dim)) AS n_orphans,
          |  (SELECT COUNT(*) FROM $fact) AS n_rows,
-         |  (SELECT COUNT(*) FROM $fact WHERE $fk NOT IN
-         |    (SELECT $pk FROM $dim)) * 1000000
-         |    // (SELECT COUNT(*) FROM $fact) AS orphan_ppm"""
+         |  CASE WHEN (SELECT COUNT(*) FROM $fact) = 0 THEN 0
+         |    ELSE (SELECT COUNT(*) FROM $fact WHERE $fk NOT IN
+         |      (SELECT $pk FROM $dim)) * 1000000
+         |      // (SELECT COUNT(*) FROM $fact) END AS orphan_ppm"""
         .stripMargin
     Seq(
       edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -1136,6 +1140,10 @@ object Relational6 {
         w.as("w"))
       .groupBy("event_type", "b")
       .agg(sum(col("w") * col("vfx")).as("swx"), sum(col("w")).as("sw"))
+      // an all-zero-weight replicate (p ≈ e^-n per type) has no mean; a
+      // NULL m would sort NULLS FIRST here but NULLS LAST in DuckDB,
+      // shifting every rank. Drop it in BOTH engines (same HAVING in twin).
+      .filter(col("sw") > 0)
       .select(col("event_type"), col("b"),
         (col("swx").cast("double") / col("sw") / lit(1e6)).as("m"))
     // exact interpolated p2.5/p97.5 over the 32 replicate means per type
@@ -1198,7 +1206,7 @@ object Relational6 {
        |), means AS (
        |  SELECT event_type, b,
        |    CAST(SUM(w * vfx) AS DOUBLE) / CAST(SUM(w) AS BIGINT) / 1e6 AS m
-       |  FROM wts GROUP BY 1, 2
+       |  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0
        |), ranked AS (
        |  SELECT event_type, b, m,
        |    row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rk

@@ -748,7 +748,13 @@ object Relational7 {
         val next = scala.collection.mutable.Map[String, Long]()
         for ((f, t, n) <- edges.sortBy(e => (e._1, e._2))) {
           v.get(f).foreach { m =>
-            val c = m * n / rowTot(f)
+            // 128-bit intermediate: m reaches AttrScale=1e12 (~2^40), so a
+            // plain m*n Long product would silently wrap once any transition
+            // count n exceeds ~9.2e6 (2^23) — far below 100 TB row counts.
+            // BigInt muldiv is exact at any n; the loop is codebook-sized
+            // (|channels|+3 states × 24 steps) so the cost is nil. The twin
+            // uses HUGEINT for the identical 128-bit floor division.
+            val c = (BigInt(m) * n / rowTot(f)).toLong
             if (t == "conv") conv += c
             else if (t != "null")
               next(t) = next.getOrElse(t, 0L) + c
@@ -829,7 +835,7 @@ object Relational7 {
         val p = k - 1
         s"""${v}_f$k AS MATERIALIZED (
            |  SELECT e.to_type,
-           |    CAST((pv.m * e.n) // rt.tot AS BIGINT) AS c
+           |    CAST((CAST(pv.m AS HUGEINT) * e.n) // rt.tot AS BIGINT) AS c
            |  FROM $v e
            |  JOIN (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
            |        FROM $v GROUP BY 1) rt ON rt.from_type = e.from_type
