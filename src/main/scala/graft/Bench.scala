@@ -28,7 +28,7 @@ object Bench {
     // a single run by 3-7x (a 1.7 s query has been reported at 140 s), so a
     // lone sample is not a measurement. The min over RUNS samples is robust
     // to one-sided noise — load only ever adds time, never removes it.
-    val RUNS = 2
+    val RUNS = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // Materialize through the noop sink, NOT .count(): count() lets the
     // optimizer prune every column and any final join whose other side is
     // unique on the join key — for dedup_incremental the "benchmark" plan
@@ -93,6 +93,22 @@ object Bench {
       }
     // the minimal headline line LAST: survives even a one-line tail budget
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    // ALSO write the complete per-query map to a committed file: the
+    // driver's stdout capture is tail-byte-budgeted and lost ~165 of 224
+    // per-query times in round 8 — a file is lossless at any registry size
+    // and gives dev/bench_diff.py a stable cross-round regression input.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_detail.json")
+    val qJson = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(v) else -1)
+    }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":$qJson}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
