@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // fingerprint artifacts published by mm_*_pairs queries feed the DuckDB
+    // oracle of the LAST VERIFY run — a bench at a different scale factor
+    // must not overwrite them, so benches publish to their own directory.
+    if (sys.props.get("graft.artifact.dir").isEmpty)
+      System.setProperty("graft.artifact.dir", "/tmp/graft_bench_artifacts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

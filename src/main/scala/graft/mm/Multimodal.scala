@@ -463,6 +463,29 @@ object Multimodal {
 
   val HistBins = 16
 
+  /** Directory where fingerprint tables are published for cross-engine
+    * verification. The codec half of the multimodal pipeline (BMP/WAV/AVI
+    * decode → 64-bit fingerprints) has no SQL form, but everything AFTER
+    * the fingerprint — hamming banding, hot-key caps, overlap thresholds —
+    * is pure relational logic. Publishing the fingerprint frame as parquet
+    * lets the DuckDB twin read the same integers and independently verify
+    * the pair logic (an all-pairs-free replay of the banding join), which
+    * converts the `mm_*_pairs` entries from rows-only to hash-checked.
+    * Overridable via -Dgraft.artifact.dir so a benchmark run at a different
+    * scale factor never clobbers the artifacts a verification run wrote. */
+  def artifactDir: String =
+    sys.props.getOrElse("graft.artifact.dir", "/tmp/graft_artifacts")
+
+  /** Write `df` to `artifactDir/name` (overwrite) and return the
+    * re-read materialized table — the filesystem twin of
+    * [[graft.dedup.ClusterStore]]: downstream consumers (the Spark pair
+    * join AND the DuckDB oracle) both feed from the same published leaf. */
+  def publishFingerprints(df: DataFrame, name: String): DataFrame = {
+    val path = s"$artifactDir/$name"
+    df.coalesce(4).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Perceptual hashes of the image rows: decode the BMP per partition,
     * compute [[Codecs.aHash]]/[[Codecs.dHash]] — the near-dup fingerprint
     * leg of multimodal curation (text has MinHash, embeddings have LSH;

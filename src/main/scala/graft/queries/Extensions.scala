@@ -1289,12 +1289,40 @@ object Extensions {
 
   /** Hamming-banded near-duplicate image pairs (full recall to hamming 3
     * by pigeonhole over 4×16-bit bands — the LSH banding pattern on
-    * perceptual bits). Rows-only; the banding completeness proof is the
-    * MultimodalSpec exhaustive cross-check. */
+    * perceptual bits). The fingerprint frame is PUBLISHED as parquet so
+    * the DuckDB twin reads the same integers and replays the banding join
+    * independently — the codec half stays spec-only (MultimodalSpec pins
+    * the hash vectors), but the relational half is hash-checked. */
   private val mmPhashPairs: Q = (s, dir) =>
     Multimodal.nearDupImages(
-      Multimodal.perceptualHashes(
-        Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
+      Multimodal.publishFingerprints(
+        Multimodal.perceptualHashes(
+          Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(),
+        "mm_phash_fp"), 3)
+
+  /** DuckDB twin of the image-pair banding join, fed by the published
+    * fingerprint parquet: same 4×16-bit band keys ((h >> 16b) & 0xFFFF is
+    * shift-mode-agnostic — the mask keeps only bits that came from h),
+    * same distinct-candidates → exact-hamming verify. */
+  private val mmPhashPairsSql =
+    s"""WITH fp AS (
+       |  SELECT media_id, dhash
+       |  FROM read_parquet('${Multimodal.artifactDir}/mm_phash_fp/*.parquet')
+       |), bands AS (
+       |  SELECT media_id, dhash, unnest([0, 1, 2, 3]) AS bnd FROM fp
+       |), keyed AS (
+       |  SELECT media_id, dhash, bnd,
+       |    (dhash >> (bnd * 16)) & 65535 AS key
+       |  FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
+       |    a.dhash AS h1, b.dhash AS h2
+       |  FROM keyed a JOIN keyed b
+       |    ON a.bnd = b.bnd AND a.key = b.key AND a.media_id < b.media_id
+       |)
+       |SELECT m1, m2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+       |ORDER BY m1, m2""".stripMargin
 
   /** Energy-delta audio fingerprints of the WAV rows
     * ([[graft.mm.Codecs.audioFingerprint]]) — rows-only like its image
@@ -1307,11 +1335,37 @@ object Extensions {
 
   /** Hamming-banded near-duplicate audio pairs — the image banding
     * machinery over audio fingerprints; complete to hamming 3 by the
-    * same pigeonhole argument (exhaustive cross-check in spec). */
+    * same pigeonhole argument. Fingerprints published for the DuckDB
+    * twin like the image leg. */
   private val mmAudioFpPairs: Q = (s, dir) =>
     Multimodal.nearDupAudio(
-      Multimodal.audioFingerprints(
-        Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(), 3)
+      Multimodal.publishFingerprints(
+        Multimodal.audioFingerprints(
+          Multimodal.syntheticMedia(Tables.documents(s, dir))).toDF(),
+        "mm_audio_fp"), 3)
+
+  /** DuckDB twin of the audio-pair banding join over the published
+    * fingerprint parquet (column `fp` — the audio frame's name for the
+    * 64-bit fingerprint the banding treats as dhash). */
+  private val mmAudioFpPairsSql =
+    s"""WITH fp AS (
+       |  SELECT media_id, fp AS dhash
+       |  FROM read_parquet('${Multimodal.artifactDir}/mm_audio_fp/*.parquet')
+       |), bands AS (
+       |  SELECT media_id, dhash, unnest([0, 1, 2, 3]) AS bnd FROM fp
+       |), keyed AS (
+       |  SELECT media_id, dhash, bnd,
+       |    (dhash >> (bnd * 16)) & 65535 AS key
+       |  FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
+       |    a.dhash AS h1, b.dhash AS h2
+       |  FROM keyed a JOIN keyed b
+       |    ON a.bnd = b.bnd AND a.key = b.key AND a.media_id < b.media_id
+       |)
+       |SELECT m1, m2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+       |ORDER BY m1, m2""".stripMargin
 
   /** Embedding centroid-drift screen — PSI's sibling for vector columns:
     * split each label's vectors into two snapshots (even/odd vec_id — the
@@ -1568,9 +1622,32 @@ object Extensions {
             16000, 0L, "avi"))
       }
     Multimodal.nearDupVideos(
-      Multimodal.videoFrameHashes(media.union(clips), everyK = 1).toDF(),
+      Multimodal.publishFingerprints(
+        Multimodal.videoFrameHashes(media.union(clips), everyK = 1).toDF(),
+        "mm_video_fhash_fp"),
       minShared = 2)
   }
+
+  /** DuckDB twin of the video shared-frame overlap join over the
+    * published frame-hash parquet: same within-video frame dedup,
+    * hot-key cap (≤32 videos per hash), exact-hash self-join, and
+    * shared-frame threshold as [[Multimodal.nearDupVideos]]. */
+  private val mmVideoPairsSql =
+    s"""WITH fh AS (
+       |  SELECT DISTINCT media_id, fhash
+       |  FROM read_parquet(
+       |    '${Multimodal.artifactDir}/mm_video_fhash_fp/*.parquet')
+       |), cool AS (
+       |  SELECT fhash FROM fh GROUP BY fhash HAVING COUNT(*) <= 32
+       |), keep AS (
+       |  SELECT fh.media_id, fh.fhash FROM fh JOIN cool USING (fhash)
+       |)
+       |SELECT a.media_id AS m1, b.media_id AS m2,
+       |  COUNT(*) AS shared_frames
+       |FROM keep a JOIN keep b
+       |  ON a.fhash = b.fhash AND a.media_id < b.media_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY m1, m2""".stripMargin
 
   /** Simplified silhouette per label ([[VectorOps.silhouette]]): the
     * clustering-quality screen; centroid codebook driver-collected,
@@ -2678,6 +2755,9 @@ object Extensions {
     "emb_drift"           -> embDriftSql,
     "sim_sq_topk"         -> simSqTopKSql,
     "sim_silhouette"      -> simSilhouetteSql,
+    "mm_phash_pairs"      -> mmPhashPairsSql,
+    "mm_audio_fp_pairs"   -> mmAudioFpPairsSql,
+    "mm_video_pairs"      -> mmVideoPairsSql,
     "sim_ann_topk"        -> simAnnTopKSql,
     "sim_ivf_topk"        -> simIvfTopKSql,
     "q_kmv_distinct"      -> kmvDistinctSql,

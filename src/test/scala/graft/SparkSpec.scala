@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local SparkSession across all suites (sbt forks one test JVM). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // test runs of registry queries must not overwrite the fingerprint
+    // artifacts a Verify run published for the DuckDB oracle (see
+    // graft.mm.Multimodal.artifactDir)
+    if (sys.props.get("graft.artifact.dir").isEmpty)
+      System.setProperty("graft.artifact.dir", "/tmp/graft_test_artifacts")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
