@@ -2156,13 +2156,24 @@ object Relational7 {
     * mean-difference doubles derive from identical integers in both
     * engines. The m-row rank is a broadcast self-join, not a
     * single-partition window. */
-  private val permutationFdr: Q = (s, dir) => {
+  private def permutationFdrImpl(sampleDen: Long): Q = (s, dir) => {
     import org.apache.spark.sql.types.DecimalType
     val Dec = DecimalType(38, 0)
     def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(Dec))
-    val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+    val evAll = Tables.events(s, dir).select(col("event_type"),
+      col("event_id"),
       round(col("value") * 1e6, 0).cast("long").as("vfx"),
       (hour(col("ts")) < 12).cast("int").as("ga"))
+    // md5-prefix row sample (rate 1/sampleDen): the ×B explode then costs
+    // B×sample instead of B×corpus — the 100 TB posture of the sampled
+    // variant. Seeded and twin-computable, so the sampled statistic is
+    // still oracle-exact; the test simply runs on the (valid i.i.d.)
+    // subsample, trading power for a B×8 cost cut.
+    val ev = (if (sampleDen <= 1L) evAll
+      else evAll.filter(
+        conv(substring(md5(concat(lit("pfs|"),
+          col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          * sampleDen < lit(4294967296L)))
       .localCheckpoint(true) // read by tc AND the ×B replicate explode
     val tc = ev.groupBy("event_type").agg(
       dsum(when(col("ga") === 1, col("vfx")).otherwise(0L)).as("sA"),
@@ -2227,6 +2238,23 @@ object Relational7 {
         col("p_den"), col("k"), col("reject"))
       .orderBy("event_type")
   }
+
+  /** Exact permutation FDR: every event row enters the ×B replicate
+    * explode. Statistically canonical; at 100 TB the 99× row
+    * amplification is the stated cost — see the sampled variant. */
+  private val permutationFdr: Q = permutationFdrImpl(1L)
+
+  /** Sample rate denominator for the sampled permutation variant: 1/8 of
+    * rows kept. B×(n/8) replicate rows instead of B×n — the scale-path
+    * form; the exact variant remains the full-power reference. */
+  private val PfsDen = 8L
+
+  /** Sampled permutation FDR ([[permutationFdrImpl]] over an md5-prefix
+    * 1/8 row sample): same seeded draws, same BH step, ~8× cheaper ×B
+    * stage. The p-values move with the subsample (less power, wider
+    * null), but the DECISION procedure is identical and the oracle twin
+    * replays the same sample, so the entry stays hash-exact. */
+  private val permutationFdrSampled: Q = permutationFdrImpl(PfsDen)
 
   /** Benjamini–Hochberg step over an m-row frame of exact-fraction
     * p-values (event_type, p_num, p_den, obs_diff): rank by (p_num,
@@ -2366,6 +2394,7 @@ object Relational7 {
     "text_phrase_search" -> phraseSearch,
     "sim_mmr_topk"       -> mmrTopK,
     "q_permutation_fdr"  -> permutationFdr,
+    "q_permutation_fdr_sampled" -> permutationFdrSampled,
     "q_quantile_norm"    -> quantileNorm,
     "text_winnow_spans"  -> winnowSpans,
     "q_snapshot_diff"    -> snapshotDiff,
@@ -2392,12 +2421,16 @@ object Relational7 {
     "q_aipw_ate"         -> aipw,
   )
 
-  private val permutationFdrSql =
+  private def permutationFdrSqlImpl(sampleDen: Long) =
     s"""WITH base AS (
        |  SELECT event_type, event_id,
        |    CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vfx,
        |    CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END AS ga
-       |  FROM events
+       |  FROM events${
+      if (sampleDen <= 1L) ""
+      else s"""
+       |  WHERE CAST(('0x' || substr(md5('pfs|' || CAST(event_id AS VARCHAR)),
+       |    1, 8)) AS BIGINT) * $sampleDen < 4294967296"""}
        |), tc AS (
        |  SELECT event_type,
        |    SUM(CASE WHEN ga = 1 THEN CAST(vfx AS DECIMAL(38,0))
@@ -2461,12 +2494,16 @@ object Relational7 {
        |  k <= (SELECT bigk FROM bigk) AS reject
        |FROM flags ORDER BY event_type""".stripMargin
 
+  private val permutationFdrSql = permutationFdrSqlImpl(1L)
+  private val permutationFdrSampledSql = permutationFdrSqlImpl(PfsDen)
+
   val oracleSql: Map[String, String] = Map(
     "text_winnowing"     -> winnowingSql,
     "text_winnow_pairs"  -> winnowPairsSql,
     "text_phrase_search" -> phraseSearchSql,
     "sim_mmr_topk"       -> mmrTopKSql,
     "q_permutation_fdr"  -> permutationFdrSql,
+    "q_permutation_fdr_sampled" -> permutationFdrSampledSql,
     "q_quantile_norm"    -> quantileNormSql,
     "text_winnow_spans"  -> winnowSpansSql,
     "q_snapshot_diff"    -> snapshotDiffSql,
