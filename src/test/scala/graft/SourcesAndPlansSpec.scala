@@ -500,6 +500,23 @@ class PlanSpec extends SparkSpec {
     assert(fdr.contains("partial_"), s"no map-side partials\n$fdr")
   }
 
+  test("fixed_dot runs inside WholeStageCodegen on the ANN scan") {
+    // fixed_dot (FixedDotExpr) is on every ANN scan row; a fallback to
+    // interpreted eval would break the whole-stage span and cost ~3x.
+    // Every Project/Filter operator evaluating it must carry the *(n)
+    // codegen marker (the FileScan's DataFilters echo is excluded).
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val p = graft.sim.VectorOps.annTopK(emb, 0L, 10)
+      .queryExecution.executedPlan.toString
+    val ops = p.split("\n").map(_.replaceAll("^[\\s+:|-]*", ""))
+      .filter(l => l.contains("fixed_dot") &&
+        (l.startsWith("*(") || l.startsWith("Project") ||
+          l.startsWith("Filter")))
+    assert(ops.nonEmpty, p)
+    ops.foreach(l => assert(l.startsWith("*("),
+      s"fixed_dot operator outside WholeStageCodegen:\n$l"))
+  }
+
   test("IVF and LSH ANN probes are single-scan: zero shuffle exchanges") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     val ivf = graft.sim.VectorOps.ivfTopK(emb, 0L, 10)
