@@ -34,11 +34,15 @@ import sys
 
 import duckdb
 
-SHIFT = 100_000_000  # multiple of 50; far above any sf0.1 key
-K = 10
+SHIFT = int(os.environ.get("MAKE_SF_SHIFT", 100_000_000))  # multiple of 50
+K = int(os.environ.get("MAKE_SF_K", 10))
 
 
 def main(src: str, dst: str) -> None:
+    # Chaining runs to reach sf10 (sf0.1 -> sf1 -> sf10) needs a second-pass
+    # shift ABOVE the first pass's key ceiling or replicas collide:
+    #   MAKE_SF_SHIFT=10000000000 python3 dev/make_sf1.py target/sf1 target/sf10
+    # (10^10 is a multiple of 50, so the doc_id % 50 chain breaks replicate.)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -102,7 +106,7 @@ def main(src: str, dst: str) -> None:
              FROM {t('documents')} {rep}""", "documents")
     copy(f"""SELECT CAST(vec_id + r.i * {SHIFT} AS BIGINT) AS vec_id,
                embedding,
-               CAST(label + r.i * 1000 AS INTEGER) AS label
+               CAST(label + r.i * {SHIFT // 100_000} AS INTEGER) AS label
              FROM {t('embeddings')} {rep}""", "embeddings")
 
 

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Behavioral, Domain, Extensions, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Sketches, Web}
+import graft.queries.{Behavioral, Domain, Extensions, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Sketches, Transpile, Web}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++ Relational5.queries ++ Relational6.queries ++ Relational7.queries ++ Domain.queries ++
-      Extensions.queries ++ Behavioral.queries ++ Sketches.queries ++ Web.queries
+      Extensions.queries ++ Behavioral.queries ++ Sketches.queries ++ Web.queries ++
+      Transpile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Relational2.oracleSql ++ Relational3.oracleSql ++
       Relational4.oracleSql ++ Relational5.oracleSql ++ Relational6.oracleSql ++ Relational7.oracleSql ++ Domain.oracleSql ++
-      Extensions.oracleSql ++ Behavioral.oracleSql ++ Sketches.oracleSql ++ Web.oracleSql
+      Extensions.oracleSql ++ Behavioral.oracleSql ++ Sketches.oracleSql ++ Web.oracleSql ++
+      Transpile.oracleSql
 }

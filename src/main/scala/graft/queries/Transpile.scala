@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sql.Transpiler
+
+/** Registry entries that exercise [[graft.sql.Transpiler]] END TO END on
+  * real data: each canonical query is authored once in Postgres text, the
+  * *Spark emission* is executed here via `spark.sql`, and the *DuckDB
+  * emission* is handed to the driver's oracle verbatim. A hash-green entry
+  * therefore proves the parser plus BOTH executable emitters agree on real
+  * rows — the strongest check available for a text transpiler without the
+  * five non-resident warehouses (those emitters are golden-tested against
+  * their published grammars in `TranspilerSpec`).
+  *
+  * Determinism: no NOW() in executed text — time windows anchor on
+  * TIMESTAMP literals inside the fixture's range; every query ends in a
+  * total ORDER BY (unique group keys / unique o_orderkey); double-valued
+  * aggregates are ROUNDed to 6 as the other green oracle families do.
+  *
+  * Scale: transpilation itself is O(statement) driver-side string work;
+  * the emitted queries execute as ordinary Catalyst plans (pushed filters,
+  * partial aggregation) like every other registry entry.
+  */
+object Transpile {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hourly event rollup — DATE_TRUNC, timestamp-literal minus interval,
+    * COUNT(DISTINCT), scientific-notation literal, ordinal GROUP BY. */
+  private val hourlyPg: String =
+    """SELECT
+      |    DATE_TRUNC('hour', ts) AS hour_bucket,
+      |    event_type,
+      |    COUNT(*) AS n_events,
+      |    COUNT(DISTINCT user_id) AS n_users,
+      |    ROUND(SUM(value / 1e2), 6) AS value_hundredths
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-16 12:00:00' - INTERVAL '24 hours'
+      |  AND ts < TIMESTAMP '2024-01-16 12:00:00'
+      |  AND event_type <> 'view'
+      |GROUP BY 1, 2
+      |ORDER BY hour_bucket, event_type""".stripMargin
+
+  /** Lineitem pricing — `||` concat, CASE WHEN, BETWEEN on timestamps,
+    * HAVING, and STDDEV (sample semantics must survive every dialect). */
+  private val pricingPg: String =
+    """SELECT
+      |    l_returnflag || '/' || l_linestatus AS flag_status,
+      |    CASE WHEN l_quantity < 25 THEN 'small' ELSE 'large' END AS size_class,
+      |    COUNT(*) AS n_items,
+      |    ROUND(AVG(l_extendedprice), 6) AS avg_price,
+      |    ROUND(STDDEV(l_discount), 6) AS discount_sd
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) > 10
+      |ORDER BY flag_status, size_class""".stripMargin
+
+  /** Reserved-word aliases — the target must re-quote `from`/`to` in its
+    * own quote character (backticks on Spark, double quotes on DuckDB). */
+  private val quotingPg: String =
+    """SELECT user_id AS "from", COUNT(*) AS "to"
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** CTE + two window functions (running sum with explicit frame, RANK
+    * with a deterministic tiebreak) — the round-9 grammar widening. All
+    * windowed values are integer counts, so parity is exact. */
+  private val windowPg: String =
+    """WITH daily AS (
+      |  SELECT DATE_TRUNC('day', ts) AS d, event_type, COUNT(*) AS n
+      |  FROM events
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d, event_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n,
+      |  CAST(RANK() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS BIGINT) AS day_rank
+      |FROM daily
+      |ORDER BY d, event_type""".stripMargin
+
+  /** UNION ALL between two sources inside a derived table, ordered
+    * outside — exercises set ops + FROM-subquery emission. */
+  private val setopPg: String =
+    """SELECT k, src, n FROM (
+      |  SELECT event_type AS k, 'events' AS src, COUNT(*) AS n
+      |  FROM events WHERE value > 50 GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT lang AS k, 'docs' AS src, COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2
+      |) AS u
+      |ORDER BY k, src""".stripMargin
+
+  private def runSparkEmission(pg: String, tables: Seq[String]): Q = (s, dir) => {
+    tables.foreach {
+      case "events" => Tables.events(s, dir).createOrReplaceTempView("events")
+      case t        => Tables.table(s, dir, t).createOrReplaceTempView(t)
+    }
+    s.sql(Transpiler.transpile(pg, "postgres", "spark"))
+  }
+
+  private val blockRange: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(Transpiler.buildBlockRangeQuery(100, 600,
+      table = "orders", dialect = "spark", column = "o_orderkey"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_transpile_hourly"      -> runSparkEmission(hourlyPg, Seq("events")),
+    "q_transpile_pricing"     -> runSparkEmission(pricingPg, Seq("lineitem")),
+    "q_transpile_quoting"     -> runSparkEmission(quotingPg, Seq("events")),
+    "q_transpile_window"      -> runSparkEmission(windowPg, Seq("events")),
+    "q_transpile_setop"       -> runSparkEmission(setopPg, Seq("events", "documents")),
+    "q_transpile_block_range" -> blockRange)
+
+  /** The oracle IS the transpiler's DuckDB emission — the driver runs this
+    * text in DuckDB, closing the loop on the duckdb generator. */
+  def oracleSql: Map[String, String] = Map(
+    "q_transpile_hourly"      -> Transpiler.transpile(hourlyPg, "postgres", "duckdb"),
+    "q_transpile_pricing"     -> Transpiler.transpile(pricingPg, "postgres", "duckdb"),
+    "q_transpile_quoting"     -> Transpiler.transpile(quotingPg, "postgres", "duckdb"),
+    "q_transpile_window"      -> Transpiler.transpile(windowPg, "postgres", "duckdb"),
+    "q_transpile_setop"       -> Transpiler.transpile(setopPg, "postgres", "duckdb"),
+    "q_transpile_block_range" -> Transpiler.buildBlockRangeQuery(100, 600,
+      table = "orders", dialect = "duckdb", column = "o_orderkey"))
+}

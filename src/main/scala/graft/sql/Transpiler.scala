@@ -1,0 +1,113 @@
+package graft.sql
+
+import scala.util.{Failure, Success, Try}
+
+/** Cross-dialect SQL *text* emission — the reference's namesake sqlglot
+  * surface (/root/reference/src/transform/etl_pipeline.py:259-373),
+  * re-implemented as a pure-Scala parser + per-warehouse generators.
+  *
+  * API mirrors the reference class method-for-method:
+  *   - [[transpile]]            <- SQLGlotQueryBuilder.transpile (:299-327)
+  *   - [[buildBlockRangeQuery]] <- build_block_range_query      (:329-351)
+  *   - [[validateSql]]          <- validate_sql                 (:353-361)
+  *   - [[getAllDialects]]       <- get_all_dialects             (:363-365)
+  *   - [[demoTransferVolumeAllDialects]] <- :367-373
+  *
+  * Correctness posture: the two dialects that can *execute* in this
+  * environment are cross-checked end to end — the registry entries in
+  * [[graft.queries.Transpile]] run the Spark emission via `spark.sql` and
+  * hand the DuckDB emission to the driver's oracle, so both emitters (and
+  * the parser under them) are hash-verified on real data. The other five
+  * emitters are golden-tested against each warehouse's published grammar
+  * in `TranspilerSpec`.
+  *
+  * Scale note: transpilation is driver-side string work on statements a
+  * human wrote — O(query length), never touches data. The executable
+  * output then runs through Catalyst like any other registry query.
+  */
+object Transpiler {
+
+  /** Dialect list, reference order (etl_pipeline.py:365). */
+  def getAllDialects: List[String] =
+    List("postgres", "bigquery", "snowflake", "duckdb", "spark", "trino", "mysql")
+
+  private def spec(dialect: String): SqlDialects.DialectSpec =
+    SqlDialects.all.getOrElse(dialect.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown dialect '$dialect' (supported: ${getAllDialects.mkString(", ")})"))
+
+  /** Transpile one SELECT from the (tolerantly parsed) `read` dialect to
+    * `write` dialect text. `read` is accepted for API parity with the
+    * reference; the parser handles the union grammar of the supported
+    * read dialects, so its value only gates that it is a known name. */
+  def transpile(sql: String, read: String = "postgres", write: String): String = {
+    spec(read)  // validate the name, reference-style
+    new SqlDialects.Generator(spec(write)).sql(SqlParser.parse(sql))
+  }
+
+  /** Programmatic block-range query builder
+    * (etl_pipeline.py:329-351): SELECT * FROM table WHERE col BETWEEN
+    * start AND end ORDER BY col, emitted in the requested dialect. */
+  def buildBlockRangeQuery(startBlock: Long, endBlock: Long,
+                           table: String = "transactions",
+                           dialect: String = "postgres",
+                           column: String = "block_number"): String = {
+    val col = ColRef(None, Ident(column))
+    val stmt = SelectStmt(
+      items = List(SelectItem(Star, None)),
+      from = Some(TableRef(Ident(table), None)),
+      joins = Nil,
+      where = Some(Between(col, NumberLit(startBlock.toString),
+        NumberLit(endBlock.toString))),
+      groupBy = Nil, having = None,
+      orderBy = List(OrderItem(col, desc = false)),
+      limit = None)
+    new SqlDialects.Generator(spec(dialect)).sql(Query(Nil, stmt))
+  }
+
+  /** Parse-validate SQL; syntax errors come back as strings, valid SQL
+    * gives Nil (etl_pipeline.py:353-361). Pure — no SparkSession. */
+  def validateSql(sql: String): List[String] =
+    Try(SqlParser.parse(sql)) match {
+      case Success(_) => Nil
+      case Failure(e) => List(e.getMessage)
+    }
+
+  /** CI helper mirroring demo_transfer_volume_all_dialects
+    * (etl_pipeline.py:367-373): the canonical hourly transfer-volume SQL
+    * in every dialect. */
+  def demoTransferVolumeAllDialects(): Map[String, String] =
+    getAllDialects.map(d => d -> transpile(TransferVolumeSql, "postgres", d)).toMap
+
+  /** The reference's canonical Postgres source texts, verbatim shapes
+    * (etl_pipeline.py:267-297). */
+  val TransferVolumeSql: String =
+    """SELECT
+      |    DATE_TRUNC('hour', block_timestamp)   AS hour_bucket,
+      |    contract                               AS token_contract,
+      |    standard                               AS token_standard,
+      |    chain_id,
+      |    COUNT(*)                               AS transfer_count,
+      |    SUM(amount / 1e18)                     AS volume_normalized,
+      |    COUNT(DISTINCT "from")                 AS unique_senders,
+      |    COUNT(DISTINCT "to")                   AS unique_receivers
+      |FROM token_transfers
+      |WHERE block_timestamp >= NOW() - INTERVAL '24 hours'
+      |  AND standard = 'ERC-20'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY hour_bucket DESC""".stripMargin
+
+  val SwapPriceImpactSql: String =
+    """SELECT
+      |    pool,
+      |    protocol,
+      |    chain_id,
+      |    AVG(price)                             AS avg_price,
+      |    STDDEV(price)                          AS price_volatility,
+      |    SUM(amount0_in + amount0_out)          AS total_volume_token0,
+      |    COUNT(*)                               AS swap_count
+      |FROM defi_swaps
+      |WHERE block_timestamp >= NOW() - INTERVAL '1 hour'
+      |GROUP BY 1, 2, 3
+      |HAVING COUNT(*) > 5""".stripMargin
+}
