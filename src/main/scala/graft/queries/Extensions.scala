@@ -1920,6 +1920,67 @@ object Extensions {
       .orderBy("true_label", "assigned_label")
   }
 
+  /** SemDeDup over the embeddings table: nearest-centroid clusters (the
+    * geometry blocking), then within-cluster cosine pruning with the
+    * greedy lowest-id survivor rule ([[VectorOps.semDedup]]). The oracle
+    * replays centroid means, the argmin assignment, the fixed-point pair
+    * cosines, and the EXISTS prune — every stage integer/IEEE-exact, so
+    * the per-cluster prune counts hash. */
+  private val simSemDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = VectorOps.centroids(emb)
+      .select("label", "dim", "centroid_x").collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+      .toSeq.sortBy(_._1)
+    VectorOps.semDedup(emb, cents, CosineThreshold)
+  }
+
+  private val simSemDedupSql =
+    s"""WITH v AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT label AS clabel, i,
+      |    CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |      / 1e12 / COUNT(*) AS cx
+      |  FROM v GROUP BY 1, 2
+      |), d AS (
+      |  SELECT v.vec_id, c.clabel,
+      |    SUM(CAST(ROUND((v.x - c.cx) * (v.x - c.cx) * 1e12, 0) AS BIGINT))
+      |      AS dist
+      |  FROM v JOIN c ON v.i = c.i
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT vec_id, clabel AS cluster FROM (
+      |    SELECT vec_id, clabel,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+      |    FROM d) WHERE rn = 1
+      |), vv AS (
+      |  SELECT v.vec_id, m.cluster, v.i, v.x FROM v JOIN m USING (vec_id)
+      |), dots AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    SUM(CAST(ROUND(a.x * b.x * 1e12, 0) AS BIGINT)) AS dot
+      |  FROM vv a JOIN vv b ON a.i = b.i AND a.cluster = b.cluster
+      |    AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), nrm AS (
+      |  SELECT vec_id,
+      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+      |  FROM v GROUP BY 1
+      |), pruned AS (
+      |  SELECT DISTINCT v2 AS vec_id FROM dots
+      |  JOIN nrm na ON v1 = na.vec_id JOIN nrm nb ON v2 = nb.vec_id
+      |  WHERE (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) >= $CosineThreshold
+      |)
+      |SELECT m.cluster, COUNT(*) AS n_vecs, COUNT(p.vec_id) AS n_pruned,
+      |  COUNT(*) - COUNT(p.vec_id) AS n_kept
+      |FROM m LEFT JOIN pruned p USING (vec_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val simCentroidAssignSql =
     """WITH v AS (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -2679,6 +2740,7 @@ object Extensions {
     "emb_centroids"       -> embCentroids,
     "emb_power_pc1"       -> embPowerPc1,
     "sim_centroid_assign" -> simCentroidAssign,
+    "sim_semdedup"        -> simSemDedup,
     "q_leak_split"        -> leakSplit,
     "pipeline_corpus"     -> pipelineCorpus,
     "sim_cosine_topk"     -> simTopK,
@@ -2746,6 +2808,7 @@ object Extensions {
     "emb_centroids"       -> embCentroidsSql,
     "emb_power_pc1"       -> embPowerPc1Sql,
     "sim_centroid_assign" -> simCentroidAssignSql,
+    "sim_semdedup"        -> simSemDedupSql,
     "q_leak_split"        -> leakSplitSql,
     "pipeline_corpus"     -> pipelineCorpusSql,
     "sim_cosine_topk"     -> simTopKSql,

@@ -59,20 +59,62 @@ object VectorOps {
   /** All same-label pairs with cosine ≥ threshold (embedding near-dup).
     * The label is the blocking key — at scale, substitute LSH buckets
     * ([[lshBuckets]]) to bound pair growth. */
-  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame =
+    cosinePairsBy(emb, threshold, "label")
+
+  /** [[cosinePairs]] with a caller-chosen blocking column — the candidate
+    * join is an equi-join on `blockCol`, never all-pairs; the quadratic
+    * cost lives only inside a block, so the CALLER owns bounding block
+    * sizes (labels, LSH buckets, k-means cells with k ∝ corpus). */
+  def cosinePairsBy(emb: DataFrame, threshold: Double,
+                    blockCol: String): DataFrame = {
     graft.functions.FixedDotFunctions.register(emb.sparkSession)
-    val withNorm = emb.select(col("vec_id"), col("label"),
+    val withNorm = emb.select(col("vec_id"), col(blockCol),
       col("embedding"), norm(col("embedding")).as("nrm"))
-    val a = withNorm.select(col("label"), col("vec_id").as("v1"),
+    val a = withNorm.select(col(blockCol), col("vec_id").as("v1"),
       col("embedding").as("ea"), col("nrm").as("n1"))
-    val b = withNorm.select(col("label"), col("vec_id").as("v2"),
+    val b = withNorm.select(col(blockCol), col("vec_id").as("v2"),
       col("embedding").as("eb"), col("nrm").as("n2"))
-    a.join(b, "label")
+    a.join(b, blockCol)
       .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
         cosine(col("ea"), col("eb"), col("n1"), col("n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("v1", "v2")
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster embeddings, then prune within-cluster semantic duplicates
+    * above a cosine threshold, keeping one representative per
+    * near-duplicate neighborhood. Blocking comes from GEOMETRY (nearest
+    * centroid), not metadata — a vector sits with its geometric
+    * neighbors even when its label disagrees.
+    *
+    * Survivor rule: a vector is pruned iff a LOWER-vec_id vector in the
+    * same cluster has cosine ≥ threshold — greedy by id, deterministic,
+    * relational (one EXISTS), and exactly replayable in SQL.
+    *
+    * Returns per-cluster (cluster, n_vecs, n_pruned, n_kept).
+    *
+    * Scale: the codebook is k×dim driver rows (the IVF boundary, same as
+    * [[assignToCentroids]]); the pairwise stage is quadratic only within
+    * a cluster — SemDeDup's own recipe grows k ∝ corpus so expected
+    * cluster size stays constant, making total pair work linear. */
+  def semDedup(emb: DataFrame, cents: Seq[(Int, Array[Double])],
+               threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(emb, cents)
+      .select(col("vec_id"), col("assigned_label").as("cluster"),
+        col("embedding"))
+    val prunedIds = cosinePairsBy(assigned, threshold, "cluster")
+      .select(col("v2").as("vec_id")).distinct()
+    assigned
+      .join(prunedIds.withColumn("is_pruned", lit(1)), Seq("vec_id"), "left")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("is_pruned")).as("n_pruned"))
+      .withColumn("n_kept", col("n_vecs") - col("n_pruned"))
+      .orderBy("cluster")
   }
 
   // 8 planes: for a cosine-0.5 neighbor (angle 60°, per-plane agreement

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.VectorOps
+
+/** [[VectorOps.semDedup]] on a hand-computable fixture: two well-separated
+  * clusters, exact duplicates and a near-duplicate inside them, plus a
+  * vector whose LABEL disagrees with its geometry (the case that
+  * distinguishes SemDeDup's centroid blocking from label blocking). */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // label 0 centered at (1, 0); label 1 centered at (0, 1).
+  // v10/v11 duplicates, v12 near-dup (cos > 0.999), v13 orthogonal-ish;
+  // v20/v21 duplicates; v22 carries label 0 but sits in cluster 1.
+  private val fixture = Seq(
+    (10L, 0, Array(1.0f, 0.00f)),
+    (11L, 0, Array(1.0f, 0.00f)),     // dup of 10 -> pruned
+    (12L, 0, Array(0.99f, 0.02f)),    // near-dup of 10 -> pruned
+    (13L, 0, Array(0.60f, -0.80f)),   // far from 10 in angle -> kept
+    (20L, 1, Array(0.0f, 1.00f)),
+    (21L, 1, Array(0.0f, 1.00f)),     // dup of 20 -> pruned
+    (22L, 0, Array(0.05f, 0.98f)))    // label 0, geometry cluster 1 -> pruned vs 20
+    .toDF("vec_id", "label", "embedding")
+
+  private def cents = VectorOps.centroids(fixture)
+    .select("label", "dim", "centroid_x").collect()
+    .groupBy(_.getInt(0))
+    .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    .toSeq.sortBy(_._1)
+
+  test("semDedup prunes within geometric clusters with lowest-id survivor") {
+    // threshold 0.95: inside cluster 0 only (10,11) and (10,12)/(11,12)
+    // qualify; 13 survives. Cluster 1 gains 22 (geometry wins over label),
+    // and 20/21/22 are mutual near-dups -> only 20 survives.
+    val out = VectorOps.semDedup(fixture, cents, 0.95)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // centroid 0 = mean of labeled-0 vectors (pulled by 13 and 22), but
+    // geometry still sends 22 to cluster 1: verify by assignment
+    val assigned = VectorOps.assignToCentroids(fixture, cents)
+      .select("vec_id", "assigned_label").as[(Long, Int)].collect().toMap
+    assert(assigned(22L) == 1, "label-0 vector in cluster-1 geometry")
+    val m = out.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(0) == ((4L, 2L, 2L)), s"cluster 0: $m") // 10,13 kept; 11,12 pruned
+    assert(m(1) == ((3L, 2L, 1L)), s"cluster 1: $m") // 20 kept; 21,22 pruned
+  }
+
+  test("n_kept + n_pruned == n_vecs and totals cover the corpus") {
+    val out = VectorOps.semDedup(fixture, cents, 0.95).collect()
+    assert(out.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    assert(out.map(_.getLong(1)).sum == 7L)
+  }
+
+  test("threshold 1.0-epsilon keeps near-dups, prunes only exact dups") {
+    val out = VectorOps.semDedup(fixture, cents, 0.99999)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(out(0) == 1L, "only the exact duplicate 11 pruned in cluster 0")
+    assert(out(1) == 1L, "only the exact duplicate 21 pruned in cluster 1")
+  }
+
+  test("registry entry runs on the smoke fixture and is internally consistent") {
+    val df = SparkEntry.queries("sim_semdedup")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3)))
+  }
+}
