@@ -2388,7 +2388,54 @@ object Relational7 {
       |  ROUND(MAX(tv) / 1e6, 6) AS max_qnorm
       |FROM tv GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DSIR importance resampling ([[graft.text.TextOps.dsirSample]]):
+    * target = English documents, 256 hashed unigram buckets, Gumbel
+    * top-40. The oracle replays bucket hashing, the smoothed log-ratio
+    * model (ROUND 9 → DECIMAL sum), and the seeded Gumbel rank. */
+  private val dsirSample: Q = (s, dir) =>
+    graft.text.TextOps.dsirSample(
+      Tables.documents(s, dir), col("lang") === "en", 256, 40)
+
+  private val dsirSampleSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, lang = 'en' AS is_t,
+      |    CAST(list_sum(list_transform(range(1, 9), p ->
+      |      (strpos('0123456789abcdef', substr(md5('dsir|' || w),
+      |        CAST(p AS INTEGER), 1)) - 1) * power(16, 8 - p)))
+      |      AS BIGINT) % 256 AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |        FROM documents)
+      |), tot AS (
+      |  SELECT COUNT(*) AS nr, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt
+      |  FROM tok
+      |), model AS (
+      |  SELECT b, CAST(ROUND(
+      |      ln(CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+      |         / (MAX(tot.nt) + 256))
+      |    - ln(CAST(COUNT(*) + 1 AS DOUBLE) / (MAX(tot.nr) + 256)), 9)
+      |    AS DECIMAL(38,12)) AS lr
+      |  FROM tok, tot GROUP BY b
+      |), w AS (
+      |  SELECT doc_id, lang,
+      |    ROUND(CAST(SUM(lr) AS DOUBLE), 6) AS logw
+      |  FROM tok JOIN model USING (b)
+      |  GROUP BY 1, 2
+      |), keyed AS (
+      |  SELECT doc_id, lang, logw,
+      |    ROUND(ln(-ln((CAST(list_sum(list_transform(range(1, 9), p ->
+      |      (strpos('0123456789abcdef', substr(md5('dsir-u|' ||
+      |        CAST(doc_id AS VARCHAR)), CAST(p AS INTEGER), 1)) - 1)
+      |      * power(16, 8 - p))) AS BIGINT) + 0.5) / 4294967296.0))
+      |      - logw, 6) AS gk
+      |  FROM w
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY gk, doc_id) AS INTEGER) AS rk,
+      |  doc_id, lang, logw
+      |FROM keyed ORDER BY gk, doc_id LIMIT 40""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_dsir_sample"   -> dsirSample,
     "text_winnowing"     -> winnowing,
     "text_winnow_pairs"  -> winnowPairs,
     "text_phrase_search" -> phraseSearch,
@@ -2522,6 +2569,7 @@ object Relational7 {
     "q_rmst"             -> rmstSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "text_mlm_plan"      -> mlmPlanSql,
+    "text_dsir_sample"   -> dsirSampleSql,
     "q_clustering_coef"  -> clusteringCoefSql,
     "q_ipw_ate"          -> ipwSql,
     "q_matching_att"     -> matchingAttSql,

@@ -281,6 +281,65 @@ object TextOps {
         (col("c12").cast("double") / col("c1")).as("p"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023, arXiv:2302.03169): select raw-corpus documents that look like a
+    * TARGET distribution by (1) hashing tokens into `buckets` features,
+    * (2) scoring each document with the importance log-ratio
+    * Σ_tokens [ln p̂_target(b) − ln p̂_raw(b)] under add-one-smoothed
+    * bucket unigram models, and (3) sampling ∝ weight via the Gumbel
+    * trick (rank by ln(−ln u) − logw, u a seeded md5 uniform — the same
+    * A-ES family as `q_weighted_sample`, done in log space so exp() is
+    * never evaluated).
+    *
+    * Engine-exactness: every ln() is rounded to 9 dp and summed as
+    * DECIMAL(38,12) (order-independent), the Gumbel key is rounded to
+    * 6 dp with a doc_id tie-break before ranking — the house discipline
+    * for transcendental chains. The md5 bucket/draw replays in SQL.
+    *
+    * Scale: two bucket-count aggregates (`buckets` rows each, broadcast
+    * back), one scan to score, a two-phase top-k. No all-corpus shuffle:
+    * the model is O(buckets), exactly DSIR's point — at 100 TB the
+    * hashed model still fits one broadcast. */
+  def dsirSample(docs: DataFrame, isTarget: Column, buckets: Int,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), col("lang"), isTarget.as("is_t"),
+        explode(tokens(col("text"))).as("w"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("dsir|"), col("w"))), 1, 8), 16, 10)
+          .cast("long") % buckets)
+    val totals = tok.agg(count(lit(1)).as("nr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"))
+    val model = tok.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        log((col("ct") + 1).cast("double") / (col("nt") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("nr") + buckets)), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("lr"))
+    // the PUBLISHED (and key-feeding) weight is the 6-dp round of the
+    // exact decimal sum — the Gumbel key must subtract the same rounded
+    // value the oracle ranks with, not the raw double
+    val logw = tok.join(broadcast(model), "b")
+      .groupBy("doc_id", "lang")
+      .agg(round(sum(col("lr")).cast("double"), 6).as("logw"))
+    val u = (conv(substring(md5(concat(lit("dsir-u|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = logw.select(col("doc_id"), col("lang"), col("logw"),
+      round(log(-log(u)) - col("logw"), 6).as("gk"))
+    // orderBy().limit() plans as TakeOrderedAndProject — per-partition
+    // top-k then a k-row merge, so no task ever sorts the corpus; the
+    // row_number window after it runs over exactly k rows (a bounded
+    // constant frame, the sim_hybrid_rrf precedent)
+    val top = keyed.orderBy(col("gk"), col("doc_id")).limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("gk"), col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("lang"), col("logw"))
+      .orderBy("rk")
+  }
+
   def redactPii(text: Column): Column = {
     val passes = Seq(EmailRe -> "<EMAIL>", WalletRe -> "<WALLET>",
       PhoneRe -> "<PHONE>")
