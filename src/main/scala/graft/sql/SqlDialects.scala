@@ -254,15 +254,26 @@ object SqlDialects {
 
       case BinOp(op, l, r) =>
         val p = precOf(op)
-        // left-assoc: right child needs strictly tighter binding for - / %
-        val rCtx = if (Set("-", "/", "%").contains(op)) p + 1 else p
-        val s = s"${expr(l, p)} $op ${expr(r, rCtx)}"
+        // comparisons are NON-associative: `a = b = c` won't re-parse, so
+        // a comparison operand of a comparison must keep its parens;
+        // left-assoc arithmetic: right child needs strictly tighter
+        // binding for - / / / %
+        val cmp = Set("=", "<>", "<", "<=", ">", ">=").contains(op)
+        val lCtx = if (cmp) p + 1 else p
+        val rCtx = if (cmp || Set("-", "/", "%").contains(op)) p + 1 else p
+        val s = s"${expr(l, lCtx)} $op ${expr(r, rCtx)}"
         if (p < ctx) s"($s)" else s
 
       case UnaryOp("NOT", x) =>
         val s = "NOT " + expr(x, 4)
         if (3 < ctx) s"($s)" else s
-      case UnaryOp(op, x) => op + expr(x, 7)
+      case UnaryOp(op, x) =>
+        // adjacent `--` would lex as a line comment: parenthesize a
+        // directly nested unary minus
+        x match {
+          case UnaryOp("-", _) => op + "(" + expr(x, 0) + ")"
+          case _ => op + expr(x, 7)
+        }
 
       case Between(x, lo, hi, neg) =>
         val s = s"${expr(x, 5)} ${if (neg) "NOT " else ""}BETWEEN ${expr(lo, 5)} AND ${expr(hi, 5)}"
