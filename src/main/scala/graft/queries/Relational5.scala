@@ -547,15 +547,23 @@ object Relational5 {
     * window) with window = 101 so the halo is one row deeper than the
     * 100-row frame: every frame row's lag-1 predecessor is physically in
     * the block, making the pair set identical to the global window's.
-    * Every windowed moment is an exact Long sum of ×1e6 fixed-point
-    * values (frame-order independent), and the Pearson combination casts
-    * each moment to double once and runs the identical IEEE sequence in
-    * both engines; windows with fewer than 30 pairs or degenerate
-    * variance are NULL on both. */
+    * Every windowed moment is an exact sum of ×1e6 fixed-point values
+    * (frame-order independent): linear moments as Longs (headroom
+    * 1.6e10 max-magnitude rows per frame), PRODUCT moments as
+    * DECIMAL(38,0) — a single xfx² term reaches 3.1e17 at the fixture's
+    * value range, so 30+ large-value rows in one 100-row frame overflow
+    * a Long sum (caught by the round-9 sf10 sweep: 100 same-ts replicas
+    * put identical large values adjacent in the frame; real data does
+    * the same with any |value| ≳ 300 regime). DuckDB's SUM(BIGINT) is
+    * already HUGEINT, so the twin needed no change. The Pearson
+    * combination casts each moment to double once and runs the identical
+    * IEEE sequence in both engines; windows with fewer than 30 pairs or
+    * degenerate variance are NULL on both. */
   private val rollingCorr: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("tsus"),
         round(col("value") * 1e6, 0).cast("long").as("xfx"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val rolled = DistributedRolling.withRolling(
         ev, Seq("tsus", "event_id"), 101) { ws =>
       val lagW = ws.rowsBetween(-1, -1)
@@ -566,10 +574,10 @@ object Relational5 {
         "sx" -> sum(when(col("yfx").isNotNull, col("xfx"))).over(fw),
         "sy" -> sum(col("yfx")).over(fw),
         "sxy" -> sum(when(col("yfx").isNotNull,
-          col("xfx") * col("yfx"))).over(fw),
+          col("xfx").cast(dec) * col("yfx"))).over(fw),
         "sxx" -> sum(when(col("yfx").isNotNull,
-          col("xfx") * col("xfx"))).over(fw),
-        "syy" -> sum(col("yfx") * col("yfx")).over(fw))
+          col("xfx").cast(dec) * col("xfx"))).over(fw),
+        "syy" -> sum(col("yfx").cast(dec) * col("yfx")).over(fw))
     }
     def d(c: Column) = c.cast("double")
     val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
@@ -597,9 +605,11 @@ object Relational5 {
       |    COUNT(yfx) OVER w AS n,
       |    SUM(CASE WHEN yfx IS NOT NULL THEN xfx END) OVER w AS sx,
       |    SUM(yfx) OVER w AS sy,
-      |    SUM(CASE WHEN yfx IS NOT NULL THEN xfx * yfx END) OVER w AS sxy,
-      |    SUM(CASE WHEN yfx IS NOT NULL THEN xfx * xfx END) OVER w AS sxx,
-      |    SUM(yfx * yfx) OVER w AS syy
+      |    SUM(CASE WHEN yfx IS NOT NULL
+      |      THEN CAST(xfx AS HUGEINT) * yfx END) OVER w AS sxy,
+      |    SUM(CASE WHEN yfx IS NOT NULL
+      |      THEN CAST(xfx AS HUGEINT) * xfx END) OVER w AS sxx,
+      |    SUM(CAST(yfx AS HUGEINT) * yfx) OVER w AS syy
       |  FROM l
       |  WINDOW w AS (ORDER BY tsus, event_id
       |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
