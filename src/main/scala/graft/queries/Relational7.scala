@@ -2169,11 +2169,22 @@ object Relational7 {
     // variant. Seeded and twin-computable, so the sampled statistic is
     // still oracle-exact; the test simply runs on the (valid i.i.d.)
     // subsample, trading power for a B×8 cost cut.
+    // REPARTITION BEFORE THE ×B STAGE (round-9 sweep finding): the events
+    // parquet is one input split up to sf10 (86 MB < maxPartitionBytes),
+    // so without this the 99× explode + partial aggregation ran as ONE
+    // task at every scale — 13.5 s at sf0.1 was a single core chewing
+    // 10 M exploded rows while 31 sat idle. The explode amplifies work
+    // AFTER the scan, so parallelism must be set by the engine, not
+    // inherited from input splits. Hash-distributing on event_id is
+    // deterministic under retries (round-robin is not); the per-partition
+    // long partials stay exact and the decimal finals make the total
+    // partitioning-invariant, so the result hash is unchanged.
     val ev = (if (sampleDen <= 1L) evAll
       else evAll.filter(
         conv(substring(md5(concat(lit("pfs|"),
           col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
           * sampleDen < lit(4294967296L)))
+      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
       .localCheckpoint(true) // read by tc AND the ×B replicate explode
     val tc = ev.groupBy("event_type").agg(
       dsum(when(col("ga") === 1, col("vfx")).otherwise(0L)).as("sA"),
