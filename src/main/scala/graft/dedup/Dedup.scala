@@ -562,8 +562,9 @@ object Dedup {
     * highest-quality document, ties to the lowest doc_id. One hash
     * aggregation; the argmax is an exact struct-min (no window, no
     * second pass). Returns (fp, survivor_id, n_docs) per group. */
-  def canonicalByFingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"),
+  def canonicalByFingerprint(docsRaw: DataFrame): DataFrame =
+    spread(docsRaw).localCheckpoint(true)
+      .select(col("doc_id"), col("text"),
         TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
         TextOps.qualityScore(col("text"), col("toks")).as("q"))
@@ -578,8 +579,8 @@ object Dedup {
     * highest-quality member per cluster, ties to the lowest doc_id —
     * which copy of each near-duplicate family ships in the training set.
     * Same single-aggregation struct-min as [[canonicalByFingerprint]]. */
-  def survivors(docs: DataFrame, clusters: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"),
+  def survivors(docsRaw: DataFrame, clusters: DataFrame): DataFrame =
+    spread(docsRaw).select(col("doc_id"), col("text"),
         TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextOps.qualityScore(col("text"), col("toks")).as("q"))

@@ -1134,9 +1134,17 @@ object Relational6 {
   private val bootstrapCi: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val B = 32
+    // repartition before the ×B explode: the events file is one-to-few
+    // input splits at bench scales, and the replicate stage amplifies
+    // work AFTER the scan — parallelism must come from the engine, not
+    // the file layout (the q_permutation_fdr round-9 sweep lesson).
+    // Hash-distribution is deterministic; the downstream (type, b) agg
+    // result is partitioning-invariant.
     val ev = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"),
         round(col("value") * 1e6, 0).cast("long").as("vfx"))
+      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+      .localCheckpoint(true)
     val rep = ev.select(col("event_type"), col("event_id"), col("vfx"),
       explode(sequence(lit(0), lit(B - 1))).as("b"))
     val u = (conv(substring(md5(concat(lit("bs|"), col("b"),
