@@ -530,4 +530,28 @@ class PlanSpec extends SparkSpec {
     assert(!ann.contains("Exchange rangepartitioning"), ann)
     assert(ann.contains("TakeOrderedAndProject"), ann)
   }
+
+  test("explode-amplified stages set their own parallelism (round-9 sweep)") {
+    // the events/documents parquet is ONE input split at test scales, so
+    // a x99/x32 explode inheriting scan parallelism would run the whole
+    // replicate stage in one task (the flat sf1->sf10 curves of the
+    // round-9 sweep). These queries must carry an explicit
+    // hash-repartition materialized via localCheckpoint BEFORE the
+    // amplifying stage; the checkpoint hides the exchange from the final
+    // plan string, so assert the checkpointed scan (ExistingRDD) with the
+    // engine's partition count rather than the Exchange node itself.
+    for (name <- Seq("q_permutation_fdr", "q_bootstrap_ci")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name: the replicate base must be checkpoint-fed (Scan " +
+          s"ExistingRDD), not read straight off the file scan:\n$p")
+    }
+    // and the recipe itself pins partition count to the engine, not the
+    // file layout: one small file in, defaultParallelism partitions out
+    val base = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
+      .localCheckpoint(true)
+    assert(base.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
 }
