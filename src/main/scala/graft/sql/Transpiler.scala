@@ -36,13 +36,16 @@ object Transpiler {
       throw new IllegalArgumentException(
         s"unknown dialect '$dialect' (supported: ${getAllDialects.mkString(", ")})"))
 
-  /** Transpile one SELECT from the (tolerantly parsed) `read` dialect to
-    * `write` dialect text. `read` is accepted for API parity with the
-    * reference; the parser handles the union grammar of the supported
+  /** Transpile a `;`-separated script from the (tolerantly parsed) `read`
+    * dialect to `write` dialect text — statements joined with newlines,
+    * exactly the reference's multi-statement behavior
+    * (etl_pipeline.py:317-324). `read` is accepted for API parity with
+    * the reference; the parser handles the union grammar of the supported
     * read dialects, so its value only gates that it is a known name. */
   def transpile(sql: String, read: String = "postgres", write: String): String = {
     spec(read)  // validate the name, reference-style
-    new SqlDialects.Generator(spec(write)).sql(SqlParser.parse(sql))
+    val gen = new SqlDialects.Generator(spec(write))
+    SqlParser.parseAll(sql).map(gen.sql).mkString("\n")
   }
 
   /** Programmatic block-range query builder
@@ -65,10 +68,11 @@ object Transpiler {
     new SqlDialects.Generator(spec(dialect)).sql(Query(Nil, stmt))
   }
 
-  /** Parse-validate SQL; syntax errors come back as strings, valid SQL
-    * gives Nil (etl_pipeline.py:353-361). Pure — no SparkSession. */
+  /** Parse-validate SQL (single statement or `;`-separated script);
+    * syntax errors come back as strings, valid SQL gives Nil
+    * (etl_pipeline.py:353-361). Pure — no SparkSession. */
   def validateSql(sql: String): List[String] =
-    Try(SqlParser.parse(sql)) match {
+    Try(SqlParser.parseAll(sql)) match {
       case Success(_) => Nil
       case Failure(e) => List(e.getMessage)
     }

@@ -113,6 +113,16 @@ class TranspilerSpec extends SparkSpec {
     assert(Transpiler.validateSql("SELECT x FROM t GROUP BY").nonEmpty)
   }
 
+  test("multi-statement scripts transpile statement-by-statement") {
+    val script = "SELECT a FROM t;\nSELECT b FROM u;"
+    val out = Transpiler.transpile(script, "postgres", "spark")
+    assert(out == "SELECT\n  a\nFROM t\nSELECT\n  b\nFROM u")
+    assert(Transpiler.validateSql(script).isEmpty)
+    assert(Transpiler.validateSql("SELECT a FROM t; SELEC").nonEmpty)
+    assert(Transpiler.validateSql("SELECT a FROM t SELECT b FROM u").nonEmpty,
+      "missing separator must be an error")
+  }
+
   test("unknown dialect fails loudly") {
     intercept[IllegalArgumentException](Transpiler.transpile(tv, "postgres", "oracle9i"))
   }
