@@ -1981,6 +1981,76 @@ object Extensions {
       |FROM m LEFT JOIN pruned p USING (vec_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Incremental SemDeDup: corpus = vec_id % 10 != 0, arriving batch =
+    * the rest; centroids come from the CORPUS only (the published
+    * artifact an ingest job would read). The oracle replays the split,
+    * corpus-only centroid means, both argmin assignments, and the two
+    * EXISTS prunes. */
+  private val simSemDedupInc: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val cents = VectorOps.centroids(corpus)
+      .select("label", "dim", "centroid_x").collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+      .toSeq.sortBy(_._1)
+    VectorOps.semDedupIncremental(corpus, batch, cents, CosineThreshold)
+  }
+
+  private val simSemDedupIncSql =
+    s"""WITH v AS (
+      |  SELECT vec_id, label, vec_id % 10 <> 0 AS in_corpus,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT label AS clabel, i,
+      |    CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |      / 1e12 / COUNT(*) AS cx
+      |  FROM v WHERE in_corpus GROUP BY 1, 2
+      |), d AS (
+      |  SELECT v.vec_id, c.clabel,
+      |    SUM(CAST(ROUND((v.x - c.cx) * (v.x - c.cx) * 1e12, 0) AS BIGINT))
+      |      AS dist
+      |  FROM v JOIN c ON v.i = c.i
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT vec_id, clabel AS cluster FROM (
+      |    SELECT vec_id, clabel,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+      |    FROM d) WHERE rn = 1
+      |), vv AS (
+      |  SELECT v.vec_id, v.in_corpus, m.cluster, v.i, v.x
+      |  FROM v JOIN m USING (vec_id)
+      |), nrm AS (
+      |  SELECT vec_id,
+      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+      |  FROM v GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.vec_id AS v1, a.in_corpus AS c1, b.vec_id AS v2,
+      |    SUM(CAST(ROUND(a.x * b.x * 1e12, 0) AS BIGINT)) AS dot
+      |  FROM vv a JOIN vv b ON a.i = b.i AND a.cluster = b.cluster
+      |    AND NOT b.in_corpus AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2, 3
+      |), close AS (
+      |  SELECT v1, c1, v2 FROM pairs
+      |  JOIN nrm na ON v1 = na.vec_id JOIN nrm nb ON v2 = nb.vec_id
+      |  WHERE (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) >= $CosineThreshold
+      |), bc AS (SELECT DISTINCT v2 AS vec_id FROM close WHERE c1),
+      |ib AS (SELECT DISTINCT v2 AS vec_id FROM close
+      |       WHERE NOT c1 AND v1 < v2)
+      |SELECT m.vec_id, m.cluster,
+      |  bc.vec_id IS NOT NULL AS by_corpus,
+      |  ib.vec_id IS NOT NULL AS in_batch,
+      |  bc.vec_id IS NULL AND ib.vec_id IS NULL AS keep
+      |FROM m JOIN v ON m.vec_id = v.vec_id AND v.i = 1 AND NOT v.in_corpus
+      |LEFT JOIN bc ON m.vec_id = bc.vec_id
+      |LEFT JOIN ib ON m.vec_id = ib.vec_id
+      |ORDER BY m.vec_id""".stripMargin
+
   private val simCentroidAssignSql =
     """WITH v AS (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -2741,6 +2811,7 @@ object Extensions {
     "emb_power_pc1"       -> embPowerPc1,
     "sim_centroid_assign" -> simCentroidAssign,
     "sim_semdedup"        -> simSemDedup,
+    "sim_semdedup_inc"    -> simSemDedupInc,
     "q_leak_split"        -> leakSplit,
     "pipeline_corpus"     -> pipelineCorpus,
     "sim_cosine_topk"     -> simTopK,
@@ -2809,6 +2880,7 @@ object Extensions {
     "emb_power_pc1"       -> embPowerPc1Sql,
     "sim_centroid_assign" -> simCentroidAssignSql,
     "sim_semdedup"        -> simSemDedupSql,
+    "sim_semdedup_inc"    -> simSemDedupIncSql,
     "q_leak_split"        -> leakSplitSql,
     "pipeline_corpus"     -> pipelineCorpusSql,
     "sim_cosine_topk"     -> simTopKSql,

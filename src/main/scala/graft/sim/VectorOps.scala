@@ -448,6 +448,47 @@ object VectorOps {
     emb.withColumn("assigned_label", best.getField("lbl"))
   }
 
+  /** Incremental [[semDedup]] — the ingest shape: an ARRIVING batch is
+    * pruned against the accumulated corpus without re-deduplicating the
+    * corpus (the `dedup_incremental` pattern applied to semantic space).
+    * A batch vector is pruned if a same-cluster corpus vector is within
+    * the cosine threshold (`by_corpus`), or — for batch-internal dupes —
+    * a LOWER-vec_id batch vector is (`in_batch`). Per-batch cost is
+    * O(batch × cluster-residents), never O(corpus²); at 100 TB the
+    * corpus side is served by the same published cluster/centroid
+    * artifacts the batch assignment uses. Returns one verdict row per
+    * batch vector: (vec_id, cluster, by_corpus, in_batch, keep). */
+  def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
+                          cents: Seq[(Int, Array[Double])],
+                          threshold: Double): DataFrame = {
+    graft.functions.FixedDotFunctions.register(corpus.sparkSession)
+    def assigned(df: DataFrame) = assignToCentroids(df, cents)
+      .select(col("vec_id"), col("assigned_label").as("cluster"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+    val corpusA = assigned(corpus)
+    val batchA = assigned(batch)
+    def hits(left: DataFrame, right: DataFrame, idPred: Column): DataFrame =
+      left.select(col("cluster"), col("vec_id").as("v1"),
+          col("embedding").as("ea"), col("nrm").as("n1"))
+        .join(right.select(col("cluster"), col("vec_id").as("v2"),
+          col("embedding").as("eb"), col("nrm").as("n2")), "cluster")
+        .filter(idPred)
+        .filter(cosine(col("ea"), col("eb"), col("n1"), col("n2"))
+          >= threshold)
+        .select(col("v2").as("vec_id")).distinct()
+    val byCorpus = hits(corpusA, batchA, lit(true))
+    val inBatch = hits(batchA, batchA, col("v1") < col("v2"))
+    batchA.select(col("vec_id"), col("cluster"))
+      .join(byCorpus.withColumn("by_corpus", lit(true)), Seq("vec_id"), "left")
+      .join(inBatch.withColumn("in_batch", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("by_corpus"), lit(false)).as("by_corpus"),
+        coalesce(col("in_batch"), lit(false)).as("in_batch"),
+        not(coalesce(col("by_corpus"), lit(false)) ||
+          coalesce(col("in_batch"), lit(false))).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** ANN top-k: candidates are vectors whose LSH bucket is within
     * `maxHamming` bits of the query's, reranked exactly. maxHamming = 0 is
     * a pure bucket-equality probe (with a pre-bucketed table, the 100 TB

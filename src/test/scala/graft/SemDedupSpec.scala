@@ -58,6 +58,32 @@ class SemDedupSpec extends SparkSpec {
     assert(out(1) == 1L, "only the exact duplicate 21 pruned in cluster 1")
   }
 
+  test("incremental: batch pruned against corpus and within itself") {
+    // corpus holds v10 (cluster 0) and v20 (cluster 1); the batch brings
+    // a corpus-dup (11 ~ 10), an internal dup pair (23, 24), and a
+    // genuinely new direction (13)
+    val corpus = Seq(
+      (10L, 0, Array(1.0f, 0.0f)),
+      (20L, 1, Array(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val batch = Seq(
+      (11L, 0, Array(1.0f, 0.0f)),    // dup of corpus 10 -> by_corpus
+      (13L, 0, Array(0.6f, -0.8f)),   // new -> keep
+      (23L, 1, Array(0.0f, 1.0f)),    // dup of corpus 20 AND of 24
+      (24L, 1, Array(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val cents = VectorOps.centroids(corpus)
+      .select("label", "dim", "centroid_x").collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, r) => l -> r.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+      .toSeq.sortBy(_._1)
+    val out = VectorOps.semDedupIncremental(corpus, batch, cents, 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out(11L) == ((true, false, false)))
+    assert(out(13L) == ((false, false, true)))
+    assert(out(23L) == ((true, false, false)), "23 < 24, so no in-batch flag")
+    assert(out(24L) == ((true, true, false)))
+  }
+
   test("registry entry runs on the smoke fixture and is internally consistent") {
     val df = SparkEntry.queries("sim_semdedup")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
