@@ -791,7 +791,15 @@ object Relational6 {
     * rounds as unrolled CTEs with ITS OWN window/anti-join strategy, so
     * agreement checks the greedy-merge semantics, not the plan. */
   private[graft] def bpeMergeRounds(docs: DataFrame,
-                                    rounds: Int): DataFrame = {
+                                    rounds: Int): DataFrame =
+    bpeMergeRoundsWithSeq(docs, rounds)._1
+
+  /** [[bpeMergeRounds]] plus the final rewritten symbol frame — the
+    * ENCODE half of the tokenizer: after training, `seq` IS the corpus
+    * segmented under the learned merges, so per-doc encode statistics
+    * read straight off it without a second apply pass. */
+  private[graft] def bpeMergeRoundsWithSeq(docs: DataFrame,
+                                           rounds: Int): (DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
       posexplode(graft.text.TextOps.tokens(col("text")))
         .as(Seq("pos", "sym")))
@@ -802,13 +810,32 @@ object Relational6 {
       row.select(lit(r).as("round"), col("s1"), col("s2"),
         col("pair_count"), col("vocab_after"), col("tokens_after"))
     }
-    out.reduce(_ unionByName _).orderBy("round")
+    (out.reduce(_ unionByName _).orderBy("round"), seq)
   }
 
   private val bpeMerges: Q = (s, dir) =>
     bpeMergeRounds(Tables.documents(s, dir), rounds = 3)
 
-  private val bpeMergesSql = {
+  /** BPE ENCODE — tokenization under the learned merges: per document,
+    * how many symbols remain after the 3 trained merge rounds, how many
+    * are multi-word merge products, and the original token count
+    * (recovered exactly as Σ words-per-symbol: a merged symbol carries
+    * its constituents space-joined). The oracle replays the identical
+    * 3-round chain and aggregates the same frame, so the whole
+    * train-then-apply story is hash-checked end to end. */
+  private val bpeEncode: Q = (s, dir) => {
+    val seq = bpeMergeRoundsWithSeq(Tables.documents(s, dir), 3)._2
+    seq.groupBy("doc_id")
+      .agg(sum(size(split(col("sym"), " "))).cast("long").as("n_tokens_before"),
+        count(lit(1)).as("n_tokens_after"),
+        sum(when(col("sym").contains(" "), 1L).otherwise(0L))
+          .cast("long").as("n_merged_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared CTE chain for the BPE twins: toks → seq0 → (d_r, top_r, c_r,
+    * m_r, seq_r, st_r, row_r) per round. */
+  private def bpeChainSql(rounds: Int): String = {
     def round(r: Int): String = {
       val in = if (r == 1) "seq0" else s"seq${r - 1}"
       s"""d$r AS (
@@ -865,10 +892,22 @@ object Relational6 {
        |), seq0 AS (
        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS sym
        |  FROM toks
-       |), ${(1 to 3).map(round).mkString(", ")}
+       |), ${(1 to rounds).map(round).mkString(", ")}""".stripMargin
+  }
+
+  private val bpeMergesSql =
+    s"""${bpeChainSql(3)}
        |SELECT * FROM row1 UNION ALL SELECT * FROM row2
        |UNION ALL SELECT * FROM row3 ORDER BY round""".stripMargin
-  }
+
+  private val bpeEncodeSql =
+    s"""${bpeChainSql(3)}
+       |SELECT doc_id,
+       |  CAST(SUM(len(string_split(sym, ' '))) AS BIGINT) AS n_tokens_before,
+       |  COUNT(*) AS n_tokens_after,
+       |  CAST(SUM(CASE WHEN contains(sym, ' ') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_merged_tokens
+       |FROM seq3 GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Z-order layout screen — the multi-dimensional clustering decision
     * table behind file skipping (Delta/Iceberg Z-ORDER): quantize
@@ -1264,6 +1303,7 @@ object Relational6 {
     "text_tfidf" -> tfidfKeywords,
     "q_psi_drift" -> psiDrift,
     "text_bpe_merges" -> bpeMerges,
+    "text_bpe_encode" -> bpeEncode,
     "q_zorder_layout" -> zorderLayout,
     "q_expectations" -> expectations,
     "q_bootstrap_ci" -> bootstrapCi,
@@ -1284,6 +1324,7 @@ object Relational6 {
     "text_tfidf" -> tfidfKeywordsSql,
     "q_psi_drift" -> psiDriftSql,
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q_expectations" -> expectationsSql,
     "q_bootstrap_ci" -> bootstrapCiSql,
