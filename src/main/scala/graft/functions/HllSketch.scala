@@ -16,9 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * hourly metrics, A7 in SURVEY §2.4).
   *
   * Spark ships `approx_count_distinct` (HLL++), but its xxHash64 stream
-  * and register encoding are engine-private — the driver oracle can only
-  * rows-check it (`q_approx_distinct` is the registry's one no_oracle
-  * aggregate for exactly this reason). This sketch hashes with md5, like
+  * and register encoding are engine-private — the driver oracle cannot
+  * recompute the estimate (`q_approx_distinct` therefore hashes the
+  * exact count plus a TRUE-pinned tolerance verdict on the estimate). This sketch hashes with md5, like
   * [[CountMinAgg]] and [[KmvSketchAgg]]: a value's 60-bit hash is its
   * first 15 md5 hex digits; the top `p` bits pick a register, and the
   * register keeps the max over values of rho = (leading zeros of the

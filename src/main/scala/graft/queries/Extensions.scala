@@ -1137,7 +1137,8 @@ object Extensions {
   /** KMV distinct sketch (custom TypedImperativeAggregate) — the
     * determinism-friendly approx-distinct: unlike HLL++ the estimate is
     * bit-reproducible by any engine with md5, so this one gets a hash-exact
-    * oracle (q_approx_distinct stays rows-only as the HLL comparison). */
+    * oracle (q_approx_distinct hashes exact + a tolerance verdict, the
+    * HLL++ estimate being engine-private). */
   /** Distributed k-means: 2 full Lloyd rounds from the first-8 seed
     * codebook, final assignment as output. The oracle UNROLLS both rounds
     * in SQL — every assign (fixed-point integer argmin) and every update

@@ -181,16 +181,30 @@ object Relational2 {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS price
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
-  /** Approximate distinct (A7 scale path): HLL sketches differ per engine —
-    * exact twin columns carry the oracle, approx column is rows-only
-    * context. No oracle entry. */
+  /** Approximate distinct (A7 scale path). The HLL++ estimate itself is
+    * engine-private (DuckDB cannot reproduce Spark's sketch), so the
+    * hashed output carries (a) the exact COUNT DISTINCT and (b) the
+    * estimate folded into a tolerance VERDICT — `approx_within_15pct`,
+    * 3× the default rsd=0.05 — which the oracle pins to literal TRUE.
+    * If Spark's estimator ever drifts past tolerance the hash breaks:
+    * a real end-to-end check, unlike the old rows-only posture.
+    * HllSketchSpec additionally asserts the tolerance on the raw
+    * estimate. */
   private val approxDistinct: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.15).as("approx_within_15pct"))
       .orderBy("event_type")
+
+  private val approxDistinctSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS approx_within_15pct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Unpivot (melt) — the inverse reshape of [[pivotTypes]]: the four
     * lineitem measures to long form, the layout a generic metric pipeline
@@ -250,6 +264,7 @@ object Relational2 {
     "q_union_all"    -> unionAllSql,
     "q_latest_hours" -> latestHoursSql,
     "q_cumprod"      -> cumprodSql,
+    "q_approx_distinct" -> approxDistinctSql,
     "q_unpivot"      -> unpivotMeasuresSql,
   )
 }

@@ -566,41 +566,78 @@ object Relational5 {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // 128-bit-exact product moments WITHOUT decimal window accumulation
     // (a decimal sliding sum tripled this query's bench time): each
-    // product is computed exactly in decimal ONCE PER ROW, split into
-    // (hi = floor(t/2^32), lo = t mod 2^32 ∈ [0, 2^32)) longs, the
-    // window slides two cheap long sums, and the exact integer
-    // Σt = 2^32·Σhi + Σlo is reconstructed per OUTPUT row in decimal.
-    // Headroom: Σhi overflows only past Σ|t| ≈ 2^95, i.e. |value| ≈ 2e8
-    // sustained across a full 100-row frame — versus 2^63 (|value|≈300)
-    // for the long sums this replaced after the sf10 overflow.
-    val two32 = lit(4294967296L).cast(dec)
-    def hiLo(t: Column): (Column, Column) = {
-      val lo = pmod(t, two32)
-      ((t - lo) / two32, lo)
+    // product t = x·y is split into (hi = floor(t/2^32), lo = t mod 2^32
+    // ∈ [0, 2^32)), the window slides two cheap long sums, and the exact
+    // integer Σt = 2^32·Σhi + Σlo is reconstructed per OUTPUT row in
+    // decimal. Headroom: Σhi overflows only past Σ|t| ≈ 2^95, i.e.
+    // |value| ≈ 2e8 sustained across a full 100-row frame — versus 2^63
+    // (|value| ≈ 300) for the long sums this replaced after the sf10
+    // overflow.
+    //
+    // ROUND-10 bounded-range fast paths: one cheap max(abs(xfx)) pre-pass
+    // proves which arithmetic the data needs, and every tier computes the
+    // IDENTICAL exact integers — the output (and the DuckDB twin, whose
+    // BIGINT sums are HUGEINT-backed and exact regardless) never depends
+    // on the tier, so no oracle switch exists to get wrong:
+    //   tier 1 (maxAbs ≤ 214,748,364, i.e. |value| ≲ 214): even a full
+    //     frame of worst-case products stays under 2^62 — plain long
+    //     window sums, no split at all;
+    //   tier 2 (maxAbs ≤ 3,037,000,499, |value| ≲ 3037 — every driver SF
+    //     including sf10 lands here): each PRODUCT fits a long exactly
+    //     (maxAbs² < 2^63), so the hi/lo split runs in pure long
+    //     arithmetic (one shiftright + one multiply-subtract per row)
+    //     instead of decimal mul/pmod/div — the per-row decimal work was
+    //     the cost the r9 overflow fix added;
+    //   tier 3 (anything wider): the decimal-exact split, unchanged.
+    val maxAbs = ev.agg(max(abs(col("xfx")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
     }
+    val tier =
+      if (maxAbs <= 214748364L) 1
+      else if (maxAbs <= 3037000499L) 2
+      else 3
+    val two32 = lit(4294967296L).cast(dec)
     val rolled = DistributedRolling.withRolling(
         ev, Seq("tsus", "event_id"), 101) { ws =>
       val lagW = ws.rowsBetween(-1, -1)
       val fw = ws.rowsBetween(-99, 0)
-      def prodSums(name: String, t: Column): Seq[(String, Column)] = {
-        val (hi, lo) = hiLo(t)
-        Seq(s"${name}_hi" -> sum(hi.cast("long")).over(fw),
-          s"${name}_lo" -> sum(lo.cast("long")).over(fw))
-      }
+      // tl: the product as a long expression (tiers 1-2, exact by the
+      // maxAbs bound); td: the same product in decimal (tier 3)
+      def prodSums(name: String, tl: => Column, td: => Column): Seq[(String, Column)] =
+        tier match {
+          case 1 => Seq(name -> sum(tl).over(fw))
+          case 2 =>
+            val hi = shiftright(tl, 32) // arithmetic shift == floor div
+            val lo = tl - hi * lit(4294967296L) // ∈ [0, 2^32)
+            Seq(s"${name}_hi" -> sum(hi).over(fw),
+              s"${name}_lo" -> sum(lo).over(fw))
+          case _ =>
+            val t = td
+            val lo = pmod(t, two32)
+            val hi = (t - lo) / two32
+            Seq(s"${name}_hi" -> sum(hi.cast("long")).over(fw),
+              s"${name}_lo" -> sum(lo.cast("long")).over(fw))
+        }
       Seq(
         "yfx" -> first(col("xfx")).over(lagW),
         "n" -> count(col("yfx")).over(fw),
         "sx" -> sum(when(col("yfx").isNotNull, col("xfx"))).over(fw),
         "sy" -> sum(col("yfx")).over(fw)) ++
-        prodSums("sxy", when(col("yfx").isNotNull,
-          col("xfx").cast(dec) * col("yfx"))) ++
-        prodSums("sxx", when(col("yfx").isNotNull,
-          col("xfx").cast(dec) * col("xfx"))) ++
-        prodSums("syy", col("yfx").cast(dec) * col("yfx"))
+        prodSums("sxy",
+          when(col("yfx").isNotNull, col("xfx") * col("yfx")),
+          when(col("yfx").isNotNull, col("xfx").cast(dec) * col("yfx"))) ++
+        prodSums("sxx",
+          when(col("yfx").isNotNull, col("xfx") * col("xfx")),
+          when(col("yfx").isNotNull, col("xfx").cast(dec) * col("xfx"))) ++
+        prodSums("syy",
+          col("yfx") * col("yfx"),
+          col("yfx").cast(dec) * col("yfx"))
     }
     def d(c: Column) = c.cast("double")
     def rejoin(name: String): Column =
-      (col(s"${name}_hi").cast(dec) * two32 + col(s"${name}_lo"))
+      if (tier == 1) col(name).cast("double")
+      else (col(s"${name}_hi").cast(dec) * two32 + col(s"${name}_lo"))
         .cast("double")
     val vx = d(col("n")) * rejoin("sxx") - d(col("sx")) * d(col("sx"))
     val vy = d(col("n")) * rejoin("syy") - d(col("sy")) * d(col("sy"))

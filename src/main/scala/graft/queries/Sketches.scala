@@ -438,8 +438,8 @@ object Sketches {
 
   /** Oracle-exact HyperLogLog — the sketch Spark's own
     * `approx_count_distinct` can never oracle-check (its HLL++ hash
-    * stream is engine-private; `q_approx_distinct` is rows-only for that
-    * reason). [[graft.functions.HllSketchAgg]] hashes with md5, so the
+    * stream is engine-private; `q_approx_distinct` hashes the exact
+    * count plus a tolerance verdict for that reason). [[graft.functions.HllSketchAgg]] hashes with md5, so the
     * register array is a pure function of the input SET (max-merge) and
     * the DuckDB twin rebuilds every register with a GROUP BY .. MAX.
     * Two regimes side by side: per-event-type user cardinalities at

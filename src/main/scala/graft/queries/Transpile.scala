@@ -79,6 +79,41 @@ object Transpile {
       |FROM daily
       |ORDER BY d, event_type""".stripMargin
 
+  /** BOUNDED frame specs (the round-10 widening): a sliding
+    * `ROWS BETWEEN n PRECEDING AND m FOLLOWING` sum and a trailing
+    * `ROWS BETWEEN 2 PRECEDING AND CURRENT ROW` min — the frame grammar
+    * emits verbatim in all seven targets, and the integer-count values
+    * make the Spark/DuckDB parity exact. */
+  private val framePg: String =
+    """WITH daily AS (
+      |  SELECT DATE_TRUNC('day', ts) AS d, event_type, COUNT(*) AS n
+      |  FROM events
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d, event_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+      |       ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS sliding_n,
+      |  CAST(MIN(n) OVER (PARTITION BY event_type ORDER BY d
+      |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_min
+      |FROM daily
+      |ORDER BY d, event_type""".stripMargin
+
+  /** ANSI set-operator precedence on real rows (round-10): INTERSECT
+    * binds tighter, so this reads A UNION (B INTERSECT C). The document
+    * langs (A) survive ONLY under that grouping — the left-grouped
+    * (A UNION B) INTERSECT C would erase them — so a hash-green result
+    * proves both executable emitters carried the ANSI tree, not just
+    * that the text parsed. */
+  private val setPrecPg: String =
+    """SELECT k FROM (
+      |  SELECT lang AS k FROM documents
+      |  UNION
+      |  SELECT event_type AS k FROM events
+      |  INTERSECT
+      |  SELECT event_type AS k FROM events WHERE value > 50
+      |) AS u
+      |ORDER BY k""".stripMargin
+
   /** UNION ALL between two sources inside a derived table, ordered
     * outside — exercises set ops + FROM-subquery emission. */
   private val setopPg: String =
@@ -110,6 +145,8 @@ object Transpile {
     "q_transpile_pricing"     -> runSparkEmission(pricingPg, Seq("lineitem")),
     "q_transpile_quoting"     -> runSparkEmission(quotingPg, Seq("events")),
     "q_transpile_window"      -> runSparkEmission(windowPg, Seq("events")),
+    "q_transpile_frame"       -> runSparkEmission(framePg, Seq("events")),
+    "q_transpile_setprec"     -> runSparkEmission(setPrecPg, Seq("events", "documents")),
     "q_transpile_setop"       -> runSparkEmission(setopPg, Seq("events", "documents")),
     "q_transpile_block_range" -> blockRange)
 
@@ -120,6 +157,8 @@ object Transpile {
     "q_transpile_pricing"     -> Transpiler.transpile(pricingPg, "postgres", "duckdb"),
     "q_transpile_quoting"     -> Transpiler.transpile(quotingPg, "postgres", "duckdb"),
     "q_transpile_window"      -> Transpiler.transpile(windowPg, "postgres", "duckdb"),
+    "q_transpile_frame"       -> Transpiler.transpile(framePg, "postgres", "duckdb"),
+    "q_transpile_setprec"     -> Transpiler.transpile(setPrecPg, "postgres", "duckdb"),
     "q_transpile_setop"       -> Transpiler.transpile(setopPg, "postgres", "duckdb"),
     "q_transpile_block_range" -> Transpiler.buildBlockRangeQuery(100, 600,
       table = "orders", dialect = "duckdb", column = "o_orderkey"))

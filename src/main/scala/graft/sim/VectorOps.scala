@@ -62,25 +62,76 @@ object VectorOps {
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame =
     cosinePairsBy(emb, threshold, "label")
 
+  /** Hard cap on within-block pair work for [[cosinePairsBy]]: a block
+    * whose population exceeds this is split into sorted-neighborhood
+    * sub-blocks of at most this many rows (see below). Fixture and
+    * sf0.01/sf0.1 cluster sizes sit orders of magnitude under the cap, so
+    * the oracle-verified results are byte-identical with or without it;
+    * the cap exists for the 100 TB posture, where one near-duplicate-dense
+    * k-means cell would otherwise go quadratic. */
+  val PairBlockCap = 4096
+
   /** [[cosinePairs]] with a caller-chosen blocking column — the candidate
     * join is an equi-join on `blockCol`, never all-pairs; the quadratic
-    * cost lives only inside a block, so the CALLER owns bounding block
-    * sizes (labels, LSH buckets, k-means cells with k ∝ corpus). */
+    * cost lives only inside a block. Blocks up to `maxBlock` rows are
+    * paired exhaustively (exact). A HOT block (> `maxBlock` rows — the
+    * skew case a dedup corpus is guaranteed to produce, since duplicates
+    * concentrate geometrically) is bounded by sorted-neighborhood
+    * sub-blocking, the same discipline as `dedup_fuzzy_bounded`'s block
+    * cap and the winnowing hot-hash cap:
+    *
+    *   1. project each vector onto the deterministic LSH plane 0
+    *      ([[planeMatrixFor]]) — near-duplicates land at near-identical
+    *      projections, so rank-adjacency preserves them;
+    *   2. rank within the block by (projection, vec_id) and band into
+    *      sub-blocks of `maxBlock` rows, TWICE with the second pass
+    *      staggered by maxBlock/2 — any two rows within maxBlock/2 ranks
+    *      of each other share a sub-block in at least one pass;
+    *   3. pair exhaustively within sub-blocks only, then de-duplicate the
+    *      doubly-found pairs.
+    *
+    * Work per hot block is O(n·maxBlock) instead of O(n²), and the
+    * per-block rank is a sort (O(n log n), spillable via Spark's window
+    * sorter), never a pair explosion. Missing a straddling pair only
+    * means keeping an extra document — the conservative direction for
+    * dedup. */
   def cosinePairsBy(emb: DataFrame, threshold: Double,
-                    blockCol: String): DataFrame = {
+                    blockCol: String,
+                    maxBlock: Int = PairBlockCap): DataFrame = {
     graft.functions.FixedDotFunctions.register(emb.sparkSession)
     val withNorm = emb.select(col("vec_id"), col(blockCol),
       col("embedding"), norm(col("embedding")).as("nrm"))
-    val a = withNorm.select(col(blockCol), col("vec_id").as("v1"),
-      col("embedding").as("ea"), col("nrm").as("n1"))
-    val b = withNorm.select(col(blockCol), col("vec_id").as("v2"),
-      col("embedding").as("eb"), col("nrm").as("n2"))
-    a.join(b, blockCol)
-      .filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        cosine(col("ea"), col("eb"), col("n1"), col("n2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .orderBy("v1", "v2")
+    val sized = withNorm.join(
+      withNorm.groupBy(blockCol).agg(count(lit(1)).as("blk_n")), blockCol)
+
+    def pairsWithin(src: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = src.select(keys.map(col) :+ col("vec_id").as("v1") :+
+        col("embedding").as("ea") :+ col("nrm").as("n1"): _*)
+      val b = src.select(keys.map(col) :+ col("vec_id").as("v2") :+
+        col("embedding").as("eb") :+ col("nrm").as("n2"): _*)
+      a.join(b, keys)
+        .filter(col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          cosine(col("ea"), col("eb"), col("n1"), col("n2")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
+
+    val exact = pairsWithin(sized.filter(col("blk_n") <= maxBlock)
+      .drop("blk_n"), Seq(blockCol))
+
+    // hot blocks: sorted-neighborhood sub-banding, two staggered passes
+    val hot = sized.filter(col("blk_n") > maxBlock).drop("blk_n")
+      .withColumn("proj",
+        fixedDot(col("embedding"), typedlit(planeMatrix(0))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(blockCol).orderBy(col("proj"), col("vec_id"))) - 1)
+    val hotPairs = (0 to 1).map { pass =>
+      val band = floor((col("rn") + lit(pass * maxBlock / 2)) / maxBlock)
+      pairsWithin(hot.withColumn("band", band), Seq(blockCol, "band"))
+    }.reduce(_.unionByName(_)).dropDuplicates("v1", "v2")
+
+    exact.unionByName(hotPairs).orderBy("v1", "v2")
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at

@@ -131,8 +131,15 @@ final case class SetOp(op: String, left: QueryExpr, right: QueryExpr,
                        limit: Option[Long] = None,
                        offset: Option[Long] = None) extends QueryExpr
 
-/** Top-level statement: optional WITH clause + body. */
-final case class Query(ctes: List[(Ident, QueryExpr)], body: QueryExpr)
+/** `INSERT INTO table [(col, ...)]` target prefix for a SELECT-backed
+  * insert — spelled identically (modulo identifier quoting) in all seven
+  * targets. */
+final case class InsertTarget(table: Ident, columns: List[Ident])
+
+/** Top-level statement: optional INSERT INTO target + optional WITH
+  * clause + body. `insertInto = None` is a plain query. */
+final case class Query(ctes: List[(Ident, QueryExpr)], body: QueryExpr,
+                       insertInto: Option[InsertTarget] = None)
 
 /** Parse failure with a 1-based position into the source text. */
 final case class SqlParseException(message: String, pos: Int)

@@ -130,9 +130,16 @@ object SqlDialects {
   // =============================================================== emitter
   final class Generator(d: DialectSpec) {
 
-    /** Emit a full statement: WITH clause (if any) + query body. */
+    /** Emit a full statement: INSERT target (if any) + WITH clause (if
+      * any) + query body. */
     def sql(q: Query): String = {
       val sb = new StringBuilder
+      q.insertInto.foreach { t =>
+        sb ++= "INSERT INTO " + ident(t.table)
+        if (t.columns.nonEmpty)
+          sb ++= " (" + t.columns.map(ident).mkString(", ") + ")"
+        sb ++= "\n"
+      }
       if (q.ctes.nonEmpty) {
         sb ++= "WITH "
         sb ++= q.ctes.map { case (name, body) =>
@@ -151,9 +158,15 @@ object SqlDialects {
       case s: SelectStmt => selectSql(s)
       case SetOp(op, l, r, ord, lim, off) =>
         // set operands that are themselves set ops keep explicit parens so
-        // the emitted text preserves the parsed association
+        // the emitted text preserves the parsed association; a SELECT
+        // operand carrying its own ORDER BY/LIMIT/OFFSET must also be
+        // parenthesized — bare, those clauses would bind to the whole set
+        // op on re-parse (and Postgres rejects them mid-chain outright)
         def side(x: QueryExpr): String = x match {
           case _: SetOp => "(\n" + indent(queryExpr(x)) + "\n)"
+          case s: SelectStmt
+              if s.orderBy.nonEmpty || s.limit.nonEmpty || s.offset.nonEmpty =>
+            "(\n" + indent(queryExpr(x)) + "\n)"
           case _ => queryExpr(x)
         }
         val sb = new StringBuilder(side(l) + "\n" + op + "\n" + side(r))
@@ -218,13 +231,19 @@ object SqlDialects {
       if (needs) s"${d.identQuote}${id.name}${d.identQuote}" else id.name
     }
 
+    /** Operator precedence, mirroring SqlParser's grammar exactly:
+      * OR(1) < AND(2) < NOT(3) < predicates(4) < comparison(5) <
+      * concat(6) < add/sub(7) < mul/div/mod(8) < unary minus(9) <
+      * atoms(10). `||` sits BELOW add/sub per Postgres ("any other
+      * operator" binds looser than plus/minus). */
     private def precOf(op: String): Int = op match {
       case "OR" => 1
       case "AND" => 2
-      case "=" | "<>" | "<" | "<=" | ">" | ">=" => 4
-      case "+" | "-" | "||" => 5
-      case "*" | "/" | "%" => 6
-      case _ => 8
+      case "=" | "<>" | "<" | "<=" | ">" | ">=" => 5
+      case "||" => 6
+      case "+" | "-" => 7
+      case "*" | "/" | "%" => 8
+      case _ => 10
     }
 
     /** Emit with minimal parentheses: wrap when child binds looser than
@@ -255,12 +274,18 @@ object SqlDialects {
       case BinOp(op, l, r) =>
         val p = precOf(op)
         // comparisons are NON-associative: `a = b = c` won't re-parse, so
-        // a comparison operand of a comparison must keep its parens;
-        // left-assoc arithmetic: right child needs strictly tighter
-        // binding for - / / / %
+        // a comparison operand of a comparison must keep its parens.
+        // EVERY binary operator takes rCtx = p + 1: the grammar is
+        // left-associative, so an unparenthesized same-precedence right
+        // child would re-parse left-grouped — wrong not just for -,/,%
+        // but for mixed same-level ops (`a * (b / c)` ≠ `a * b / c` under
+        // integer division; `a + (b - c)` ≠ `a + b - c` for float
+        // rounding) and even for nominally associative ops, where the
+        // structural parse(emit(ast)) == ast law (TranspilerProperties)
+        // demands grouping be preserved exactly.
         val cmp = Set("=", "<>", "<", "<=", ">", ">=").contains(op)
         val lCtx = if (cmp) p + 1 else p
-        val rCtx = if (cmp || Set("-", "/", "%").contains(op)) p + 1 else p
+        val rCtx = p + 1
         val s = s"${expr(l, lCtx)} $op ${expr(r, rCtx)}"
         if (p < ctx) s"($s)" else s
 
@@ -272,20 +297,22 @@ object SqlDialects {
         // directly nested unary minus
         x match {
           case UnaryOp("-", _) => op + "(" + expr(x, 0) + ")"
-          case _ => op + expr(x, 7)
+          case _ => op + expr(x, 9)
         }
 
+      // predicate operands parse at the concat level (prec 6): a bare
+      // comparison (5) re-binds, so it keeps parens; ||/+/* don't need any
       case Between(x, lo, hi, neg) =>
-        val s = s"${expr(x, 5)} ${if (neg) "NOT " else ""}BETWEEN ${expr(lo, 5)} AND ${expr(hi, 5)}"
+        val s = s"${expr(x, 6)} ${if (neg) "NOT " else ""}BETWEEN ${expr(lo, 6)} AND ${expr(hi, 6)}"
         if (4 < ctx) s"($s)" else s
       case InList(x, items, neg) =>
-        val s = s"${expr(x, 5)} ${if (neg) "NOT " else ""}IN (${items.map(expr(_, 0)).mkString(", ")})"
+        val s = s"${expr(x, 6)} ${if (neg) "NOT " else ""}IN (${items.map(expr(_, 0)).mkString(", ")})"
         if (4 < ctx) s"($s)" else s
       case Like(x, p, neg) =>
-        val s = s"${expr(x, 5)} ${if (neg) "NOT " else ""}LIKE ${expr(p, 5)}"
+        val s = s"${expr(x, 6)} ${if (neg) "NOT " else ""}LIKE ${expr(p, 6)}"
         if (4 < ctx) s"($s)" else s
       case IsNull(x, neg) =>
-        val s = s"${expr(x, 5)} IS ${if (neg) "NOT " else ""}NULL"
+        val s = s"${expr(x, 6)} IS ${if (neg) "NOT " else ""}NULL"
         if (4 < ctx) s"($s)" else s
 
       case CaseWhen(operand, branches, otherwise) =>

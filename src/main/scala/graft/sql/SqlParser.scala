@@ -6,21 +6,27 @@ import scala.collection.mutable.ListBuffer
   * SELECT subset of Postgres SQL that the reference authors its canonical
   * queries in (/root/reference/src/transform/etl_pipeline.py:267-297).
   *
-  * Coverage: SELECT [DISTINCT] list with aliases and `*`, single-table
-  * FROM with INNER/LEFT/RIGHT/FULL/CROSS joins, WHERE / GROUP BY (exprs or
-  * ordinals) / HAVING / ORDER BY [ASC|DESC] / LIMIT, functions with
-  * DISTINCT args, CAST, CASE (simple + searched), BETWEEN / IN / LIKE /
-  * IS [NOT] NULL, interval literals in both the Postgres spelling
+  * Coverage: SELECT [DISTINCT] list with aliases and `*`, FROM with
+  * INNER/LEFT/RIGHT/FULL/CROSS joins and derived tables (subqueries in
+  * FROM), WITH-clause CTEs, set operators (UNION [ALL] / INTERSECT /
+  * EXCEPT, with ANSI precedence: INTERSECT binds tighter), window
+  * functions (`OVER (PARTITION BY ... ORDER BY ... ROWS|RANGE BETWEEN
+  * ... AND ...)`), WHERE / GROUP BY (exprs or ordinals) / HAVING /
+  * ORDER BY [ASC|DESC] / LIMIT / OFFSET — including trailing
+  * ORDER BY/LIMIT/OFFSET that bind to a whole set operation — functions
+  * with DISTINCT args, CAST, CASE (simple + searched), BETWEEN / IN /
+  * LIKE / IS [NOT] NULL, interval literals in both the Postgres spelling
   * (`INTERVAL '24 hours'`) and the quantity-quoted spelling
-  * (`INTERVAL '24' HOUR`), TIMESTAMP/DATE literals, `||` concat,
-  * scientific-notation numbers, and both `"` and `` ` `` identifier
-  * quoting on input (the read side is deliberately tolerant; the *write*
-  * side is strict per dialect — see [[SqlDialects]]).
+  * (`INTERVAL '24' HOUR`), TIMESTAMP/DATE literals, `||` concat (parsed
+  * at Postgres's level: looser than +/-), scientific-notation numbers,
+  * and both `"` and `` ` `` identifier quoting on input (the read side
+  * is deliberately tolerant; the *write* side is strict per dialect —
+  * see [[SqlDialects]]).
   *
-  * Subqueries, CTEs, set ops and window functions are out of scope: the
-  * reference never transpiles them (its two canonical queries and the
-  * programmatic builder are all single-block SELECTs), and Spark-native
-  * execution covers those shapes directly.
+  * Out of scope: DML other than INSERT INTO ... SELECT, DDL, correlated
+  * subqueries in expressions, LATERAL, GROUPING SETS — the reference
+  * never transpiles those shapes, and Spark-native execution covers them
+  * directly.
   */
 object SqlParser {
 
@@ -155,6 +161,29 @@ object SqlParser {
     }
 
     private def parseOne(): Query = {
+      // INSERT INTO tbl [(col, ...)] <query> — the one DML shape a
+      // warehouse-migration script routinely carries alongside SELECTs
+      val target: Option[InsertTarget] =
+        if (eatWord("INSERT")) {
+          expectWord("INTO")
+          val table = identTok()
+          val cols = ListBuffer.empty[Ident]
+          // `(` here is ambiguous: a column list vs a parenthesized query
+          // body (`INSERT INTO t (SELECT ...)`). Peek past it: SELECT,
+          // WITH, or another `(` means the body starts here.
+          val colListAhead = isSym("(") && (toks(i + 1) match {
+            case TWord(w, _) => !Set("SELECT", "WITH").contains(w.toUpperCase)
+            case TSym("(", _) => false
+            case _ => true
+          })
+          if (colListAhead) {
+            i += 1
+            cols += identTok()
+            while (eatSym(",")) cols += identTok()
+            expectSym(")")
+          }
+          Some(InsertTarget(table, cols.toList))
+        } else None
       val ctes = ListBuffer.empty[(Ident, QueryExpr)]
       if (eatWord("WITH")) {
         def one(): Unit = {
@@ -168,45 +197,91 @@ object SqlParser {
         one()
         while (eatSym(",")) one()
       }
-      Query(ctes.toList, queryExpr())
+      Query(ctes.toList, queryExpr(), target)
     }
 
-    /** select block (optionally parenthesized) joined by set operators,
-      * left-associative, equal precedence (parenthesize to override —
-      * matches the conservative subset this transpiler guarantees).
+    /** Set-operator chains over (optionally parenthesized) select blocks.
+      * Precedence matches ANSI/Postgres (and sqlglot): INTERSECT binds
+      * TIGHTER than UNION/EXCEPT, each level left-associative —
+      * `A UNION B INTERSECT C` is `A UNION (B INTERSECT C)`.
       *
       * ANSI fine print: `A UNION B ORDER BY x LIMIT n` orders/limits the
-      * WHOLE union, but the trailing clauses are consumed by the final
-      * operand's parseSelect — so when that operand arrived WITHOUT
-      * parentheses, its ORDER BY/LIMIT/OFFSET are hoisted onto the SetOp.
-      * A parenthesized operand keeps them (they genuinely bind inside). */
+      * WHOLE union. When the final operand arrived WITHOUT parentheses its
+      * parseSelect consumed those trailing clauses, so they are hoisted
+      * off the right spine onto the SetOp; when it WAS parenthesized the
+      * clauses are still in the token stream and are parsed here directly
+      * onto the SetOp (`A UNION (SELECT ...) ORDER BY x` is valid ANSI).
+      * A parenthesized operand keeps its own inner clauses (they genuinely
+      * bind inside the parens). */
     private def queryExpr(): QueryExpr = {
       var l: QueryExpr = null
       var lParen = false
-      locally { val (q, p) = setOperand(); l = q; lParen = p }
+      locally { val (q, p) = intersectChain(); l = q; lParen = p }
       var going = true
       while (going) {
         val op =
           if (eatWord("UNION")) Some(if (eatWord("ALL")) "UNION ALL" else "UNION")
-          else if (eatWord("INTERSECT")) Some("INTERSECT")
           else if (eatWord("EXCEPT")) Some("EXCEPT")
           else None
         op match {
           case Some(o) =>
-            val (r, rParen) = setOperand()
+            val (r, rParen) = intersectChain()
             l = SetOp(o, l, r)
             lParen = rParen
           case None => going = false
         }
       }
       l match {
-        case s @ SetOp(_, _, right: SelectStmt, Nil, None, None) if !lParen &&
-            (right.orderBy.nonEmpty || right.limit.nonEmpty || right.offset.nonEmpty) =>
-          s.copy(
-            right = right.copy(orderBy = Nil, limit = None, offset = None),
-            orderBy = right.orderBy, limit = right.limit, offset = right.offset)
+        case s: SetOp if !lParen =>
+          // trailing clauses were consumed by the right spine's final
+          // unparenthesized SELECT — hoist them onto the whole set op
+          val (stripped, ob, lim, off) = stripTrailing(s)
+          if (ob.nonEmpty || lim.nonEmpty || off.nonEmpty)
+            stripped.asInstanceOf[SetOp].copy(orderBy = ob, limit = lim, offset = off)
+          else s
+        case s: SetOp => // final operand parenthesized: clauses not yet consumed
+          val ob = ListBuffer.empty[OrderItem]
+          if (eatWord("ORDER")) {
+            expectWord("BY")
+            ob += orderItem()
+            while (eatSym(",")) ob += orderItem()
+          }
+          val lim = if (eatWord("LIMIT")) Some(numTok("LIMIT count")) else None
+          val off = if (eatWord("OFFSET")) Some(numTok("OFFSET count")) else None
+          if (ob.nonEmpty || lim.nonEmpty || off.nonEmpty)
+            s.copy(orderBy = ob.toList, limit = lim, offset = off)
+          else s
         case other => other
       }
+    }
+
+    /** INTERSECT level (tighter than UNION/EXCEPT). Returns the chain and
+      * whether its FINAL operand was parenthesized. */
+    private def intersectChain(): (QueryExpr, Boolean) = {
+      var (l, lParen) = setOperand()
+      while (eatWord("INTERSECT")) {
+        val (r, rParen) = setOperand()
+        l = SetOp("INTERSECT", l, r)
+        lParen = rParen
+      }
+      (l, lParen)
+    }
+
+    /** Remove trailing ORDER BY/LIMIT/OFFSET from the right spine's final
+      * SELECT (they lexically trail the whole set op, so ANSI binds them
+      * to it). Stops at a SetOp that already carries its own clauses. */
+    private def stripTrailing(q: QueryExpr): (QueryExpr, List[OrderItem], Option[Long], Option[Long]) = q match {
+      case s: SelectStmt =>
+        (s.copy(orderBy = Nil, limit = None, offset = None), s.orderBy, s.limit, s.offset)
+      case s @ SetOp(_, _, r, Nil, None, None) =>
+        val (r2, ob, lim, off) = stripTrailing(r)
+        (s.copy(right = r2), ob, lim, off)
+      case other => (other, Nil, None, None)
+    }
+
+    private def numTok(what: String): Long = advance() match {
+      case TNum(s, _) => s.toLong
+      case t => throw SqlParseException(s"expected $what", t.pos)
     }
 
     private def setOperand(): (QueryExpr, Boolean) =
@@ -308,7 +383,12 @@ object SqlParser {
       OrderItem(e, desc)
     }
 
-    // expression precedence: OR < AND < NOT < predicate < add < mul < unary
+    // expression precedence:
+    //   OR < AND < NOT < predicate < || < add < mul < unary
+    // `||` gets a dedicated level BELOW +/- because Postgres (the declared
+    // read dialect) puts "any other operator" — including || — between
+    // `+ -` and the predicate keywords: `a || b + 1` reads as
+    // `a || (b + 1)`, not `(a || b) + 1`. SqlDialects.precOf mirrors this.
     def expr(): SqlExpr = orExpr()
 
     private def orExpr(): SqlExpr = {
@@ -325,12 +405,12 @@ object SqlParser {
       if (eatWord("NOT")) UnaryOp("NOT", notExpr()) else predicate()
 
     private def predicate(): SqlExpr = {
-      val l = addExpr()
+      val l = concatExpr()
       if (isSym("=") || isSym("<>") || isSym("!=") || isSym("<") ||
           isSym("<=") || isSym(">") || isSym(">=")) {
         val TSym(op0, _) = advance(): @unchecked
         val op = if (op0 == "!=") "<>" else op0
-        BinOp(op, l, addExpr())
+        BinOp(op, l, concatExpr())
       } else if (isWord("BETWEEN") || isWord("NOT")) {
         val negated = isWord("NOT") && {
           // only treat NOT as predicate prefix for NOT BETWEEN/IN/LIKE
@@ -341,7 +421,7 @@ object SqlParser {
         }
         if (negated) i += 1
         if (eatWord("BETWEEN")) {
-          val lo = addExpr(); expectWord("AND"); val hi = addExpr()
+          val lo = concatExpr(); expectWord("AND"); val hi = concatExpr()
           Between(l, lo, hi, negated)
         } else if (eatWord("IN")) {
           expectSym("(")
@@ -350,7 +430,7 @@ object SqlParser {
           expectSym(")")
           InList(l, items.toList, negated)
         } else if (eatWord("LIKE")) {
-          Like(l, addExpr(), negated)
+          Like(l, concatExpr(), negated)
         } else l // bare trailing NOT belongs to an outer construct
       } else if (eatWord("IN")) {
         expectSym("(")
@@ -359,7 +439,7 @@ object SqlParser {
         expectSym(")")
         InList(l, items.toList)
       } else if (eatWord("LIKE")) {
-        Like(l, addExpr())
+        Like(l, concatExpr())
       } else if (eatWord("IS")) {
         val negated = eatWord("NOT")
         expectWord("NULL")
@@ -367,13 +447,17 @@ object SqlParser {
       } else l
     }
 
+    private def concatExpr(): SqlExpr = {
+      var l = addExpr()
+      while (eatSym("||")) l = BinOp("||", l, addExpr())
+      l
+    }
     private def addExpr(): SqlExpr = {
       var l = mulExpr()
       var going = true
       while (going) {
         if (eatSym("+")) l = BinOp("+", l, mulExpr())
         else if (eatSym("-")) l = BinOp("-", l, mulExpr())
-        else if (eatSym("||")) l = BinOp("||", l, mulExpr())
         else going = false
       }
       l

@@ -19,17 +19,24 @@ import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter}
   * == Verification boundary ==
   * This sandbox ships neither a Kafka broker nor the
   * `spark-sql-kafka-0-10` connector jar, and has zero network egress, so
-  * no message can physically cross a broker here: `.load()`/`.start()`
-  * resolve only in a real deployment, and an embedded-broker test would
-  * require the kafka server + connector dependencies this build
-  * intentionally cannot resolve. What IS proven executable:
-  * KafkaIOSpec covers the option maps and the record shaping (including
-  * the falsy-key fallback below), and the loopback equivalence — produce
-  * shape → consume shape → decode — runs through the file/Memory-stream
-  * envelope path ([[graft.etl.EventEnvelopes]] + StreamingSpec), which
-  * exercises byte-identical envelope JSON on both sides of the would-be
-  * broker hop. The untested residue is Kafka's own transport (offsets,
-  * partitioning, delivery), which belongs to the connector, not this
+  * no message can physically cross a real broker here: `.load()`/
+  * `.start()` resolve only in a real deployment, and an embedded-broker
+  * test would require the kafka server + connector dependencies this
+  * build intentionally cannot resolve. What IS proven executable, via
+  * KafkaIOSpec + the test-side EmbeddedTopicLog (a pure-JVM log
+  * implementing the PUBLIC transport contract — murmur2
+  * DefaultPartitioner routing, per-partition dense offsets, the exact
+  * Kafka source schema, offset-based resumption):
+  *   - the full round trip produce → keyed partition assignment →
+  *     offset log → consume → [[envelopeValues]] → decode, asserted
+  *     equal to the direct batch decode on all four topics;
+  *   - keying (entity hash with the falsy '' fallback to block number)
+  *     and same-key → same-partition routing, byte-compatible with every
+  *     Kafka client's DefaultPartitioner;
+  *   - exactly-once resumption: re-reading from committed end offsets
+  *     replays each record precisely once across a simulated restart.
+  * The untested residue is the broker binary itself (wire protocol,
+  * replication, rebalancing), which belongs to the connector, not this
   * library; first-deployment smoke: `reader(...).load()` →
   * [[envelopeValues]] → `StreamingEtl.decodeTransfers` against a dev
   * broker, checkpointed to a scratch dir.
@@ -108,4 +115,21 @@ object KafkaIO {
     * broker exists. */
   def writer(rows: DataFrame, cfg: SinkConfig): DataStreamWriter[org.apache.spark.sql.Row] =
     sinkRecords(rows).writeStream.format("kafka").options(sinkOptions(cfg))
+
+  /** Shape RAW envelope JSON strings into Kafka records exactly as the
+    * reference producer publishes them (kafka_producer.py:105-111,
+    * 154-225): value = the envelope text verbatim; key = the payload's
+    * entity hash when one exists and is truthy (`tx_hash` for
+    * transfers/logs, `hash` for transactions — Python's `key or
+    * str(block_number)` treats '' as missing), else the block number.
+    * This is the producer-side twin of [[envelopeValues]]; the
+    * EmbeddedTopicLog round-trip test drives both through the same
+    * murmur2 partition routing a real broker would apply. */
+  def envelopeRecords(raw: Dataset[String]): DataFrame =
+    raw.toDF("value").select(
+      coalesce(
+        nullif(get_json_object(col("value"), "$.payload.tx_hash"), lit("")),
+        nullif(get_json_object(col("value"), "$.payload.hash"), lit("")),
+        get_json_object(col("value"), "$.block_number")).as("key"),
+      col("value"))
 }

@@ -355,6 +355,26 @@ class HllSketchSpec extends SparkSpec {
     }
   }
 
+  test("registry q_approx_distinct: raw HLL++ estimate inside the 15% verdict bound") {
+    import org.apache.spark.sql.functions.{abs => sabs, approx_count_distinct, col, countDistinct}
+    val dir = "/root/testdata/sf0.01"
+    // the raw estimate (not in the hashed output) honors the tolerance
+    // the registry folds into its TRUE-pinned approx_within_15pct column
+    val raw = graft.queries.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect()
+    raw.foreach { r =>
+      val exact = r.getLong(1); val approx = r.getLong(2)
+      assert(math.abs(approx - exact).toDouble <= exact * 0.15,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+    // and the registry entry's verdict column is therefore all TRUE
+    val out = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(2)))
+  }
+
   test("HLL cube roll-up: merged hour sketches == the direct per-type sketch") {
     import org.apache.spark.sql.functions._
     HllFunctions.register(spark)

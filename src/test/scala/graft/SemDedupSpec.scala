@@ -90,4 +90,72 @@ class SemDedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getLong(1) == r.getLong(2) + r.getLong(3)))
   }
+
+  // -------------------------------------------------- hot-cluster cap
+
+  /** One artificially giant cluster: n vectors fanning through distinct
+    * angles (distinct plane-0 projections), plus planted exact-duplicate
+    * pairs at ids far apart — the skew shape a dedup corpus concentrates
+    * into a single k-means cell. */
+  private def giantCluster(n: Int): org.apache.spark.sql.DataFrame = {
+    val base = (0 until n).map { i =>
+      val theta = 0.3 + 0.9 * i.toDouble / n // one quadrant, same cell
+      (i.toLong, 0, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    // duplicates of rows 7, 120, 280 planted at high ids: identical
+    // vectors => identical projections => rank-adjacent under the cap
+    val dups = Seq(7, 120, 280).zipWithIndex.map { case (src, j) =>
+      (1000L + j, 0, base(src)._3.clone())
+    }
+    (base ++ dups).toDF("vec_id", "label", "embedding")
+  }
+
+  test("hot-cluster cap bounds pair work to O(n·cap), not O(n²)") {
+    val n = 303 // 300 fan + 3 dups, all one block
+    val emb = giantCluster(300)
+    val cap = 32
+    // threshold -1 accepts every evaluated pair => the row count IS the
+    // number of candidate pairs the plan evaluated
+    val capped = VectorOps.cosinePairsBy(emb, -1.0, "label", cap).count()
+    val allPairs = n.toLong * (n - 1) / 2 // 45_753
+    // two staggered passes, bands of `cap`: <= 2 * ceil(n/cap) * C(cap,2)
+    val bound = 2L * ((n + cap - 1) / cap) * cap * (cap - 1) / 2
+    assert(capped <= bound, s"capped=$capped bound=$bound")
+    assert(capped < allPairs / 4, s"capped=$capped not ≪ allPairs=$allPairs")
+    assert(capped > 0)
+  }
+
+  test("hot-cluster cap still finds planted near-duplicates (sorted neighborhood)") {
+    val emb = giantCluster(300)
+    val found = VectorOps.cosinePairsBy(emb, 0.999999, "label", 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors sort adjacently on (projection, vec_id)
+    assert(found.contains((7L, 1000L)), s"missing (7,1000) in $found")
+    assert(found.contains((120L, 1001L)), s"missing (120,1001) in $found")
+    assert(found.contains((280L, 1002L)), s"missing (280,1002) in $found")
+  }
+
+  test("cap not engaged == exhaustive results byte-for-byte") {
+    // fixture blocks are tiny; default cap and an effectively-infinite cap
+    // must produce identical pairs AND identical semDedup aggregates
+    val withCap = VectorOps.cosinePairsBy(fixture, 0.95, "label").collect()
+    val noCap = VectorOps.cosinePairsBy(fixture, 0.95, "label",
+      Int.MaxValue).collect()
+    assert(withCap.toSeq == noCap.toSeq)
+  }
+
+  test("mixed sizes: small blocks stay exact while the hot block is banded") {
+    // block 0: hot (engages the cap); block 1: 3 rows (exact path)
+    val hot = giantCluster(300)
+    val small = Seq(
+      (5000L, 1, Array(0.0f, 1.0f)),
+      (5001L, 1, Array(0.0f, 1.0f)),      // dup -> must be found exactly
+      (5002L, 1, Array(-0.8f, 0.6f))).toDF("vec_id", "label", "embedding")
+    val pairs = VectorOps.cosinePairsBy(hot.unionByName(small), 0.999999,
+      "label", 32).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5000L, 5001L)), "exact path lost the small-block dup")
+    assert(pairs.contains((7L, 1000L)), "banded path lost the hot-block dup")
+    assert(!pairs.exists(p => p._1 >= 5000L ^ p._2 >= 5000L),
+      "pairs must never cross blocks")
+  }
 }

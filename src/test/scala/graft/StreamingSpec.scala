@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.etl.{Fixtures, Ingest, TokenTransferDecoder}
-import graft.streaming.{KafkaIO, StreamingEtl}
+import graft.streaming.{EmbeddedTopicLog, KafkaIO, StreamingEtl}
 
 /** Streaming slice driven synchronously with MemoryStream +
   * processAllAvailable — micro-batches exercise the same decode transforms
@@ -1129,5 +1129,112 @@ class KafkaIOSpec extends SparkSpec {
     val decoded = TokenTransferDecoder.decode(
       graft.etl.Ingest.parseRaw(KafkaIO.envelopeValues(kafkaShaped)))
     assert(decoded.count() == 10)
+  }
+
+  // ------------------------------------------------------------------
+  // Round trip through EmbeddedTopicLog — the transport contract a real
+  // broker applies (murmur2 key routing, per-partition offset logs, the
+  // Kafka source schema, offset-based resume), exercised end to end.
+  // ------------------------------------------------------------------
+
+  /** 40 transfer envelopes with DISTINCT tx hashes (the bulk fixture
+    * reuses one default hash, which would collapse partitioning). */
+  private def distinctTransfers: Seq[String] = (0 until 40).map { i =>
+    Fixtures.transferMessage(
+      blockNumber = 19000000L + i * 10L,
+      logIndex = i.toLong,
+      txHash = "0x" + f"$i%063x" + "c")
+  }
+
+  test("round trip: produce → partitions → offsets → consume → decode, four topics") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val broker = new EmbeddedTopicLog(numPartitions = 4)
+    val transfers = distinctTransfers
+    val txs = Fixtures.syntheticTxMessages(30)
+    val swaps = (0 until 12).map(i =>
+      Fixtures.swapMessage(blockNumber = 18000100L + i,
+        amount0In = BigInt(i + 1), amount1Out = BigInt(2 * i + 1),
+        txHash = "0x" + f"$i%063x" + "f"))
+    val blocks = (0 until 8).map(i =>
+      s"""{"chain_id": 1, "network": "ethereum-mainnet", "block_number": ${18000200L + i},
+         | "block_timestamp": ${Fixtures.FixedNow}, "event_type": "block",
+         | "payload": {"miner": "0x${"9" * 40}", "gas_used": 12000000},
+         | "ingested_at": ${Fixtures.FixedNow}.0}""".stripMargin.replaceAll("\n", ""))
+
+    // produce through the REAL record shaping (reference key rule)
+    broker.produceFrame(KafkaIO.TopicTokenTransfers,
+      KafkaIO.envelopeRecords(transfers.toDS()))
+    broker.produceFrame(KafkaIO.TopicTransactions,
+      KafkaIO.envelopeRecords(txs.toDS()))
+    broker.produceFrame(KafkaIO.TopicLogs, KafkaIO.envelopeRecords(swaps.toDS()))
+    broker.produceFrame(KafkaIO.TopicBlocks, KafkaIO.envelopeRecords(blocks.toDS()))
+
+    // (1) the consumer frame has EXACTLY the Spark Kafka source schema
+    val kafka = broker.consumeAll(spark, KafkaIO.AllTopics)
+    assert(kafka.schema == broker.kafkaSourceSchema)
+    assert(kafka.count() == transfers.size + txs.size + swaps.size + blocks.size)
+
+    // (2) same key → same partition, routed by the DefaultPartitioner
+    val routed = kafka.select("key", "partition").collect()
+      .map(r => (new String(r.getAs[Array[Byte]](0), "UTF-8"), r.getInt(1)))
+    routed.foreach { case (k, p) =>
+      assert(p == broker.partitionFor(k), s"key $k routed to $p")
+    }
+    assert(routed.map(_._2).distinct.length > 1, "keys spread over partitions")
+
+    // (3) offsets are dense from 0 per (topic, partition) and ordered
+    val offs = kafka.select("topic", "partition", "offset").collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+    offs.foreach { case (tp, rows) =>
+      val sorted = rows.map(_.getLong(2)).sorted
+      assert(sorted.toSeq == (0L until sorted.length).toSeq,
+        s"offsets not dense for $tp: ${sorted.toSeq}")
+    }
+
+    // (4) blocks envelopes keyed by block number (no payload hash)
+    val blockKeys = kafka.filter(col("topic") === KafkaIO.TopicBlocks)
+      .select("key").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+    assert(blockKeys == (0 until 8).map(i => (18000200L + i).toString).toSet)
+
+    // (5) the consumed transfers decode IDENTICALLY to the direct path
+    val viaBroker = TokenTransferDecoder.decode(graft.etl.Ingest.parseRaw(
+      KafkaIO.envelopeValues(
+        kafka.filter(col("topic") === KafkaIO.TopicTokenTransfers))))
+    val direct = TokenTransferDecoder.decode(
+      graft.etl.Ingest.parseRaw(spark, transfers))
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("tx_hash")
+    assert(viaBroker.collect().sortBy(key).toSeq ==
+      direct.collect().sortBy(key).toSeq)
+  }
+
+  test("round trip: exactly-once resume from committed offsets") {
+    import spark.implicits._
+    val broker = new EmbeddedTopicLog(numPartitions = 4)
+    val topic = KafkaIO.TopicTokenTransfers
+    val first = distinctTransfers.take(25)
+    val second = distinctTransfers.drop(25)
+
+    broker.produceFrame(topic, KafkaIO.envelopeRecords(first.toDS()))
+    val batch1 = broker.consumeFrom(spark, topic, Map.empty)
+    val committed = broker.endOffsets(topic) // the checkpoint a sink commits
+
+    // "crash" here; more data arrives while we're down
+    broker.produceFrame(topic, KafkaIO.envelopeRecords(second.toDS()))
+
+    // resume from the committed offsets: ONLY the new records appear
+    val batch2 = broker.consumeFrom(spark, topic, committed)
+    def values(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      KafkaIO.envelopeValues(df).collect().toSeq
+    assert(batch1.count() == 25 && batch2.count() == 15)
+    assert(values(batch1).toSet.intersect(values(batch2).toSet).isEmpty,
+      "a record must never be delivered to both epochs")
+    assert((values(batch1) ++ values(batch2)).sorted ==
+      distinctTransfers.sorted, "union of epochs covers every record once")
+
+    // resuming again from the same checkpoint is deterministic (replay)
+    assert(values(broker.consumeFrom(spark, topic, committed)).sorted ==
+      values(batch2).sorted)
   }
 }

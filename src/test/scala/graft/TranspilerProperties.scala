@@ -124,4 +124,147 @@ object TranspilerProperties extends Properties("transpiler") {
       val out = Transpiler.transpile(pg, "postgres", d)
       out.nonEmpty && Transpiler.validateSql(out).isEmpty
     }
+
+  // ------------------------------------------------------------------
+  // STRUCTURAL round-trip law: parse(emit_postgres(ast)) == ast.
+  // The fixed-point law above cannot see a paren-dropping bug that
+  // *stably* re-groups (`a * (b / c)` → `a * b / c` → same text twice);
+  // this law can, because the AST comparison notices the re-grouping.
+  // ------------------------------------------------------------------
+
+  /** Canonicalize presentation-only details before comparing: the
+    * `quoted` flag on identifiers (the emitter must quote reserved words
+    * like `from`, so the flag flips on re-parse without changing meaning).
+    * Grouping, operators, clause placement — everything structural — is
+    * compared exactly. */
+  private def norm(q: Query): Query =
+    Query(q.ctes.map { case (n, b) => (normI(n), normQE(b)) }, normQE(q.body),
+      q.insertInto.map(t => InsertTarget(normI(t.table), t.columns.map(normI))))
+  private def normI(i: Ident): Ident = i.copy(quoted = false)
+  private def normQE(q: QueryExpr): QueryExpr = q match {
+    case s: SelectStmt => s.copy(
+      items = s.items.map(it => SelectItem(normE(it.expr), it.alias.map(normI))),
+      from = s.from.map(normF), joins = s.joins.map(j =>
+        JoinClause(j.kind, normF(j.table), j.on.map(normE))),
+      where = s.where.map(normE), groupBy = s.groupBy.map(normE),
+      having = s.having.map(normE), orderBy = s.orderBy.map(normO))
+    case s: SetOp => s.copy(left = normQE(s.left), right = normQE(s.right),
+      orderBy = s.orderBy.map(normO))
+  }
+  private def normF(f: FromItem): FromItem = f match {
+    case TableRef(n, a) => TableRef(normI(n), a.map(normI))
+    case DerivedTable(q, a) => DerivedTable(normQE(q), normI(a))
+  }
+  private def normO(o: OrderItem): OrderItem = OrderItem(normE(o.expr), o.desc)
+  private def normW(w: WindowSpec): WindowSpec =
+    WindowSpec(w.partitionBy.map(normE), w.orderBy.map(normO), w.frame)
+  private def normE(e: SqlExpr): SqlExpr = e match {
+    case ColRef(t, c) => ColRef(t.map(normI), normI(c))
+    // AND is associative (including under three-valued logic) and the
+    // pretty-printer flattens WHERE-level AND chains onto one line per
+    // conjunct, so grouping inside a pure AND chain is presentation:
+    // canonicalize to a left fold before comparing
+    case BinOp("AND", _, _) =>
+      def flat(x: SqlExpr): List[SqlExpr] = x match {
+        case BinOp("AND", l, r) => flat(l) ++ flat(r)
+        case other => List(normE(other))
+      }
+      flat(e).reduceLeft(BinOp("AND", _, _))
+    case BinOp(op, l, r) => BinOp(op, normE(l), normE(r))
+    case UnaryOp(op, x) => UnaryOp(op, normE(x))
+    case Between(x, lo, hi, n) => Between(normE(x), normE(lo), normE(hi), n)
+    case InList(x, items, n) => InList(normE(x), items.map(normE), n)
+    case Like(x, p, n) => Like(normE(x), normE(p), n)
+    case IsNull(x, n) => IsNull(normE(x), n)
+    case CaseWhen(op, br, el) => CaseWhen(op.map(normE),
+      br.map { case (c, v) => (normE(c), normE(v)) }, el.map(normE))
+    case FuncCall(n, args, d, over) =>
+      FuncCall(n, args.map(normE), d, over.map(normW))
+    case Cast(x, t, ta) => Cast(normE(x), t, ta)
+    case Extract(f, x) => Extract(f, normE(x))
+    case other => other
+  }
+
+  private val windowGen: Gen[WindowSpec] = for {
+    parts <- Gen.oneOf(Nil, List(ColRef(None, Ident("k"))))
+    ord <- Gen.oneOf(Nil, List(OrderItem(ColRef(None, Ident("ts_col")), desc = false)))
+    frame <- Gen.oneOf(
+      None,
+      Some(("ROWS", "UNBOUNDED PRECEDING", "CURRENT ROW")),
+      Some(("ROWS", "3 PRECEDING", "1 FOLLOWING")),
+      Some(("RANGE", "UNBOUNDED PRECEDING", "UNBOUNDED FOLLOWING")))
+    // a frame without ORDER BY is degenerate; keep generated specs sane
+  } yield WindowSpec(parts, if (frame.isDefined && ord.isEmpty)
+      List(OrderItem(ColRef(None, Ident("a")), desc = false)) else ord, frame)
+
+  private val analyticStmtGen: Gen[SelectStmt] = for {
+    base <- stmtGen
+    w <- windowGen
+    fn <- Gen.oneOf("ROW_NUMBER", "SUM", "AVG", "COUNT")
+    arg = if (fn == "ROW_NUMBER") Nil else List(ColRef(None, Ident("amount")): SqlExpr)
+  } yield base.copy(items =
+    SelectItem(FuncCall(fn, arg, distinct = false, over = Some(w)),
+      Some(Ident("w0"))) :: base.items)
+
+  private def queryExprGen(depth: Int): Gen[QueryExpr] =
+    if (depth <= 0) Gen.frequency(3 -> stmtGen, 1 -> analyticStmtGen)
+    else Gen.frequency(
+      2 -> stmtGen,
+      1 -> analyticStmtGen,
+      2 -> (for {
+        op <- Gen.oneOf("UNION", "UNION ALL", "INTERSECT", "EXCEPT")
+        l <- queryExprGen(depth - 1)
+        r <- queryExprGen(depth - 1)
+        ord <- Gen.oneOf(Nil, List(OrderItem(NumberLit("1"), desc = true)))
+        lim <- Gen.option(Gen.chooseNum(1L, 50L))
+        off <- Gen.option(Gen.chooseNum(1L, 10L))
+      } yield SetOp(op, l, r, ord, lim, off)))
+
+  private val fullQueryGen: Gen[Query] = for {
+    body0 <- queryExprGen(2)
+    // a derived table wrapping a set op exercises subqueries-in-FROM
+    useDerived <- Gen.oneOf(true, false)
+    body <- if (useDerived) queryExprGen(1).map { inner =>
+      SelectStmt(List(SelectItem(Star, None)),
+        Some(DerivedTable(inner, Ident("sub"))), Nil, None, Nil, None,
+        Nil, None): QueryExpr
+    } else Gen.const(body0)
+    ctes <- Gen.oneOf(
+      Nil,
+      List((Ident("cte0"), SelectStmt(List(SelectItem(ColRef(None, Ident("a")), None)),
+        Some(TableRef(Ident("t"), None)), Nil, None, Nil, None, Nil, None): QueryExpr)))
+    ins <- Gen.oneOf(
+      None,
+      Some(InsertTarget(Ident("sink_table"), Nil)),
+      Some(InsertTarget(Ident("sink_table"), List(Ident("c1"), Ident("c2")))))
+  } yield Query(ctes, body, ins)
+
+  property("STRUCTURAL: parse(emit_postgres(ast)) == ast (expressions)") =
+    Prop.forAll(stmtGen) { stmt =>
+      val q = Query(Nil, stmt)
+      val pg = new SqlDialects.Generator(SqlDialects.Postgres).sql(q)
+      val back = norm(SqlParser.parse(pg))
+      val ok = back == norm(q)
+      if (!ok) println(s"sql:\n$pg\nexpected: ${norm(q)}\ngot:      $back")
+      ok
+    }
+
+  property("STRUCTURAL: parse(emit_postgres(ast)) == ast (set ops, CTEs, windows, INSERT)") =
+    Prop.forAll(fullQueryGen) { q =>
+      val pg = new SqlDialects.Generator(SqlDialects.Postgres).sql(q)
+      val back = norm(SqlParser.parse(pg))
+      val ok = back == norm(q)
+      if (!ok) println(s"sql:\n$pg\nexpected: ${norm(q)}\ngot:      $back")
+      ok
+    }
+
+  property("STRUCTURAL fixed point survives every dialect (full query gen)") =
+    Prop.forAll(fullQueryGen, Gen.oneOf(dialects)) { (q, d) =>
+      val gen = new SqlDialects.Generator(SqlDialects.all(d))
+      val once = gen.sql(q)
+      val twice = gen.sql(SqlParser.parse(once))
+      val ok = once == twice
+      if (!ok) println(s"dialect=$d\nonce:\n$once\ntwice:\n$twice")
+      ok
+    }
 }

