@@ -30,14 +30,26 @@ def norm(df):
     return df.reset_index(drop=True)
 
 def canonical_hash(df):
+    # Vectorized equivalent of the original per-cell iterrows loop
+    # (cells row-major, sorted columns, each cell's str() followed by
+    # \x01, nulls as \x00null) — iterrows is ~10k rows/s, unusable on
+    # the sf10 sweep's multi-million-row outputs. Both sides of every
+    # comparison go through THIS implementation, so parity is intrinsic.
     h = hashlib.md5()
-    for _, row in df.iterrows():
-        for v in row:
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                h.update(b"\x00null")
-            else:
-                h.update(str(v).encode())
-            h.update(b"\x01")
+    if len(df) == 0:
+        return h.hexdigest()
+    row = None
+    for c in df.columns:
+        s = df[c]
+        nulls = pd.isna(s)
+        if nulls.values.ndim > 1:  # list-typed column: no nulls semantics
+            part = s.astype(str)
+        else:
+            part = s.astype(str).mask(nulls, "\x00null")
+        row = part + "\x01" if row is None else row + (part + "\x01")
+    for chunk_start in range(0, len(row), 100_000):
+        h.update("".join(row.iloc[chunk_start:chunk_start + 100_000])
+                 .encode())
     return h.hexdigest()
 
 def main(sf_dir, out_dir):
@@ -47,8 +59,12 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    only = {q for q in os.environ.get("COMPARE_ONLY", "").split(",") if q}
+    skip = {q for q in os.environ.get("COMPARE_SKIP", "").split(",") if q}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if (only and name not in only) or name in skip:
+            continue
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
