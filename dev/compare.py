@@ -54,6 +54,12 @@ def canonical_hash(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # a runaway (quadratic) oracle must abort with an error, not fill the
+    # disk: sim_hard_negatives' exhaustive twin spilled >70 GB at sf10
+    try:
+        con.execute("SET max_temp_directory_size='30GB'")
+    except Exception:
+        pass
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

@@ -483,20 +483,52 @@ object VectorOps {
     * tie-break). Single scan, zero exchanges, the whole codebook lives in
     * the codegen'd projection — nearest-centroid classification and drift
     * scoring at any corpus size. */
+  /** Above this codebook size the per-centroid EXPRESSION form (one
+    * `least` over k struct branches, each embedding a k×dim literal)
+    * switches to the broadcast-join form: the round-10 sf10 sweep caught
+    * the expression form generating a 33 MiB task binary and falling out
+    * of codegen at k ≈ 3000 (the k ∝ corpus regime SemDeDup itself
+    * prescribes) — the PLAN must stay O(1) in k, with the codebook as
+    * broadcast DATA, not as expression text. Both forms compute the
+    * identical fixed-point integers and the identical (dist, lbl)
+    * tie-break, so results are form-invariant. */
+  val CentroidExprMax = 64
+
+  private def centroidDist(cent: Column): Column = aggregate(
+    zip_with(col("embedding"), cent, (x, cc) =>
+      round((x.cast("double") - cc) * (x.cast("double") - cc) * lit(1e12),
+        0).cast("long")),
+    lit(0L), (acc, v) => acc + v)
+
   def assignToCentroids(emb: DataFrame,
                         cents: Seq[(Int, Array[Double])]): DataFrame = {
     require(cents.nonEmpty, "empty codebook")
-    val scored = cents.map { case (label, c) =>
-      val dist = aggregate(
-        zip_with(col("embedding"), typedlit(c.toSeq), (x, cc) =>
-          round((x.cast("double") - cc) * (x.cast("double") - cc) * lit(1e12),
-            0).cast("long")),
-        lit(0L), (acc, v) => acc + v)
-      struct(dist.as("dist"), lit(label).as("lbl"))
+    if (cents.size <= CentroidExprMax) {
+      val scored = cents.map { case (label, c) =>
+        struct(centroidDist(typedlit(c.toSeq)).as("dist"),
+          lit(label).as("lbl"))
+      }
+      val best =
+        if (scored.size == 1) scored.head else least(scored: _*)
+      emb.withColumn("assigned_label", best.getField("lbl"))
+    } else {
+      // broadcast-join form: k×n scored rows, min(struct) per vector —
+      // same lexicographic (dist, lbl) ordering as `least` above
+      require(emb.columns.contains("vec_id"),
+        s"assignToCentroids with ${cents.size} centroids (> $CentroidExprMax) " +
+          "joins on vec_id; input must carry a unique vec_id column")
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val centDf = cents.toDF("cent_lbl", "cent")
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centDf))
+        .select(col("vec_id"),
+          struct(centroidDist(col("cent")).as("dist"),
+            col("cent_lbl").as("lbl")).as("s"))
+        .groupBy("vec_id")
+        .agg(min(col("s")).getField("lbl").as("assigned_label"))
+      emb.join(assigned, "vec_id")
     }
-    val best =
-      if (scored.size == 1) scored.head else least(scored: _*)
-    emb.withColumn("assigned_label", best.getField("lbl"))
   }
 
   /** Incremental [[semDedup]] — the ingest shape: an ARRIVING batch is
@@ -584,19 +616,44 @@ object VectorOps {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3).toArray) }
     require(cents.size >= 2, "silhouette needs at least two labels")
-    def dist(c: Array[Double]): Column =
-      sqrt(aggregate(
-        zip_with(col("embedding"), typedlit(c), (xi, ci) =>
-          round((xi.cast("double") - ci) * (xi.cast("double") - ci) * lit(1e12), 0)
-            .cast("long")),
-        lit(0L), _ + _).cast("double") / lit(1e12))
-    val a = coalesce(cents.map { case (l, c) =>
-      when(col("label") === lit(l), dist(c)) }: _*)
-    val b = least(cents.map { case (l, c) =>
-      when(col("label") =!= lit(l), dist(c)) }: _*)
-    val sRow = when(greatest(a, b) === lit(0.0), lit(0.0))
-      .otherwise((b - a) / greatest(a, b))
-    emb.select(col("label"), sRow.as("s"))
+    def sOf(a: Column, b: Column): Column =
+      when(greatest(a, b) === lit(0.0), lit(0.0))
+        .otherwise((b - a) / greatest(a, b))
+    val perRowS: DataFrame =
+      if (cents.size <= CentroidExprMax) {
+        // expression form: k per-centroid literal folds in one projection
+        def dist(c: Array[Double]): Column =
+          sqrt(aggregate(
+            zip_with(col("embedding"), typedlit(c), (xi, ci) =>
+              round((xi.cast("double") - ci) * (xi.cast("double") - ci) * lit(1e12), 0)
+                .cast("long")),
+            lit(0L), _ + _).cast("double") / lit(1e12))
+        val a = coalesce(cents.map { case (l, c) =>
+          when(col("label") === lit(l), dist(c)) }: _*)
+        val b = least(cents.map { case (l, c) =>
+          when(col("label") =!= lit(l), dist(c)) }: _*)
+        emb.select(col("label"), sOf(a, b).as("s"))
+      } else {
+        // broadcast-join form (round-10 sf10 finding, see CentroidExprMax):
+        // k×n distance rows, a = own-label distance, b = min other-label —
+        // the same value set `coalesce`/`least` reduced, as DATA not text
+        val spark = emb.sparkSession
+        import spark.implicits._
+        require(emb.columns.contains("vec_id"),
+          s"silhouette with ${cents.size} labels (> $CentroidExprMax) " +
+            "joins on vec_id; input must carry a unique vec_id column")
+        val centDf = cents.toDF("cent_lbl", "cent")
+        val d = sqrt(centroidDist(col("cent")).cast("double") / lit(1e12))
+        emb.select(col("vec_id"), col("label"), col("embedding"))
+          .crossJoin(broadcast(centDf))
+          .select(col("vec_id"), col("label"),
+            when(col("label") === col("cent_lbl"), d).as("da"),
+            when(col("label") =!= col("cent_lbl"), d).as("db"))
+          .groupBy("vec_id", "label")
+          .agg(max(col("da")).as("a"), min(col("db")).as("b"))
+          .select(col("label"), sOf(col("a"), col("b")).as("s"))
+      }
+    perRowS
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(graft.queries.Num.dsum(col("s"), 12) / count(lit(1)), 6)

@@ -144,6 +144,81 @@ class SemDedupSpec extends SparkSpec {
     assert(withCap.toSeq == noCap.toSeq)
   }
 
+  test("large-k centroid assignment: broadcast-join form == expression-form semantics") {
+    // k = 80 > CentroidExprMax engages the join form (the sf10 finding:
+    // the expression form's plan is O(k·dim) literal text and generated a
+    // 33 MiB task binary at k ≈ 3000); the fixed-point argmin must be
+    // identical to a driver-side brute recompute of the SAME formula
+    val k = 80
+    val dim = 4
+    val cents: Seq[(Int, Array[Double])] = (0 until k).map { l =>
+      (l, Array.tabulate(dim)(d => math.sin(l * 1.7 + d) * 0.9))
+    }
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (math.cos(i * 0.31 + d) * 0.9).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    assert(k > VectorOps.CentroidExprMax)
+    val got = VectorOps.assignToCentroids(emb, cents)
+      .select("vec_id", "assigned_label").as[(Long, Int)].collect().toMap
+    def brute(v: Array[Float]): Int = cents.map { case (l, c) =>
+      val dist = v.zip(c).map { case (x, cc) =>
+        math.rint((x.toDouble - cc) * (x.toDouble - cc) * 1e12).toLong }.sum
+      (dist, l)
+    }.min._2
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == brute(v), s"vec $id: got ${got(id)} want ${brute(v)}")
+    }
+    // and the small-k expression form agrees with the same brute formula
+    // on its own codebook prefix
+    val smallCents = cents.take(8)
+    val gotSmall = VectorOps.assignToCentroids(emb, smallCents)
+      .select("vec_id", "assigned_label").as[(Long, Int)].collect().toMap
+    def bruteSmall(v: Array[Float]): Int = smallCents.map { case (l, c) =>
+      (v.zip(c).map { case (x, cc) =>
+        math.rint((x.toDouble - cc) * (x.toDouble - cc) * 1e12).toLong }.sum, l)
+    }.min._2
+    vecs.foreach { case (id, v) => assert(gotSmall(id) == bruteSmall(v)) }
+  }
+
+  test("large-k silhouette: join form matches a driver-side recompute") {
+    val k = 70 // > CentroidExprMax
+    val dim = 3
+    import scala.util.Random
+    val rng = new Random(11)
+    val vecs = (0 until k).flatMap { l =>
+      val c = Array.tabulate(dim)(d => math.sin(l * 2.3 + d))
+      (0 until 3).map { j =>
+        (l * 10L + j, l,
+          c.map(x => (x + rng.nextGaussian() * 0.01).toFloat))
+      }
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val got = VectorOps.silhouette(emb).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // driver-side recompute with the identical fixed-point + IEEE steps
+    val cents = vecs.groupBy(_._2).map { case (l, rows) =>
+      l -> Array.tabulate(dim)(d =>
+        rows.map(r => r._3(d).toDouble).sum / rows.size)
+    }
+    def dist(v: Array[Float], c: Array[Double]): Double =
+      math.sqrt(v.zip(c).map { case (x, cc) =>
+        math.rint((x.toDouble - cc) * (x.toDouble - cc) * 1e12).toLong
+      }.sum.toDouble / 1e12)
+    val sByLabel = vecs.groupBy(_._2).map { case (l, rows) =>
+      val ss = rows.map { case (_, lbl, v) =>
+        val a = dist(v, cents(lbl))
+        val b = cents.filter(_._1 != lbl).map(c => dist(v, c._2)).min
+        if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      }
+      l -> (ss.map(s => BigDecimal(s).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum / rows.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    sByLabel.foreach { case (l, want) =>
+      assert(math.abs(got(l) - want) < 1e-6, s"label $l: got ${got(l)} want $want")
+    }
+  }
+
   test("mixed sizes: small blocks stay exact while the hot block is banded") {
     // block 0: hot (engages the cap); block 1: 3 rows (exact path)
     val hot = giantCluster(300)
