@@ -496,8 +496,8 @@ object Behavioral {
   private val anomalyZscoreSql =
     """WITH st AS (
       |  SELECT event_type,
-      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
-      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s,
+      |    CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS ss,
       |    COUNT(value) AS n
       |  FROM events GROUP BY 1
       |)
@@ -537,8 +537,8 @@ object Behavioral {
       |  FROM events GROUP BY 1
       |)
       |SELECT event_type, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95)
-      |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_winsorized,
+      |  ROUND(CAST(CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95)
+      |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE), 6) AS sum_winsorized,
       |  ROUND(min(p05), 6) AS p05, ROUND(min(p95), 6) AS p95
       |FROM events JOIN p USING (event_type)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -639,9 +639,9 @@ object Behavioral {
 
   private val timeWindowSumSql =
     """SELECT event_id, user_id,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
       |    PARTITION BY user_id ORDER BY epoch_us(ts)
-      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
       |    AS rolling_1h_sum
       |FROM events ORDER BY event_id""".stripMargin
 
@@ -715,7 +715,7 @@ object Behavioral {
          |      AS pr
          |  FROM n LEFT JOIN (
          |    SELECT e.dst AS id,
-         |      CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(38,12))) AS DOUBLE)
+         |      CAST(CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
          |        AS m
          |    FROM e JOIN $prev p ON e.src = p.id JOIN deg ON e.src = deg.src
          |    GROUP BY 1) s ON n.id = s.id
@@ -903,8 +903,8 @@ object Behavioral {
       |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
       |), t AS (SELECT lang, COUNT(*) AS total FROM documents GROUP BY 1)
       |SELECT lang,
-      |  ROUND(CAST(SUM(CAST(-(n / total) * LN(n / total)
-      |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy,
+      |  ROUND(CAST(CAST(SUM(CAST(-(n / total) * LN(n / total)
+      |    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 6) AS entropy,
       |  COUNT(*) AS n_sources
       |FROM c JOIN t USING (lang)
       |GROUP BY lang ORDER BY lang""".stripMargin

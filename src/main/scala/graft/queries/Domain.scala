@@ -313,7 +313,7 @@ object Domain {
     def leg(conf: Double, tag: String) =
       s"""q$tag AS (SELECT quantile_cont(r, ${pLit(conf)}) AS q FROM r),
          |t$tag AS (
-         |  SELECT CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(r) AS tm
+         |  SELECT CAST(CAST(SUM(CAST(r AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(r) AS tm
          |  FROM r, q$tag WHERE r <= q
          |)""".stripMargin
     s"""WITH $returnsCte, n AS (SELECT COUNT(r) AS n FROM r),

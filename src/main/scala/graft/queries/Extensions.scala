@@ -161,7 +161,7 @@ object Extensions {
        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2)
        |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  CAST(SUM(CAST(CAST(c12 AS DOUBLE) / c1 AS DECIMAL(38,12))) AS DOUBLE)
+       |  CAST(CAST(SUM(CAST(CAST(c12 AS DOUBLE) / c1 AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
        |    / COUNT(*) AS lm_score
        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -190,7 +190,7 @@ object Extensions {
        |  FROM c12 JOIN c1 USING (w1) WHERE c12 >= 2
        |)
        |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  CAST(SUM(CAST(COALESCE(p, CAST(0 AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE)
+       |  CAST(CAST(SUM(CAST(COALESCE(p, CAST(0 AS DOUBLE)) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
        |    / COUNT(*) AS lm_score
        |FROM bg LEFT JOIN model USING (w1, w2)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -788,7 +788,7 @@ object Extensions {
        |  GROUP BY 1, 2
        |), nrm AS (
        |  SELECT vec_id,
-       |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+       |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
        |  FROM v GROUP BY 1
        |)
        |SELECT v1, v2,
@@ -836,7 +836,7 @@ object Extensions {
        |  GROUP BY 1, 2
        |), nrm AS (
        |  SELECT vec_id,
-       |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+       |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
        |  FROM v GROUP BY 1
        |)
        |SELECT v1, v2,
@@ -861,7 +861,7 @@ object Extensions {
       |  FROM v JOIN q ON v.i = q.i GROUP BY 1
       |), nrm AS (
       |  SELECT vec_id,
-      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+      |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
       |  FROM v GROUP BY 1
       |), qn AS (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0)
       |SELECT dots.vec_id,
@@ -953,7 +953,7 @@ object Extensions {
        |  FROM v JOIN qv ON v.i = qv.i GROUP BY 1
        |), nrm AS (
        |  SELECT vec_id,
-       |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+       |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
        |  FROM v GROUP BY 1
        |), qn AS (SELECT nrm AS qnrm FROM nrm WHERE vec_id = 0
        |), sem AS (
@@ -996,7 +996,7 @@ object Extensions {
       |  SELECT v.vec_id, v.i, CAST(ROUND(v.x / sc.s, 0) AS INTEGER) AS q
       |  FROM v JOIN sc USING (vec_id)
       |), qn AS (
-      |  SELECT vec_id, SQRT(CAST(SUM(CAST(q AS BIGINT) * q) AS DOUBLE)) AS nrm
+      |  SELECT vec_id, SQRT(CAST(CAST(SUM(CAST(q AS BIGINT) * q) AS VARCHAR) AS DOUBLE)) AS nrm
       |  FROM qz GROUP BY 1
       |), qvec AS (SELECT i, q AS qj FROM qz WHERE vec_id = 0),
       |dq AS (
@@ -1008,7 +1008,7 @@ object Extensions {
       |  FROM v JOIN fq ON v.i = fq.i GROUP BY 1
       |), nrm AS (
       |  SELECT vec_id,
-      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12)
+      |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12)
       |      AS nrm
       |  FROM v GROUP BY 1
       |)
@@ -1041,7 +1041,7 @@ object Extensions {
       |  FROM embeddings
       |), nrm AS (
       |  SELECT vec_id,
-      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+      |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
       |  FROM v GROUP BY 1
       |)""".stripMargin
 
@@ -1176,7 +1176,7 @@ object Extensions {
     def updateCtes(n: Int) =
       s"""u$n AS (
          |  SELECT a.cell, v.i,
-         |    CAST(CAST(CAST(SUM(CAST(ROUND(v.x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+         |    CAST(CAST(CAST(CAST(SUM(CAST(ROUND(v.x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
          |      / 1e12 / COUNT(*) AS REAL) AS DOUBLE) AS cx
          |  FROM a${n - 1} a JOIN v USING (vec_id) GROUP BY 1, 2
          |), c$n AS (SELECT cell, i, cx FROM u$n)""".stripMargin
@@ -1664,13 +1664,13 @@ object Extensions {
       |  FROM embeddings
       |), cent AS (
       |  SELECT label, i,
-      |    CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
       |      / 1e12 / COUNT(*) AS cx
       |  FROM v GROUP BY 1, 2
       |), d AS (
       |  SELECT v.vec_id, v.label AS own, cent.label AS cl,
-      |    SQRT(CAST(SUM(CAST(ROUND((v.x - cent.cx) * (v.x - cent.cx) * 1e12,
-      |      0) AS BIGINT)) AS DOUBLE) / 1e12) AS dist
+      |    SQRT(CAST(CAST(SUM(CAST(ROUND((v.x - cent.cx) * (v.x - cent.cx) * 1e12,
+      |      0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS dist
       |  FROM v JOIN cent ON cent.i = v.i GROUP BY 1, 2, 3
       |), ab AS (
       |  SELECT vec_id, own,
@@ -1684,7 +1684,7 @@ object Extensions {
       |  FROM ab
       |)
       |SELECT label, COUNT(*) AS n_vecs,
-      |  ROUND(CAST(SUM(CAST(s AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*), 6)
+      |  ROUND(CAST(CAST(SUM(CAST(s AS DECIMAL(38, 12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
       |    AS silhouette
       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1701,7 +1701,7 @@ object Extensions {
       |  FROM embeddings
       |)
       |SELECT label, CAST(i AS INTEGER) AS dim, COUNT(*) AS n_vecs,
-      |  CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
       |    / 1e12 / COUNT(*) AS centroid_x
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -1946,7 +1946,7 @@ object Extensions {
       |  FROM embeddings
       |), c AS (
       |  SELECT label AS clabel, i,
-      |    CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
       |      / 1e12 / COUNT(*) AS cx
       |  FROM v GROUP BY 1, 2
       |), d AS (
@@ -1970,7 +1970,7 @@ object Extensions {
       |  GROUP BY 1, 2
       |), nrm AS (
       |  SELECT vec_id,
-      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+      |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
       |  FROM v GROUP BY 1
       |), pruned AS (
       |  SELECT DISTINCT v2 AS vec_id FROM dots
@@ -2009,7 +2009,7 @@ object Extensions {
       |  FROM embeddings
       |), c AS (
       |  SELECT label AS clabel, i,
-      |    CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
       |      / 1e12 / COUNT(*) AS cx
       |  FROM v WHERE in_corpus GROUP BY 1, 2
       |), d AS (
@@ -2028,7 +2028,7 @@ object Extensions {
       |  FROM v JOIN m USING (vec_id)
       |), nrm AS (
       |  SELECT vec_id,
-      |    SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+      |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
       |  FROM v GROUP BY 1
       |), pairs AS (
       |  SELECT a.vec_id AS v1, a.in_corpus AS c1, b.vec_id AS v2,
@@ -2059,7 +2059,7 @@ object Extensions {
       |  FROM embeddings
       |), c AS (
       |  SELECT label AS clabel, i,
-      |    CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
       |      / 1e12 / COUNT(*) AS cx
       |  FROM v GROUP BY 1, 2
       |), d AS (

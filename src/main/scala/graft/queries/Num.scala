@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * addition is associative), and the final DECIMAL→DOUBLE cast is a single
   * deterministic nearest-double conversion that both engines perform
   * identically. The oracle twin is
-  * `CAST(SUM(CAST(x AS DECIMAL(38,s))) AS DOUBLE)`.
+  * `CAST(CAST(SUM(CAST(x AS DECIMAL(38,s))) AS VARCHAR) AS DOUBLE)`.
   */
 object Num {
 
@@ -23,7 +23,7 @@ object Num {
 
   /** Exact-sum average: dsum / count — both operands bit-identical across
     * engines, so the double division is too. Oracle twin:
-    * `CAST(SUM(CAST(x AS DECIMAL(38,s))) AS DOUBLE) / COUNT(x)`.
+    * `CAST(CAST(SUM(CAST(x AS DECIMAL(38,s))) AS VARCHAR) AS DOUBLE) / COUNT(x)`.
     */
   def davg(c: Column, scale: Int = 6): Column =
     dsum(c, scale) / count(c)

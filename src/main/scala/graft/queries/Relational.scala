@@ -47,10 +47,10 @@ object Relational {
 
   private val aggPricingSql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -79,7 +79,7 @@ object Relational {
 
   private val joinStarSql =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -143,7 +143,7 @@ object Relational {
       |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_bucket FROM bounds
       |), hourly AS (
       |  SELECT date_trunc('hour', ts) AS hour_bucket,
-      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS vol,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS vol,
       |    COUNT(*) AS cnt
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
       |)
@@ -169,7 +169,7 @@ object Relational {
   private val hourlyEventsSql =
     """SELECT date_trunc('hour', ts) AS hour_bucket,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value,
       |  COUNT(DISTINCT user_id) AS uniq_users,
       |  COUNT(DISTINCT event_type) AS uniq_types
       |FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin
@@ -197,8 +197,8 @@ object Relational {
   private val havingStddevSql =
     """WITH g AS (
       |  SELECT event_type, COUNT(*) AS n_events,
-      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
-      |    CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS ss
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s,
+      |    CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS ss
       |  FROM events GROUP BY event_type HAVING COUNT(*) > 5
       |)
       |SELECT event_type, s / n_events AS avg_value,
@@ -236,7 +236,7 @@ object Relational {
 
   private val topkPartsSql =
     """SELECT l_partkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem GROUP BY l_partkey
       |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin
@@ -332,8 +332,8 @@ object Relational {
   private val windowRunningSql =
     """SELECT o_custkey, o_orderkey,
       |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_custkey
-      |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   // ------------------------------------------------------------ quantiles
@@ -356,7 +356,7 @@ object Relational {
     """WITH r AS (SELECT value AS r FROM events WHERE event_type = 'purchase'),
       |q AS (SELECT quantile_cont(r, 0.05) AS q5 FROM r),
       |tail AS (
-      |  SELECT ROUND(CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(r), 6) AS tail_mean
+      |  SELECT ROUND(CAST(CAST(SUM(CAST(r AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(r), 6) AS tail_mean
       |  FROM r, q WHERE r <= q5
       |)
       |SELECT ROUND(-q5, 6) AS var_95, -tail_mean AS cvar_95 FROM q, tail""".stripMargin

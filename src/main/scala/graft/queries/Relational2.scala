@@ -59,7 +59,7 @@ object Relational2 {
       .mkString(" ")
     s"""SELECT CASE $cases ELSE 'other' END AS category,
        |  COUNT(*) AS n,
-       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
        |FROM events GROUP BY 1 ORDER BY category""".stripMargin
   }
 
@@ -91,7 +91,7 @@ object Relational2 {
 
   private val pivotTypesSql = {
     val cols = EventTypes.map(t =>
-      s"""COALESCE(CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS "$t"""")
+      s"""COALESCE(CAST(CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE), 0.0) AS "$t"""")
       .mkString(",\n  ")
     s"""SELECT CAST(ts AS DATE) AS event_date,
        |  $cols
@@ -110,7 +110,7 @@ object Relational2 {
   private val rollupAggSql =
     """SELECT CAST(ts AS DATE) AS event_date, event_type,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events GROUP BY ROLLUP (1, 2)
       |ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
 
@@ -123,7 +123,7 @@ object Relational2 {
 
   private val cubeAggSql =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE (1, 2)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -176,9 +176,9 @@ object Relational2 {
 
   private val cumprodSql =
     """SELECT user_id, event_id,
-      |  ROUND(2200.0 * EXP(CAST(SUM(CAST(LN(1.0 + value / 10000.0) AS DECIMAL(38,12)))
+      |  ROUND(2200.0 * EXP(CAST(CAST(SUM(CAST(LN(1.0 + value / 10000.0) AS DECIMAL(38,12)))
       |    OVER (PARTITION BY user_id ORDER BY event_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS price
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)), 6) AS price
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   /** Approximate distinct (A7 scale path). The HLL++ estimate itself is

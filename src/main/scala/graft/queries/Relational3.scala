@@ -30,7 +30,7 @@ object Relational3 {
   /** DuckDB twin of the correlated form — same decimal-exact mean. */
   private val sqlCorrelatedSql =
     """SELECT c_custkey, c_name, c_acctbal FROM customer c
-      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+      |WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |                          / COUNT(c_acctbal)
       |                   FROM customer c2
       |                   WHERE c2.c_nationkey = c.c_nationkey)
@@ -50,7 +50,7 @@ object Relational3 {
   private val correlatedSubquerySql =
     """WITH means AS (
       |  SELECT c_nationkey,
-      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal) AS nation_avg
+      |    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal) AS nation_avg
       |  FROM customer GROUP BY 1
       |)
       |SELECT c_custkey, c_name, c_acctbal
@@ -96,7 +96,7 @@ object Relational3 {
   private val groupingSetsSql =
     """SELECT CAST(ts AS DATE) AS event_date, event_type,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type), ())
       |ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
@@ -187,7 +187,7 @@ object Relational3 {
       |  mean_agg.mean_x
       |FROM embeddings e JOIN (
       |  SELECT vec_id,
-      |    CAST(SUM(CAST(ROUND(x * 1.0 * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12
+      |    CAST(CAST(SUM(CAST(ROUND(x * 1.0 * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12
       |      / COUNT(*) AS mean_x
       |  FROM v GROUP BY 1
       |) mean_agg ON e.vec_id = mean_agg.vec_id
@@ -203,7 +203,7 @@ object Relational3 {
 
   private val valueHistogramSql =
     """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS bucket_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS bucket_value
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
   val queries: Map[String, Q] = Map(

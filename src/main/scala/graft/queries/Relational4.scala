@@ -289,13 +289,13 @@ object Relational4 {
          |  SELECT n.id, COALESCE(s.raw, CAST(0 AS DOUBLE)) AS raw
          |  FROM n LEFT JOIN (
          |    SELECT ed.$to AS id,
-         |      CAST(SUM(CAST(p.s AS DECIMAL(38,12))) AS DOUBLE) AS raw
+         |      CAST(CAST(SUM(CAST(p.s AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS raw
          |    FROM ed JOIN $prev p ON ed.$from = p.id GROUP BY 1) s
          |    ON n.id = s.id
          |),
          |$out AS (
-         |  SELECT id, raw / (SELECT sqrt(CAST(SUM(CAST(raw * raw
-         |    AS DECIMAL(38,12))) AS DOUBLE)) FROM r_$out) AS s
+         |  SELECT id, raw / (SELECT sqrt(CAST(CAST(SUM(CAST(raw * raw
+         |    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) FROM r_$out) AS s
          |  FROM r_$out
          |)""".stripMargin
     s"""WITH $docEdgesCte, ed AS (SELECT u AS src, v AS dst FROM e),

@@ -345,7 +345,7 @@ object Relational5 {
 
   private val runtimeFilterSql =
     """SELECT l_returnflag, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+      |  ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE), 4) AS revenue
       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -816,9 +816,9 @@ object Relational5 {
       |  FROM events
       |), s AS (
       |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(i AS DECIMAL(38,0)) *
-      |      CAST(ROUND(x*1e6, 0) AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS six
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(i AS DECIMAL(38,0)) *
+      |      CAST(ROUND(x*1e6, 0) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e6 AS six
       |  FROM r GROUP BY 1
       |)
       |SELECT event_type, ROUND(2*six/(n*sx) - (n+1)/n, 6) AS gini
@@ -944,8 +944,8 @@ object Relational5 {
       |  FROM f
       |), s AS (
       |  SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2,
-      |    CAST(SUM(CAST(c1 AS HUGEINT) * (2*cb + c + 1)) AS DOUBLE) AS r1x2,
-      |    CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS ties
+      |    CAST(CAST(SUM(CAST(c1 AS HUGEINT) * (2*cb + c + 1)) AS VARCHAR) AS DOUBLE) AS r1x2,
+      |    CAST(CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS VARCHAR) AS DOUBLE) AS ties
       |  FROM c
       |)
       |SELECT ROUND(r1x2/2 - n1*(n1+1)/2, 1) AS u1,
@@ -995,8 +995,8 @@ object Relational5 {
   private val abTtestSql =
     """WITH s AS (
       |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx
       |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
       |), m AS (
       |  SELECT event_type, n, sx/n AS mean, (sxx - sx*sx/n) / (n-1) AS var

@@ -278,17 +278,17 @@ object Relational6 {
       |mx AS (SELECT x, COUNT(*) AS cx FROM ev GROUP BY 1),
       |my AS (SELECT y, COUNT(*) AS cy FROM ev GROUP BY 1),
       |mi AS (
-      |  SELECT CAST(SUM(CAST((CAST(cxy AS DOUBLE) / n)
+      |  SELECT CAST(CAST(SUM(CAST((CAST(cxy AS DOUBLE) / n)
       |    * ln((CAST(cxy AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))
-      |    AS DECIMAL(38, 12))) AS DOUBLE) AS mi
+      |    AS DECIMAL(38, 12))) AS VARCHAR) AS DOUBLE) AS mi
       |  FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn
       |), hx AS (
-      |  SELECT CAST(SUM(CAST(-(CAST(cx AS DOUBLE) / n)
-      |    * ln(CAST(cx AS DOUBLE) / n) AS DECIMAL(38, 12))) AS DOUBLE) AS hx
+      |  SELECT CAST(CAST(SUM(CAST(-(CAST(cx AS DOUBLE) / n)
+      |    * ln(CAST(cx AS DOUBLE) / n) AS DECIMAL(38, 12))) AS VARCHAR) AS DOUBLE) AS hx
       |  FROM mx CROSS JOIN nn
       |), hy AS (
-      |  SELECT CAST(SUM(CAST(-(CAST(cy AS DOUBLE) / n)
-      |    * ln(CAST(cy AS DOUBLE) / n) AS DECIMAL(38, 12))) AS DOUBLE) AS hy
+      |  SELECT CAST(CAST(SUM(CAST(-(CAST(cy AS DOUBLE) / n)
+      |    * ln(CAST(cy AS DOUBLE) / n) AS DECIMAL(38, 12))) AS VARCHAR) AS DOUBLE) AS hy
       |  FROM my CROSS JOIN nn
       |)
       |SELECT n, ROUND(hx, 6) AS h_type, ROUND(hy, 6) AS h_hour,
@@ -372,11 +372,11 @@ object Relational6 {
   private val corrMatrixSql = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val moments =
-      (cols.map(c => s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c") ++
+      (cols.map(c => s"CAST(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s_$c") ++
         cols.map(c =>
-          s"CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) AS ss_$c") ++
+          s"CAST(CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS ss_$c") ++
         (for { i <- cols.indices; j <- cols.indices if i < j } yield
-          s"CAST(SUM(CAST(${cols(i)} * ${cols(j)} AS DECIMAL(38,6))) AS DOUBLE)" +
+          s"CAST(CAST(SUM(CAST(${cols(i)} * ${cols(j)} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)" +
             s" AS sp_${cols(i)}_${cols(j)}")).mkString(",\n  ")
     val rows = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
       val (a, b) = (cols(i), cols(j))

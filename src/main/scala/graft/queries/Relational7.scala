@@ -471,17 +471,17 @@ object Relational7 {
        |), f AS (
        |  SELECT feature, fval, SUM(nfk) AS nf FROM fk GROUP BY 1, 2
        |), hcond AS (
-       |  SELECT fk.feature, CAST(SUM(CAST(
+       |  SELECT fk.feature, CAST(CAST(SUM(CAST(
        |      -(CAST(nfk AS DOUBLE) / (SELECT n FROM nn))
        |      * ln(CAST(nfk AS DOUBLE) / nf) AS DECIMAL(38,12)))
-       |    AS DOUBLE) AS h_cond
+       | AS VARCHAR) AS DOUBLE) AS h_cond
        |  FROM fk JOIN f USING (feature, fval) GROUP BY 1
        |), nvals AS (SELECT feature, COUNT(*) AS n_values FROM f GROUP BY 1),
        |hl AS (
-       |  SELECT CAST(SUM(CAST(
+       |  SELECT CAST(CAST(SUM(CAST(
        |      -(CAST(nk AS DOUBLE) / (SELECT n FROM nn))
        |      * ln(CAST(nk AS DOUBLE) / (SELECT n FROM nn))
-       |      AS DECIMAL(38,12))) AS DOUBLE) AS h_label
+       |      AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS h_label
        |  FROM (SELECT keep, COUNT(*) AS nk FROM b GROUP BY 1)
        |)
        |SELECT hcond.feature, nvals.n_values,
@@ -576,7 +576,7 @@ object Relational7 {
          |      AS pr
          |  FROM n LEFT JOIN (
          |    SELECT e.dst AS id,
-         |      CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(38,12))) AS DOUBLE)
+         |      CAST(CAST(SUM(CAST(p.pr / deg.deg AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
          |        AS m
          |    FROM e JOIN $prev p ON e.src = p.id JOIN deg ON e.src = deg.src
          |    GROUP BY 1) s ON n.id = s.id
@@ -957,8 +957,8 @@ object Relational7 {
       |)
       |SELECT r.dur_hr, r.n_risk, r.d, r.c,
       |  CASE WHEN MAX(t.zero) = 1 THEN 0.0
-      |    ELSE ROUND(EXP(CAST(SUM(CAST(t.lnterm AS DECIMAL(38,12)))
-      |      AS DOUBLE)), 6) END AS survival
+      |    ELSE ROUND(EXP(CAST(CAST(SUM(CAST(t.lnterm AS DECIMAL(38,12)))
+      | AS VARCHAR) AS DOUBLE)), 6) END AS survival
       |FROM risk r JOIN terms t ON t.dur_hr <= r.dur_hr
       |GROUP BY r.dur_hr, r.n_risk, r.d, r.c
       |ORDER BY r.dur_hr""".stripMargin
@@ -1075,9 +1075,9 @@ object Relational7 {
       |  FROM byhour WHERE dA + dB > 0
       |), agg AS (
       |  SELECT
-      |    CAST(SUM(CAST(oA AS DECIMAL(38,12))) AS DOUBLE) AS o_a,
-      |    CAST(SUM(CAST(eA AS DECIMAL(38,12))) AS DOUBLE) AS e_a,
-      |    CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS var_a
+      |    CAST(CAST(SUM(CAST(oA AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS o_a,
+      |    CAST(CAST(SUM(CAST(eA AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS e_a,
+      |    CAST(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS var_a
       |  FROM terms
       |)
       |SELECT o_a, ROUND(e_a, 6) AS e_a, ROUND(var_a, 6) AS var_a,
@@ -1155,12 +1155,12 @@ object Relational7 {
       |  CAST(f_score AS BIGINT) AS f_score,
       |  CAST(m_score AS BIGINT) AS m_score,
       |  COUNT(*) AS n_users,
-      |  ROUND(CAST(SUM(CAST(CAST(rec_hr AS DOUBLE) AS DECIMAL(38,6)))
-      |    AS DOUBLE) / COUNT(*), 6) AS mean_rec_hr,
-      |  ROUND(CAST(SUM(CAST(CAST(freq AS DOUBLE) AS DECIMAL(38,6)))
-      |    AS DOUBLE) / COUNT(*), 6) AS mean_freq,
-      |  ROUND(CAST(SUM(CAST(CAST(mfx AS DOUBLE) / 1e6 AS DECIMAL(38,6)))
-      |    AS DOUBLE) / COUNT(*), 6) AS mean_value
+      |  ROUND(CAST(CAST(SUM(CAST(CAST(rec_hr AS DOUBLE) AS DECIMAL(38,6)))
+      | AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_rec_hr,
+      |  ROUND(CAST(CAST(SUM(CAST(CAST(freq AS DOUBLE) AS DECIMAL(38,6)))
+      | AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_freq,
+      |  ROUND(CAST(CAST(SUM(CAST(CAST(mfx AS DOUBLE) / 1e6 AS DECIMAL(38,6)))
+      | AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_value
       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** Difference-in-differences — the pre/post × treat/control causal
@@ -1221,20 +1221,20 @@ object Relational7 {
       |      AS BIGINT) AS n_c_pre,
       |    CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
       |      AS BIGINT) AS n_c_post,
-      |    CAST(SUM(CAST(CASE WHEN treat AND NOT post THEN vfx ELSE 0 END
-      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(CASE WHEN treat AND NOT post THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
       |      / SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) / 1e6
       |      AS m_t_pre,
-      |    CAST(SUM(CAST(CASE WHEN treat AND post THEN vfx ELSE 0 END
-      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(CASE WHEN treat AND post THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
       |      / SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) / 1e6
       |      AS m_t_post,
-      |    CAST(SUM(CAST(CASE WHEN NOT treat AND NOT post THEN vfx
-      |      ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(CASE WHEN NOT treat AND NOT post THEN vfx
+      |      ELSE 0 END AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
       |      / SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
       |      / 1e6 AS m_c_pre,
-      |    CAST(SUM(CAST(CASE WHEN NOT treat AND post THEN vfx ELSE 0 END
-      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(CASE WHEN NOT treat AND post THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
       |      / SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) / 1e6
       |      AS m_c_post
       |  FROM e
@@ -1302,10 +1302,10 @@ object Relational7 {
       |  FROM ranked
       |), agg AS (
       |  SELECT COUNT(*) AS n,
-      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
       |  FROM xy
       |)
       |SELECT n,
@@ -1353,11 +1353,11 @@ object Relational7 {
        |  FROM ed JOIN deg a ON a.u = ed.u JOIN deg b ON b.u = ed.v
        |), agg AS (
        |  SELECT COUNT(*) AS m,
-       |    CAST(SUM(CAST(du AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-       |    CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-       |    CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-       |    CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-       |    CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS DOUBLE) AS syy
+       |    CAST(CAST(SUM(CAST(du AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+       |    CAST(CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+       |    CAST(CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+       |    CAST(CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syy
        |  FROM j
        |)
        |SELECT m,
@@ -1410,8 +1410,8 @@ object Relational7 {
       |  ) GROUP BY 1, 2
       |), mom AS (
       |  SELECT token, COUNT(*) AS n_docs_present,
-      |    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sc,
-      |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS scc
+      |    CAST(CAST(SUM(CAST(c AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sc,
+      |    CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS scc
       |  FROM td GROUP BY 1
       |), v AS (
       |  SELECT token, n_docs_present,
@@ -1528,8 +1528,8 @@ object Relational7 {
        |), surv AS (
        |  SELECT r.arm, r.dur_hr,
        |    CASE WHEN MAX(t.zero) = 1 THEN 0.0
-       |      ELSE EXP(CAST(SUM(CAST(t.lnterm AS DECIMAL(38,12)))
-       |        AS DOUBLE)) END AS s
+       |      ELSE EXP(CAST(CAST(SUM(CAST(t.lnterm AS DECIMAL(38,12)))
+       | AS VARCHAR) AS DOUBLE)) END AS s
        |  FROM risk r JOIN terms t ON t.arm = r.arm AND t.dur_hr <= r.dur_hr
        |  GROUP BY r.arm, r.dur_hr
        |), spine AS (
@@ -1542,7 +1542,7 @@ object Relational7 {
        |    ON sv.arm = sp.arm AND sv.dur_hr <= sp.h
        |  GROUP BY 1, 2
        |), rm AS (
-       |  SELECT arm, CAST(SUM(CAST(sh AS DECIMAL(38,12))) AS DOUBLE)
+       |  SELECT arm, CAST(CAST(SUM(CAST(sh AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
        |    AS rmst_hr
        |  FROM s_at GROUP BY 1
        |), med AS (
@@ -1793,18 +1793,18 @@ object Relational7 {
       |  FROM e JOIN strata s USING (event_type)
       |), agg AS (
       |  SELECT
-      |    CAST(SUM(CAST(CASE WHEN treat
+      |    CAST(CAST(SUM(CAST(CASE WHEN treat
       |      THEN CAST(vfx AS DOUBLE) * n / nt ELSE 0.0 END
-      |      AS DECIMAL(38,6))) AS DOUBLE) AS swy_t,
-      |    CAST(SUM(CAST(CASE WHEN treat
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS swy_t,
+      |    CAST(CAST(SUM(CAST(CASE WHEN treat
       |      THEN CAST(1 AS DOUBLE) * n / nt ELSE 0.0 END
-      |      AS DECIMAL(38,6))) AS DOUBLE) AS sw_t,
-      |    CAST(SUM(CAST(CASE WHEN NOT treat
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sw_t,
+      |    CAST(CAST(SUM(CAST(CASE WHEN NOT treat
       |      THEN CAST(vfx AS DOUBLE) * n / nc ELSE 0.0 END
-      |      AS DECIMAL(38,6))) AS DOUBLE) AS swy_c,
-      |    CAST(SUM(CAST(CASE WHEN NOT treat
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS swy_c,
+      |    CAST(CAST(SUM(CAST(CASE WHEN NOT treat
       |      THEN CAST(1 AS DOUBLE) * n / nc ELSE 0.0 END
-      |      AS DECIMAL(38,6))) AS DOUBLE) AS sw_c
+      |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sw_c
       |  FROM j
       |)
       |SELECT ROUND(swy_t / sw_t / 1e6, 6) AS mean_treated,
@@ -1853,7 +1853,7 @@ object Relational7 {
       |  FROM events
       |), cells AS (
       |  SELECT event_type, hr,
-      |    CAST(SUM(CAST(vfx AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+      |    CAST(CAST(SUM(CAST(vfx AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sc,
       |    COUNT(*) AS nc
       |  FROM e WHERE NOT treat GROUP BY 1, 2
       |), t AS (
@@ -1917,12 +1917,12 @@ object Relational7 {
       |  FROM e JOIN strata s USING (event_type)
       |)
       |SELECT arm, COUNT(*) AS n_rows,
-      |  ROUND(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
-      |    * CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
-      |    / CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE), 6) AS ess,
-      |  ROUND(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
-      |    * CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
-      |    / CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)
+      |  ROUND(CAST(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |    * CAST(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE), 6) AS ess,
+      |  ROUND(CAST(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |    * CAST(CAST(SUM(CAST(w AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |    / COUNT(*), 6) AS ess_ratio
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1979,11 +1979,11 @@ object Relational7 {
       |  FROM events
       |), cells AS (
       |  SELECT event_type, hr,
-      |    CAST(SUM(CAST(CASE WHEN treat THEN vfx ELSE 0 END
-      |      AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(CAST(SUM(CAST(CASE WHEN treat THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s1,
       |    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-      |    CAST(SUM(CAST(CASE WHEN NOT treat THEN vfx ELSE 0 END
-      |      AS DECIMAL(38,0))) AS DOUBLE) AS s0,
+      |    CAST(CAST(SUM(CAST(CASE WHEN NOT treat THEN vfx ELSE 0 END
+      |      AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s0,
       |    CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n0
       |  FROM e GROUP BY 1, 2
@@ -2096,8 +2096,8 @@ object Relational7 {
        |  FROM embeddings
        |), q AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
        |nrm AS (
-       |  SELECT vec_id, SQRT(CAST(SUM(CAST(ROUND(x * x * 1e12, 0)
-       |    AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
+       |  SELECT vec_id, SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0)
+       |    AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
        |  FROM v GROUP BY 1
        |), cand AS (
        |  SELECT d.vec_id,
@@ -2112,8 +2112,8 @@ object Relational7 {
        |), candf AS (SELECT * FROM cand WHERE vec_id <> 0),
        |pairs AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-       |    (CAST(SUM(CAST(ROUND(x1.x * x2.x * 1e12, 0) AS BIGINT))
-       |      AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) AS sim
+       |    (CAST(CAST(SUM(CAST(ROUND(x1.x * x2.x * 1e12, 0) AS BIGINT))
+       | AS VARCHAR) AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) AS sim
        |  FROM candf a JOIN candf b ON a.vec_id <> b.vec_id
        |  JOIN v x1 ON x1.vec_id = a.vec_id
        |  JOIN v x2 ON x2.vec_id = b.vec_id AND x2.i = x1.i
@@ -2391,9 +2391,9 @@ object Relational7 {
       |  JOIN pooled ph ON ph.r = i.hi
       |)
       |SELECT event_type, COUNT(*) AS n,
-      |  ROUND(CAST(SUM(CAST(vfx AS DECIMAL(38,0))) AS DOUBLE)
+      |  ROUND(CAST(CAST(SUM(CAST(vfx AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
       |    / COUNT(*) / 1e6, 6) AS mean_raw,
-      |  ROUND(CAST(SUM(CAST(tv AS DECIMAL(38,6))) AS DOUBLE)
+      |  ROUND(CAST(CAST(SUM(CAST(tv AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |    / COUNT(*) / 1e6, 6) AS mean_qnorm,
       |  ROUND(MIN(tv) / 1e6, 6) AS min_qnorm,
       |  ROUND(MAX(tv) / 1e6, 6) AS max_qnorm

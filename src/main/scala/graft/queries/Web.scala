@@ -176,8 +176,8 @@ object Web {
        |SELECT d.domain, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN v.verdict = 'keep' THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_keep,
-       |  ROUND(CAST(SUM(CAST(v.quality_score AS DECIMAL(38,12)))
-       |    AS DOUBLE) / COUNT(*), 6) AS mean_quality
+       |  ROUND(CAST(CAST(SUM(CAST(v.quality_score AS DECIMAL(38,12)))
+       | AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_quality
        |FROM d JOIN verdicts v USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
