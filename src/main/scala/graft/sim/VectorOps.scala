@@ -520,7 +520,13 @@ object VectorOps {
       val spark = emb.sparkSession
       import spark.implicits._
       val centDf = cents.toDF("cent_lbl", "cent")
-      val assigned = emb.select(col("vec_id"), col("embedding"))
+      // the k×n scoring amplifies work ×k AFTER the scan: parallelism must
+      // not inherit the input's (tiny) split count — repartition →
+      // checkpoint → fan out, the round-9 house recipe
+      val base = emb.select(col("vec_id"), col("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .localCheckpoint(true)
+      val assigned = base
         .crossJoin(broadcast(centDf))
         .select(col("vec_id"),
           struct(centroidDist(col("cent")).as("dist"),
@@ -644,7 +650,11 @@ object VectorOps {
             "joins on vec_id; input must carry a unique vec_id column")
         val centDf = cents.toDF("cent_lbl", "cent")
         val d = sqrt(centroidDist(col("cent")).cast("double") / lit(1e12))
+        // ×k amplification after the scan: set our own parallelism
+        // (repartition → checkpoint → fan out, the round-9 house recipe)
         emb.select(col("vec_id"), col("label"), col("embedding"))
+          .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+          .localCheckpoint(true)
           .crossJoin(broadcast(centDf))
           .select(col("vec_id"), col("label"),
             when(col("label") === col("cent_lbl"), d).as("da"),
