@@ -55,9 +55,12 @@ def canonical_hash(df):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     # a runaway (quadratic) oracle must abort with an error, not fill the
-    # disk: sim_hard_negatives' exhaustive twin spilled >70 GB at sf10
+    # disk: sim_hard_negatives' exhaustive twin spilled >70 GB at sf10.
+    # Override per-run with COMPARE_TEMP_CAP for known-heavy-but-finite
+    # oracles (q_feature_gain needs ~40 GB at sf10).
     try:
-        con.execute("SET max_temp_directory_size='30GB'")
+        cap = os.environ.get("COMPARE_TEMP_CAP", "30GB")
+        con.execute(f"SET max_temp_directory_size='{cap}'")
     except Exception:
         pass
     for t in TABLES:
