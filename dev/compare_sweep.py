@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Per-query wrapper around dev/compare.py that PERSISTS every result as it
+lands (round-11, VERDICT item #1: the round-10 sf10 sweep's final tally was
+never committed because the serial DuckDB tail outlived the round — an
+interrupted sweep must still yield an auditable number).
+
+Usage: python3 dev/compare_sweep.py <sfDir> <verifyOutDir> <resultsJsonl>
+         [--timeout SECS] [--skip q1,q2] [--only q1,q2]
+
+Each query appends one JSON line to <resultsJsonl>:
+  {"query": name, "status": "pass"|"fail"|"timeout"|"error",
+   "secs": wall, "detail": "<last FAIL line if any>"}
+Queries already present in <resultsJsonl> are not re-run (resumable).
+Known-heavy twins can get a bigger DuckDB temp cap via HEAVY_CAPS below.
+"""
+import sys, json, os, subprocess, time, argparse
+
+# oracles whose DuckDB twin needs more temp space than the 30GB default
+HEAVY_CAPS = {
+    "q_feature_gain": "50GB",
+}
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir"); ap.add_argument("out_dir")
+    ap.add_argument("results")
+    ap.add_argument("--timeout", type=int, default=1800)
+    ap.add_argument("--skip", default="")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    oracle = json.load(open(os.path.join(args.out_dir, "oracle_sql.json")))
+    skip = {q for q in args.skip.split(",") if q}
+    only = {q for q in args.only.split(",") if q}
+    done = set()
+    if os.path.exists(args.results):
+        for line in open(args.results):
+            try: done.add(json.loads(line)["query"])
+            except Exception: pass
+    names = [n for n in sorted(oracle) if n not in done and n not in skip
+             and (not only or n in only)]
+    print(f"{len(names)} to compare ({len(done)} already recorded)")
+    for i, name in enumerate(names):
+        env = dict(os.environ, COMPARE_ONLY=name)
+        if name in HEAVY_CAPS:
+            env["COMPARE_TEMP_CAP"] = HEAVY_CAPS[name]
+        t0 = time.time()
+        rec = {"query": name}
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__),
+                                              "compare.py"),
+                 args.sf_dir, args.out_dir],
+                env=env, capture_output=True, text=True,
+                timeout=args.timeout)
+            out = p.stdout + p.stderr
+            rec["secs"] = round(time.time() - t0, 1)
+            if f"PASS {name}" in out:
+                rec["status"] = "pass"
+            else:
+                rec["status"] = "fail"
+                fails = [l for l in out.splitlines() if l.startswith("FAIL")]
+                rec["detail"] = fails[-1][:500] if fails else out[-500:]
+        except subprocess.TimeoutExpired:
+            rec.update(status="timeout", secs=round(time.time() - t0, 1))
+        except Exception as e:
+            rec.update(status="error", secs=round(time.time() - t0, 1),
+                       detail=str(e)[:500])
+        with open(args.results, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[{i+1}/{len(names)}] {rec['status']:7s} {name} "
+              f"({rec['secs']}s)", flush=True)
+
+if __name__ == "__main__":
+    main()

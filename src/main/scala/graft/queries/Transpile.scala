@@ -126,6 +126,23 @@ object Transpile {
       |) AS u
       |ORDER BY k, src""".stripMargin
 
+  /** Subqueries in expressions (round-11 widening): a scalar subquery
+    * inside arithmetic, a CORRELATED EXISTS (qualified column reference
+    * into the outer table), and a NOT IN subquery — the most common
+    * remaining real-migration constructs. MAX is the scalar aggregate so
+    * the threshold is float-order-independent and the row set is exact in
+    * both executable emitters. */
+  private val subqueryPg: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.5
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE lineitem.l_orderkey = orders.o_orderkey
+      |                AND lineitem.l_quantity > 45)
+      |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+      |                         WHERE l_returnflag = 'R' AND l_quantity > 49)
+      |ORDER BY o_orderkey""".stripMargin
+
   private def runSparkEmission(pg: String, tables: Seq[String]): Q = (s, dir) => {
     tables.foreach {
       case "events" => Tables.events(s, dir).createOrReplaceTempView("events")
@@ -148,6 +165,7 @@ object Transpile {
     "q_transpile_frame"       -> runSparkEmission(framePg, Seq("events")),
     "q_transpile_setprec"     -> runSparkEmission(setPrecPg, Seq("events", "documents")),
     "q_transpile_setop"       -> runSparkEmission(setopPg, Seq("events", "documents")),
+    "q_transpile_subquery"    -> runSparkEmission(subqueryPg, Seq("orders", "lineitem")),
     "q_transpile_block_range" -> blockRange)
 
   /** The oracle IS the transpiler's DuckDB emission — the driver runs this
@@ -160,6 +178,7 @@ object Transpile {
     "q_transpile_frame"       -> Transpiler.transpile(framePg, "postgres", "duckdb"),
     "q_transpile_setprec"     -> Transpiler.transpile(setPrecPg, "postgres", "duckdb"),
     "q_transpile_setop"       -> Transpiler.transpile(setopPg, "postgres", "duckdb"),
+    "q_transpile_subquery"    -> Transpiler.transpile(subqueryPg, "postgres", "duckdb"),
     "q_transpile_block_range" -> Transpiler.buildBlockRangeQuery(100, 600,
       table = "orders", dialect = "duckdb", column = "o_orderkey"))
 }

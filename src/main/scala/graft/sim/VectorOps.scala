@@ -513,27 +513,34 @@ object VectorOps {
       emb.withColumn("assigned_label", best.getField("lbl"))
     } else {
       // broadcast-join form: k×n scored rows, min(struct) per vector —
-      // same lexicographic (dist, lbl) ordering as `least` above
-      require(emb.columns.contains("vec_id"),
-        s"assignToCentroids with ${cents.size} centroids (> $CentroidExprMax) " +
-          "joins on vec_id; input must carry a unique vec_id column")
+      // same lexicographic (dist, lbl) ordering as `least` above.
+      // The join identity is a GENERATED per-row id, not the caller's
+      // vec_id: a duplicated vec_id would coalesce distinct rows onto one
+      // label through the groupBy+rejoin and a null vec_id would be
+      // silently dropped by the inner join — both diverging from the
+      // expression form, which labels every input row independently. The
+      // id'd frame is materialized ONCE (localCheckpoint) so the scoring
+      // side and the rejoin side see identical ids regardless of any
+      // nondeterminism in emb's lineage.
       val spark = emb.sparkSession
       import spark.implicits._
       val centDf = cents.toDF("cent_lbl", "cent")
+      val withId = emb.withColumn("__vec_row", monotonically_increasing_id())
+        .localCheckpoint(true)
       // the k×n scoring amplifies work ×k AFTER the scan: parallelism must
       // not inherit the input's (tiny) split count — repartition →
       // checkpoint → fan out, the round-9 house recipe
-      val base = emb.select(col("vec_id"), col("embedding"))
-        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      val base = withId.select(col("__vec_row"), col("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism, col("__vec_row"))
         .localCheckpoint(true)
       val assigned = base
         .crossJoin(broadcast(centDf))
-        .select(col("vec_id"),
+        .select(col("__vec_row"),
           struct(centroidDist(col("cent")).as("dist"),
             col("cent_lbl").as("lbl")).as("s"))
-        .groupBy("vec_id")
+        .groupBy("__vec_row")
         .agg(min(col("s")).getField("lbl").as("assigned_label"))
-      emb.join(assigned, "vec_id")
+      withId.join(assigned, "__vec_row").drop("__vec_row")
     }
   }
 
@@ -645,21 +652,22 @@ object VectorOps {
         // the same value set `coalesce`/`least` reduced, as DATA not text
         val spark = emb.sparkSession
         import spark.implicits._
-        require(emb.columns.contains("vec_id"),
-          s"silhouette with ${cents.size} labels (> $CentroidExprMax) " +
-            "joins on vec_id; input must carry a unique vec_id column")
         val centDf = cents.toDF("cent_lbl", "cent")
         val d = sqrt(centroidDist(col("cent")).cast("double") / lit(1e12))
+        // group on a GENERATED per-row id, not the caller's vec_id — a
+        // duplicated (vec_id, label) would coalesce two rows' s into one,
+        // diverging from the expression form, which scores every row.
         // ×k amplification after the scan: set our own parallelism
         // (repartition → checkpoint → fan out, the round-9 house recipe)
-        emb.select(col("vec_id"), col("label"), col("embedding"))
-          .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        emb.select(col("label"), col("embedding"))
+          .withColumn("__vec_row", monotonically_increasing_id())
+          .repartition(spark.sparkContext.defaultParallelism, col("__vec_row"))
           .localCheckpoint(true)
           .crossJoin(broadcast(centDf))
-          .select(col("vec_id"), col("label"),
+          .select(col("__vec_row"), col("label"),
             when(col("label") === col("cent_lbl"), d).as("da"),
             when(col("label") =!= col("cent_lbl"), d).as("db"))
-          .groupBy("vec_id", "label")
+          .groupBy("__vec_row", "label")
           .agg(max(col("da")).as("a"), min(col("db")).as("b"))
           .select(col("label"), sOf(col("a"), col("b")).as("s"))
       }

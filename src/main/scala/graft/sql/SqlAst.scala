@@ -85,6 +85,21 @@ final case class Like(expr: SqlExpr, pattern: SqlExpr,
                       negated: Boolean = false) extends SqlExpr
 final case class IsNull(expr: SqlExpr, negated: Boolean = false) extends SqlExpr
 
+/** Scalar subquery in expression position — `WHERE x > (SELECT ...)`.
+  * Spelled identically (a parenthesized query) in all seven targets; the
+  * single-column/single-row contract is the engine's to enforce, as in
+  * every warehouse. */
+final case class ScalarSubquery(query: QueryExpr) extends SqlExpr
+
+/** `EXISTS (SELECT ...)` — correlation happens via ordinary qualified
+  * column references inside the subquery. Negation is the generic
+  * `UnaryOp("NOT", _)`, so `NOT EXISTS` round-trips without a flag. */
+final case class Exists(query: QueryExpr) extends SqlExpr
+
+/** `expr [NOT] IN (SELECT ...)` — the subquery sibling of [[InList]]. */
+final case class InSubquery(expr: SqlExpr, query: QueryExpr,
+                            negated: Boolean = false) extends SqlExpr
+
 /** Searched CASE (`operand` empty) or simple CASE (`operand` set). */
 final case class CaseWhen(operand: Option[SqlExpr],
                           branches: List[(SqlExpr, SqlExpr)],

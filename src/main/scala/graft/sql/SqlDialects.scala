@@ -315,6 +315,15 @@ object SqlDialects {
         val s = s"${expr(x, 6)} IS ${if (neg) "NOT " else ""}NULL"
         if (4 < ctx) s"($s)" else s
 
+      // subqueries: the query text inside the parens is each dialect's own
+      // emission (quoting, intervals, ... all re-spelled); the surrounding
+      // operators are spelled identically in all seven targets
+      case ScalarSubquery(q) => "(" + queryExpr(q) + ")"
+      case Exists(q) => "EXISTS (" + queryExpr(q) + ")"
+      case InSubquery(x, q, neg) =>
+        val s = s"${expr(x, 6)} ${if (neg) "NOT " else ""}IN (${queryExpr(q)})"
+        if (4 < ctx) s"($s)" else s
+
       case CaseWhen(operand, branches, otherwise) =>
         val sb = new StringBuilder("CASE")
         operand.foreach(o => sb ++= " " + expr(o, 0))

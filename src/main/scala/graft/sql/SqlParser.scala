@@ -21,12 +21,13 @@ import scala.collection.mutable.ListBuffer
   * at Postgres's level: looser than +/-), scientific-notation numbers,
   * and both `"` and `` ` `` identifier quoting on input (the read side
   * is deliberately tolerant; the *write* side is strict per dialect —
-  * see [[SqlDialects]]).
+  * see [[SqlDialects]]), subqueries in expressions (scalar
+  * `(SELECT ...)`, `[NOT] EXISTS (...)`, `[NOT] IN (SELECT ...)` —
+  * including correlated forms via qualified column references).
   *
-  * Out of scope: DML other than INSERT INTO ... SELECT, DDL, correlated
-  * subqueries in expressions, LATERAL, GROUPING SETS — the reference
-  * never transpiles those shapes, and Spark-native execution covers them
-  * directly.
+  * Out of scope: DML other than INSERT INTO ... SELECT, DDL, LATERAL,
+  * GROUPING SETS — the reference never transpiles those shapes, and
+  * Spark-native execution covers them directly.
   */
 object SqlParser {
 
@@ -239,7 +240,11 @@ object SqlParser {
           if (ob.nonEmpty || lim.nonEmpty || off.nonEmpty)
             stripped.asInstanceOf[SetOp].copy(orderBy = ob, limit = lim, offset = off)
           else s
-        case s: SetOp => // final operand parenthesized: clauses not yet consumed
+        case q if lParen =>
+          // final operand parenthesized (SetOp OR plain SELECT): trailing
+          // ORDER BY/LIMIT/OFFSET are still in the token stream —
+          // `(A UNION B) ORDER BY x` and `(SELECT a FROM t) LIMIT 3` are
+          // both valid ANSI and the clauses bind to the whole expression
           val ob = ListBuffer.empty[OrderItem]
           if (eatWord("ORDER")) {
             expectWord("BY")
@@ -248,10 +253,35 @@ object SqlParser {
           }
           val lim = if (eatWord("LIMIT")) Some(numTok("LIMIT count")) else None
           val off = if (eatWord("OFFSET")) Some(numTok("OFFSET count")) else None
-          if (ob.nonEmpty || lim.nonEmpty || off.nonEmpty)
-            s.copy(orderBy = ob.toList, limit = lim, offset = off)
-          else s
+          if (ob.isEmpty && lim.isEmpty && off.isEmpty) q
+          else attachTrailing(q, ob.toList, lim, off)
         case other => other
+      }
+    }
+
+    /** Attach trailing clauses parsed AFTER a parenthesized body. When the
+      * inner node has no LIMIT/OFFSET of its own the clauses merge onto it
+      * (an inner ORDER BY with no limit is immaterial pre-output, so the
+      * outer ordering may replace it). When the inner node already limits —
+      * `(A UNION B LIMIT 3) ORDER BY x` must order the 3 limited rows, and
+      * `(A ORDER BY y LIMIT 3) LIMIT 2` must re-limit — merging onto one
+      * node would silently change which rows survive, so the inner query
+      * is wrapped as a derived table and the trailing clauses bind to the
+      * wrapper. */
+    private def attachTrailing(q: QueryExpr, ob: List[OrderItem],
+                               lim: Option[Long], off: Option[Long]): QueryExpr = {
+      def wrap(inner: QueryExpr): QueryExpr =
+        SelectStmt(List(SelectItem(Star, None)),
+          Some(DerivedTable(inner, Ident("_q"))), Nil, None, Nil, None,
+          if (ob.nonEmpty) ob else Nil, lim, distinct = false, offset = off)
+      q match {
+        case s: SetOp if s.limit.isEmpty && s.offset.isEmpty =>
+          s.copy(orderBy = if (ob.nonEmpty) ob else s.orderBy,
+            limit = lim, offset = off)
+        case s: SelectStmt if s.limit.isEmpty && s.offset.isEmpty =>
+          s.copy(orderBy = if (ob.nonEmpty) ob else s.orderBy,
+            limit = lim, offset = off)
+        case inner => wrap(inner)
       }
     }
 
@@ -424,20 +454,12 @@ object SqlParser {
           val lo = concatExpr(); expectWord("AND"); val hi = concatExpr()
           Between(l, lo, hi, negated)
         } else if (eatWord("IN")) {
-          expectSym("(")
-          val items = ListBuffer(expr())
-          while (eatSym(",")) items += expr()
-          expectSym(")")
-          InList(l, items.toList, negated)
+          inTail(l, negated)
         } else if (eatWord("LIKE")) {
           Like(l, concatExpr(), negated)
         } else l // bare trailing NOT belongs to an outer construct
       } else if (eatWord("IN")) {
-        expectSym("(")
-        val items = ListBuffer(expr())
-        while (eatSym(",")) items += expr()
-        expectSym(")")
-        InList(l, items.toList)
+        inTail(l, negated = false)
       } else if (eatWord("LIKE")) {
         Like(l, concatExpr())
       } else if (eatWord("IS")) {
@@ -445,6 +467,22 @@ object SqlParser {
         expectWord("NULL")
         IsNull(l, negated)
       } else l
+    }
+
+    /** `IN (` already consumed: a SELECT body makes it an [[InSubquery]],
+      * anything else the literal-list [[InList]]. */
+    private def inTail(l: SqlExpr, negated: Boolean): SqlExpr = {
+      expectSym("(")
+      if (isWord("SELECT")) {
+        val q = queryExpr()
+        expectSym(")")
+        InSubquery(l, q, negated)
+      } else {
+        val items = ListBuffer(expr())
+        while (eatSym(",")) items += expr()
+        expectSym(")")
+        InList(l, items.toList, negated)
+      }
     }
 
     private def concatExpr(): SqlExpr = {
@@ -481,6 +519,9 @@ object SqlParser {
     private def primary(): SqlExpr = cur match {
       case TNum(s, _) => i += 1; NumberLit(s)
       case TStr(s, _) => i += 1; StringLit(s)
+      case TSym("(", _) if isWordAt(i + 1, "SELECT") =>
+        // scalar subquery in expression position: (SELECT ...) [UNION ...]
+        i += 1; val q = queryExpr(); expectSym(")"); ScalarSubquery(q)
       case TSym("(", _) =>
         i += 1; val e = expr(); expectSym(")"); e
       case TSym("*", _) => i += 1; Star
@@ -506,6 +547,11 @@ object SqlParser {
             expectSym(")")
             c
           case "CASE" => i += 1; caseWhen()
+          case "EXISTS" if isSymAt(i + 1, "(") =>
+            i += 1; expectSym("(")
+            val q = queryExpr()
+            expectSym(")")
+            Exists(q)
           case "EXTRACT" if isSymAt(i + 1, "(") =>
             i += 1; expectSym("(")
             val field = (advance() match {
@@ -538,6 +584,10 @@ object SqlParser {
     }
     private def isSymAt(k: Int, s: String): Boolean = toks(k) match {
       case TSym(x, _) => x == s
+      case _ => false
+    }
+    private def isWordAt(k: Int, s: String): Boolean = toks(k) match {
+      case TWord(x, _) => x.equalsIgnoreCase(s)
       case _ => false
     }
 

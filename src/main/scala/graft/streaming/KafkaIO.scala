@@ -118,18 +118,24 @@ object KafkaIO {
 
   /** Shape RAW envelope JSON strings into Kafka records exactly as the
     * reference producer publishes them (kafka_producer.py:105-111,
-    * 154-225): value = the envelope text verbatim; key = the payload's
-    * entity hash when one exists and is truthy (`tx_hash` for
-    * transfers/logs, `hash` for transactions — Python's `key or
-    * str(block_number)` treats '' as missing), else the block number.
+    * 154-229). Value = the envelope text verbatim. Key follows the
+    * producer's per-event_type rule: `block` envelopes are published with
+    * key=block hash (`payload.hash`, kafka_producer.py:172) and
+    * `transaction` envelopes with key=tx hash (`payload.hash`,
+    * kafka_producer.py:196); `token_transfer` and `log` envelopes are
+    * published with NO key (kafka_producer.py:229), so `_publish`'s
+    * `key or str(block_number)` keys them by the block number — their
+    * `payload.tx_hash` is NEVER used for routing. The `or` is Python
+    * truthiness, so an empty-string hash also falls to the block number.
     * This is the producer-side twin of [[envelopeValues]]; the
     * EmbeddedTopicLog round-trip test drives both through the same
     * murmur2 partition routing a real broker would apply. */
   def envelopeRecords(raw: Dataset[String]): DataFrame =
     raw.toDF("value").select(
       coalesce(
-        nullif(get_json_object(col("value"), "$.payload.tx_hash"), lit("")),
-        nullif(get_json_object(col("value"), "$.payload.hash"), lit("")),
+        when(get_json_object(col("value"), "$.event_type")
+               .isin("block", "transaction"),
+          nullif(get_json_object(col("value"), "$.payload.hash"), lit(""))),
         get_json_object(col("value"), "$.block_number")).as("key"),
       col("value"))
 }

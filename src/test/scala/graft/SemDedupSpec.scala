@@ -181,6 +181,35 @@ class SemDedupSpec extends SparkSpec {
     vecs.foreach { case (id, v) => assert(gotSmall(id) == bruteSmall(v)) }
   }
 
+  test("large-k assignment labels every row independently (dup/null vec_id)") {
+    // the join form scores on a GENERATED row id (round-11 ADVICE fix):
+    // two rows SHARING a vec_id but holding different embeddings must get
+    // their own nearest labels (pre-fix they coalesced onto one label via
+    // the groupBy+rejoin), and a NULL vec_id row must survive (pre-fix the
+    // inner rejoin dropped it) — exactly the expression form's semantics
+    val k = 80
+    val dim = 4
+    val cents: Seq[(Int, Array[Double])] = (0 until k).map { l =>
+      (l, Array.tabulate(dim)(d => math.sin(l * 1.7 + d) * 0.9))
+    }
+    def brute(v: Array[Float]): Int = cents.map { case (l, c) =>
+      (v.zip(c).map { case (x, cc) =>
+        math.rint((x.toDouble - cc) * (x.toDouble - cc) * 1e12).toLong }.sum, l)
+    }.min._2
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (java.lang.Long.valueOf(1L), Array(-0.9f, 0.0f, 0.7f, 0.0f)),
+      (null.asInstanceOf[java.lang.Long], Array(0.0f, 0.9f, -0.5f, 0.2f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = VectorOps.assignToCentroids(emb, cents)
+      .select("embedding", "assigned_label").collect()
+      .map(r => (r.getSeq[Float](0).toArray, r.getInt(1)))
+    assert(got.length == 3, "every input row must survive, null vec_id too")
+    got.foreach { case (v, lbl) =>
+      assert(lbl == brute(v), s"${v.toSeq}: got $lbl want ${brute(v)}")
+    }
+  }
+
   test("large-k silhouette: join form matches a driver-side recompute") {
     val k = 70 // > CentroidExprMax
     val dim = 3

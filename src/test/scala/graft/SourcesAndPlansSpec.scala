@@ -261,6 +261,31 @@ class BloomFilterSpec extends SparkSpec {
     assert(scanRows == frTotal, s"scanned $scanRows, partition has $frTotal")
   }
 
+  test("IVF cell-partitioned embeddings turn the probe filter into partition pruning") {
+    // DEPLOY table row 5: partition the embeddings table BY the IVF cell
+    // assignment, and the `sim_ivf_topk` probe's cell filter prunes whole
+    // directories during planning — the deployment form of the probe
+    val dir = Files.createTempDirectory("graft_ivf_part").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val withCell = emb.join(
+      graft.sim.VectorOps.ivfAssign(emb, nCells = 8), "vec_id")
+    graft.sources.PartitionedLayout.writePartitioned(
+      withCell, s"$dir/by_cell", Seq("cell"))
+    val probed = Seq(1L, 3L) // the nprobe cells a query would select
+    val q = graft.sources.PartitionedLayout
+      .readPartitioned(spark, s"$dir/by_cell")
+      .filter(col("cell").isin(probed: _*))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.replaceAll("(?s)PushedFilters.*", "").contains("cell"), plan)
+    val want = withCell.filter(col("cell").isin(probed: _*)).count()
+    assert(q.count() == want && want > 0)
+    q.collect()
+    val scanRows = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    assert(scanRows == want, s"scanned $scanRows, probed cells hold $want")
+  }
+
   test("AQE splits the skewed join partition at runtime (skew=true)") {
     // the automatic complement of the manual salted join (q_skew_join):
     // at 100 TB both exist — salting for known-hot keys, AQE skew

@@ -1156,10 +1156,12 @@ class KafkaIOSpec extends SparkSpec {
       Fixtures.swapMessage(blockNumber = 18000100L + i,
         amount0In = BigInt(i + 1), amount1Out = BigInt(2 * i + 1),
         txHash = "0x" + f"$i%063x" + "f"))
+    // real block envelopes ALWAYS carry payload.hash (kafka_producer.py:162)
+    val blockHash = (i: Int) => "0x" + f"$i%063x" + "b"
     val blocks = (0 until 8).map(i =>
       s"""{"chain_id": 1, "network": "ethereum-mainnet", "block_number": ${18000200L + i},
          | "block_timestamp": ${Fixtures.FixedNow}, "event_type": "block",
-         | "payload": {"miner": "0x${"9" * 40}", "gas_used": 12000000},
+         | "payload": {"hash": "${blockHash(i)}", "miner": "0x${"9" * 40}", "gas_used": 12000000},
          | "ingested_at": ${Fixtures.FixedNow}.0}""".stripMargin.replaceAll("\n", ""))
 
     // produce through the REAL record shaping (reference key rule)
@@ -1192,11 +1194,18 @@ class KafkaIOSpec extends SparkSpec {
         s"offsets not dense for $tp: ${sorted.toSeq}")
     }
 
-    // (4) blocks envelopes keyed by block number (no payload hash)
-    val blockKeys = kafka.filter(col("topic") === KafkaIO.TopicBlocks)
-      .select("key").collect()
-      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
-    assert(blockKeys == (0 until 8).map(i => (18000200L + i).toString).toSet)
+    // (4) key rule per event_type (kafka_producer.py:172,196,229):
+    // block envelopes keyed by the BLOCK HASH, transaction envelopes by
+    // the tx hash, token_transfer/log envelopes by str(block_number)
+    // (published keyless — their payload.tx_hash never routes)
+    def keysOf(topic: String): Set[String] =
+      kafka.filter(col("topic") === topic).select("key").collect()
+        .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).toSet
+    assert(keysOf(KafkaIO.TopicBlocks) == (0 until 8).map(blockHash).toSet)
+    assert(keysOf(KafkaIO.TopicTokenTransfers) ==
+      (0 until 40).map(i => (19000000L + i * 10L).toString).toSet)
+    assert(keysOf(KafkaIO.TopicLogs) ==
+      (0 until 12).map(i => (18000100L + i).toString).toSet)
 
     // (5) the consumed transfers decode IDENTICALLY to the direct path
     val viaBroker = TokenTransferDecoder.decode(graft.etl.Ingest.parseRaw(

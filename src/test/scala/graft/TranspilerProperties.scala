@@ -30,10 +30,25 @@ object TranspilerProperties extends Properties("transpiler") {
     Gen.const(NullLit),
     Gen.oneOf(true, false).map(BoolLit(_)))
 
+  /** Small single-column subquery for expression positions (round-11:
+    * scalar/EXISTS/IN-subquery support). Correlation is just a qualified
+    * column reference, so `u.x = t.a` exercises the correlated shape. */
+  private val subqueryGen: Gen[QueryExpr] = for {
+    col <- nameGen
+    correlated <- Gen.oneOf(true, false)
+    where <- Gen.option(
+      if (correlated)
+        Gen.const(BinOp("=", ColRef(Some(Ident("u")), Ident("x")),
+          ColRef(Some(Ident("t")), Ident("a"))))
+      else predGen(0))
+  } yield SelectStmt(List(SelectItem(ColRef(None, Ident(col)), None)),
+    Some(TableRef(Ident("u"), None)), Nil, where, Nil, None, Nil, None)
+
   private def exprGen(depth: Int): Gen[SqlExpr] =
     if (depth <= 0) leafGen
     else Gen.frequency(
       3 -> leafGen,
+      1 -> subqueryGen.map(ScalarSubquery(_)),
       2 -> (for {
         op <- Gen.oneOf("+", "-", "*", "/", "||")
         l <- exprGen(depth - 1); r <- exprGen(depth - 1)
@@ -76,6 +91,11 @@ object TranspilerProperties extends Properties("transpiler") {
         neg <- Gen.oneOf(true, false)
       } yield InList(x, items, neg)),
       1 -> exprGen(depth - 1).map(IsNull(_)),
+      1 -> subqueryGen.map(Exists(_)),
+      1 -> (for {
+        x <- exprGen(depth - 1); q <- subqueryGen
+        neg <- Gen.oneOf(true, false)
+      } yield InSubquery(x, q, neg)),
       1 -> (for {
         op <- Gen.oneOf("AND", "OR")
         l <- predGen(depth - 1); r <- predGen(depth - 1)

@@ -236,6 +236,61 @@ class TranspilerSpec extends SparkSpec {
     }
   }
 
+  test("round-11: trailing clauses after a parenthesized body (ADVICE fixes)") {
+    import graft.sql.{SqlParser, SetOp, SelectStmt, DerivedTable}
+    // (A UNION B LIMIT 3) ORDER BY x: the inner LIMIT must SURVIVE —
+    // pre-fix the trailing-clause copy silently dropped it. The inner
+    // limited union becomes a derived table; ORDER BY binds outside.
+    SqlParser.parse("(SELECT a FROM t UNION SELECT a FROM u LIMIT 3) ORDER BY a")
+      .body match {
+      case s: SelectStmt =>
+        assert(s.orderBy.nonEmpty && s.limit.isEmpty)
+        s.from match {
+          case Some(DerivedTable(SetOp(_, _, _, _, lim, _), _)) =>
+            assert(lim.contains(3L), "inner LIMIT 3 must survive")
+          case other => fail(s"expected wrapped set op, got $other")
+        }
+      case other => fail(s"expected wrapper SELECT, got $other")
+    }
+    // (A UNION B ORDER BY y) LIMIT 5: inner ordering decides which 5 rows
+    // survive — merging is safe (no inner limit), the single node carries
+    // orderBy=y, limit=5
+    SqlParser.parse(
+      "(SELECT a FROM t UNION SELECT a FROM u ORDER BY a) LIMIT 5").body match {
+      case SetOp(_, _, _, ord, lim, _) =>
+        assert(ord.nonEmpty && lim.contains(5L))
+      case other => fail(s"expected SetOp, got $other")
+    }
+    // (SELECT …) ORDER BY … — valid ANSI, previously a parse failure
+    SqlParser.parse("(SELECT a FROM t) ORDER BY a LIMIT 2").body match {
+      case s: SelectStmt =>
+        assert(s.orderBy.nonEmpty && s.limit.contains(2L))
+      case other => fail(s"expected SelectStmt, got $other")
+    }
+    // (SELECT … LIMIT 3) ORDER BY …: inner limit forces the wrap here too
+    SqlParser.parse("(SELECT a FROM t LIMIT 3) ORDER BY a").body match {
+      case s: SelectStmt =>
+        assert(s.orderBy.nonEmpty)
+        s.from match {
+          case Some(DerivedTable(inner: SelectStmt, _)) =>
+            assert(inner.limit.contains(3L))
+          case other => fail(s"expected wrapped select, got $other")
+        }
+      case other => fail(s"expected wrapper SELECT, got $other")
+    }
+    // every form re-emits as valid SQL in all seven dialects and the
+    // spark emission parses in Spark's own parser
+    for (src <- Seq(
+      "(SELECT a FROM t UNION SELECT a FROM u LIMIT 3) ORDER BY a",
+      "(SELECT a FROM t) ORDER BY a LIMIT 2",
+      "(SELECT a FROM t LIMIT 3) ORDER BY a");
+         dl <- Transpiler.getAllDialects) {
+      val out = Transpiler.transpile(src, "postgres", dl)
+      assert(Transpiler.validateSql(out).isEmpty, s"$dl: $out")
+      if (dl == "spark") spark.sessionState.sqlParser.parsePlan(out)
+    }
+  }
+
   test("round-10: same-precedence grouping parens are preserved (ADVICE fix)") {
     def pg(ast: SqlExpr): String = {
       val g = new SqlDialects.Generator(SqlDialects.Postgres)
