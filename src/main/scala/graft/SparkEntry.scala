@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Behavioral, Domain, Extensions, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Sketches, Transpile, Web}
+import graft.queries.{Behavioral, Domain, Extensions, Probes, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Sketches, Transpile, Web}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Relational4.queries ++ Relational5.queries ++ Relational6.queries ++ Relational7.queries ++ Domain.queries ++
       Extensions.queries ++ Behavioral.queries ++ Sketches.queries ++ Web.queries ++
-      Transpile.queries
+      Transpile.queries ++ Probes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     Relational.oracleSql ++ Relational2.oracleSql ++ Relational3.oracleSql ++
       Relational4.oracleSql ++ Relational5.oracleSql ++ Relational6.oracleSql ++ Relational7.oracleSql ++ Domain.oracleSql ++
       Extensions.oracleSql ++ Behavioral.oracleSql ++ Sketches.oracleSql ++ Web.oracleSql ++
-      Transpile.oracleSql
+      Transpile.oracleSql ++ Probes.oracleSql
 }

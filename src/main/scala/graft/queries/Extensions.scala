@@ -803,7 +803,15 @@ object Extensions {
   private val embLshPairs: Q = (s, dir) =>
     VectorOps.cosinePairsLsh(Tables.embeddings(s, dir), CosineThreshold)
 
-  private lazy val embLshPairsSql: String = {
+  private lazy val embLshPairsSql: String = embLshPairsSqlOver("")
+
+  /** [[embLshPairsSql]] with an optional extra predicate on the pair's
+    * LEFT endpoint (`a.vec_id`) inside the pairs CTE — the probe twin's
+    * restriction slot: candidates stay corpus-wide, only the anchored
+    * side narrows, so the twin's pair/dot stages shrink by the selected
+    * fraction while still exercising the full bucket computation. */
+  private[queries] def embLshPairsSqlOver(v1Pred: String): String = {
+    val pred = if (v1Pred.isEmpty) "" else s"\n    AND $v1Pred"
     val planes = VectorOps.planeMatrixFor(EmbeddingDim)
     val values = (for {
       p <- 0 until VectorOps.LshPlanes
@@ -827,7 +835,7 @@ object Extensions {
        |), pairs AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2
        |  FROM buckets a JOIN buckets b
-       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id$pred
        |), dots AS (
        |  SELECT p.v1, p.v2,
        |    SUM(CAST(ROUND(a.x * b.x * 1e12, 0) AS BIGINT)) AS dot

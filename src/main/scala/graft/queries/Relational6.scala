@@ -1052,7 +1052,15 @@ object Relational6 {
     * its most frequent member shingle. Per round: one join + one count
     * + one vertex-partitioned row_number — the PageRank iteration shape
     * at any scale. */
-  private val tokenGraph: Q = (s, dir) => {
+  private val tokenGraph: Q = (s, dir) =>
+    tokenGraphOver(s, Tables.documents(s, dir), dir)
+
+  /** [[tokenGraph]] over a caller-chosen document frame (the probe entry
+    * restricts to an md5-selected sub-corpus so the DuckDB twin stays
+    * feasible at any scale — see [[Probes]]); `storeKey` namespaces the
+    * FrameStore artifacts so probe and full runs never share leaves. */
+  private[queries] def tokenGraphOver(s: SparkSession, docs: DataFrame,
+                                      storeKey: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.dedup.FrameStore
     // Stage artifacts (shingle counts, passage graph, LPA labels) are
@@ -1061,15 +1069,15 @@ object Relational6 {
     // builds the passage graph ONCE and every labeling/reporting consumer
     // (including re-runs of this entry) reads the materialized leaf.
     // Results are identical artifact-fed or inline (PipelineReuseSpec).
-    def sh = Tables.documents(s, dir)
+    def sh = docs
       .select(graft.text.TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 4)
       .select(graft.text.TextOps.ngrams(col("toks"), 3).as("s"))
-    val uc = FrameStore.getOrCompute(s, s"passage_uc|$dir") {
+    val uc = FrameStore.getOrCompute(s, s"passage_uc|$storeKey") {
       sh.select(explode(col("s")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cu"))
     }
-    val nbrs = FrameStore.getOrCompute(s, s"passage_nbrs|$dir") {
+    val nbrs = FrameStore.getOrCompute(s, s"passage_nbrs|$storeKey") {
       val edges = sh
         .withColumn("h", slice(col("s"), lit(1), size(col("s")) - 1))
         .withColumn("tl", slice(col("s"), lit(2), size(col("s")) - 1))
@@ -1083,7 +1091,7 @@ object Relational6 {
         .distinct()
     }
     val w = Window.partitionBy("u").orderBy(desc("c"), col("lbl"))
-    val labels = FrameStore.getOrCompute(s, s"passage_lpa4|$dir") {
+    val labels = FrameStore.getOrCompute(s, s"passage_lpa4|$storeKey") {
       var l = nbrs.select(col("u").as("id")).distinct()
         .withColumn("lbl", col("id")).localCheckpoint(true)
       for (_ <- 1 to 4) {
@@ -1110,7 +1118,13 @@ object Relational6 {
       .orderBy(desc("n_tokens"), col("community"))
   }
 
-  private val tokenGraphSql = {
+  private val tokenGraphSql = tokenGraphSqlOver("")
+
+  /** [[tokenGraphSql]] with an optional document predicate (AND-able SQL
+    * over the `documents` columns) — the probe twin's sub-corpus
+    * restriction slot. Empty string = the full corpus. */
+  private[queries] def tokenGraphSqlOver(docPred: String): String = {
+    val where = if (docPred.isEmpty) "" else s"\n  WHERE $docPred"
     def round(i: Int) =
       s"""c$i AS (
          |  SELECT nb.u, l${i - 1}.lbl, COUNT(*) AS c
@@ -1126,7 +1140,7 @@ object Relational6 {
          |)""".stripMargin
     s"""WITH t AS (
        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
-       |  FROM documents
+       |  FROM documents$where
        |), shs AS (
        |  SELECT list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS s

@@ -1591,8 +1591,16 @@ object Relational7 {
       .orderBy("anchor", "rk")
   }
 
-  private val hardNegativesSql =
-    """WITH d AS (
+  private val hardNegativesSql = hardNegativesSqlOver("")
+
+  /** [[hardNegativesSql]] with an optional extra ANCHOR predicate (over
+    * `a.*`) — the probe twin's restriction slot: the candidate side stays
+    * corpus-wide per surviving anchor (the rank is anchor-partitioned, so
+    * dropping anchors never changes another anchor's negatives), while the
+    * twin's join shrinks by the selected fraction. */
+  private[queries] def hardNegativesSqlOver(anchorPred: String): String = {
+    val pred = if (anchorPred.isEmpty) "" else s" AND $anchorPred"
+    s"""WITH d AS (
       |  SELECT doc_id, lang, n_chars, md5(text) AS h,
       |    n_chars // 50 AS bkt
       |  FROM documents
@@ -1603,7 +1611,7 @@ object Relational7 {
       |      || CAST(c.doc_id AS VARCHAR)) AS tie
       |  FROM d a JOIN d c ON c.lang = a.lang AND c.bkt = a.bkt
       |    AND c.doc_id <> a.doc_id AND c.h <> a.h
-      |  WHERE a.doc_id % 5 = 0
+      |  WHERE a.doc_id % 5 = 0$pred
       |), ranked AS (
       |  SELECT anchor, neg, dn,
       |    row_number() OVER (PARTITION BY anchor ORDER BY dn, tie) AS rk
@@ -1611,6 +1619,7 @@ object Relational7 {
       |)
       |SELECT anchor, CAST(rk AS BIGINT) AS rk, neg, dn
       |FROM ranked WHERE rk <= 4 ORDER BY anchor, rk""".stripMargin
+  }
 
   /** Masking-rate numerator: mask a position when its md5 draw falls
     * below MlmRate/MlmRateDen of the 32-bit space (exact integer
