@@ -63,6 +63,13 @@ def main(sf_dir, out_dir):
         con.execute(f"SET max_temp_directory_size='{cap}'")
     except Exception:
         pass
+    # Cap DuckDB's thread count (default: all cores) so a compare sweep can
+    # overlap a running Verify instead of serializing after it — the round-10
+    # sweep's DuckDB tail outlived the round precisely because it only
+    # started once the multi-hour Spark pass finished.
+    threads = os.environ.get("COMPARE_THREADS")
+    if threads:
+        con.execute(f"SET threads TO {int(threads)}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

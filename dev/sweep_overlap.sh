@@ -1,0 +1,32 @@
+#!/bin/bash
+# Overlap the DuckDB oracle sweep with a still-running graft.Verify: every
+# minute, compare whichever query outputs have landed (Spark's _SUCCESS
+# marker) that aren't yet in the results jsonl. Exits when the Verify JVM
+# is gone AND every landed query has a recorded result. Resumable — the
+# per-query results jsonl is the source of truth (dev/compare_sweep.py
+# skips recorded queries).
+#
+# Usage: dev/sweep_overlap.sh <sfDir> <verifyOutDir> <resultsJsonl>
+#          [verifyPgrepPattern] [skipCsv]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SF="$1"; OUT="$2"; RES="$3"
+PAT="${4:-graft.Verify}"
+SKIP="${5:-}"
+export COMPARE_THREADS="${COMPARE_THREADS:-8}"
+while :; do
+  alive=0
+  pgrep -f "$PAT" > /dev/null && alive=1
+  landed=$(for d in "$OUT"/*/; do
+    [ -e "$d/_SUCCESS" ] && basename "$d"
+  done | paste -sd, -)
+  if [ -n "$landed" ]; then
+    python3 dev/compare_sweep.py "$SF" "$OUT" "$RES" \
+      --only "$landed" --skip "$SKIP" --timeout 3600
+  fi
+  if [ "$alive" = 0 ]; then
+    echo "[sweep_overlap] verify gone and all landed queries compared; done"
+    break
+  fi
+  sleep 60
+done

@@ -102,8 +102,13 @@ object Bench {
     // driver's stdout capture is tail-byte-budgeted and lost ~165 of 224
     // per-query times in round 8 — a file is lossless at any registry size
     // and gives dev/bench_diff.py a stable cross-round regression input.
+    // A SPARK_GRAFT_ONLY-filtered run covers a subset of the registry —
+    // writing it to the committed BENCH_detail.json would silently replace
+    // the full 237-query map with a partial one (this happened in round 10:
+    // an ad-hoc isolated re-run clobbered the committed artifact and the
+    // round shipped a 6-query "detail"). Partial runs get their own file.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_detail.json")
+      if (only.isDefined) "BENCH_detail_partial.json" else "BENCH_detail.json")
     val qJson = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) fmt(v) else -1)
     }.mkString("{", ",", "}")
