@@ -12,7 +12,7 @@ class ContractSpec extends SparkSpec {
       Relational3.queries, Relational4.queries, Relational5.queries,
       Relational6.queries, Relational7.queries, Domain.queries,
       Extensions.queries, Behavioral.queries, Sketches.queries,
-      Web.queries, Transpile.queries)
+      Web.queries, Transpile.queries, Probes.queries)
     assert(SparkEntry.queries.size == parts.map(_.size).sum,
       "a query name is duplicated across modules and got shadowed")
   }
