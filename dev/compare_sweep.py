@@ -18,6 +18,8 @@ import sys, json, os, subprocess, time, argparse
 # oracles whose DuckDB twin needs more temp space than the 30GB default
 HEAVY_CAPS = {
     "q_feature_gain": "50GB",
+    # sf10: the 4-round BPE-merge unroll spills ~2x the 30GB default
+    "text_bpe_merges": "60GB",
 }
 
 def main():
