@@ -70,6 +70,12 @@ def main(sf_dir, out_dir):
     threads = os.environ.get("COMPARE_THREADS")
     if threads:
         con.execute(f"SET threads TO {int(threads)}")
+    # DuckDB's default memory_limit is 80% of RAM — on a box where a 70 GB
+    # Verify JVM is still resident that invites the OOM killer; overlapped
+    # sweeps set an explicit budget and let the temp cap absorb the rest.
+    mem = os.environ.get("COMPARE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

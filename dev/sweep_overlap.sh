@@ -14,6 +14,7 @@ SF="$1"; OUT="$2"; RES="$3"
 PAT="${4:-graft.Verify}"
 SKIP="${5:-}"
 export COMPARE_THREADS="${COMPARE_THREADS:-8}"
+export COMPARE_MEM="${COMPARE_MEM:-24GB}"
 while :; do
   alive=0
   pgrep -f "$PAT" > /dev/null && alive=1
