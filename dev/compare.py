@@ -59,6 +59,13 @@ def main(sf_dir, out_dir):
     # Override per-run with COMPARE_TEMP_CAP for known-heavy-but-finite
     # oracles (q_feature_gain needs ~40 GB at sf10).
     try:
+        # Per-process spill dir: concurrent compares sharing the default
+        # cwd-relative .tmp delete each other's temp files, which crashes
+        # DuckDB's C++ cleanup with an uncatchable terminate() (seen when
+        # the overlapped sweep ran two compares back to back at sf10).
+        tmpdir = os.environ.get("COMPARE_TMPDIR",
+                                f"/tmp/duckdb_tmp_{os.getpid()}")
+        con.execute(f"SET temp_directory='{tmpdir}'")
         cap = os.environ.get("COMPARE_TEMP_CAP", "30GB")
         con.execute(f"SET max_temp_directory_size='{cap}'")
     except Exception:

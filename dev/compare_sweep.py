@@ -20,6 +20,8 @@ HEAVY_CAPS = {
     "q_feature_gain": "50GB",
     # sf10: the 4-round BPE-merge unroll spills ~2x the 30GB default
     "text_bpe_merges": "60GB",
+    # sf10: the MMR greedy unroll's k self-joins spill past 30GB
+    "sim_mmr_topk": "60GB",
 }
 
 def main():
