@@ -2086,10 +2086,15 @@ object Relational7 {
   private val mmrTopKSql = {
     // one greedy step: among unselected candidates, mmr = rel − λ·max sim
     // to the selected set; argmax with the vec_id tie-break
+    // Every bounded CTE is AS MATERIALIZED: DuckDB inlines plain CTEs at
+    // every reference, and the greedy steps reference pairs/candf through
+    // the growing prev-unions — the re-expansion recomputed the
+    // corpus-sized stages combinatorially and spilled >60 GB at sf10.
+    // Materialized, the whole twin runs in ~4 s there.
     def step(t: Int) = {
       val prev = (1 until t).map(i => s"SELECT vec_id FROM s$i")
         .mkString(" UNION ALL ")
-      s"""s$t AS (
+      s"""s$t AS MATERIALIZED (
          |  SELECT c.vec_id, $t AS step,
          |    c.rel - $MmrLambda * MAX(p.sim) AS mmr
          |  FROM candf c JOIN pairs p ON p.va = c.vec_id
@@ -2108,7 +2113,7 @@ object Relational7 {
        |  SELECT vec_id, SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0)
        |    AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
        |  FROM v GROUP BY 1
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT d.vec_id,
        |    (CAST(d.dot AS DOUBLE) / 1e12) / (nrm.nrm *
        |      (SELECT nrm FROM nrm WHERE vec_id = 0)) AS rel
@@ -2118,18 +2123,26 @@ object Relational7 {
        |    FROM v JOIN q ON v.i = q.i GROUP BY 1) d
        |  JOIN nrm ON nrm.vec_id = d.vec_id
        |  ORDER BY rel DESC, d.vec_id LIMIT ${MmrCandidates + 1}
-       |), candf AS (SELECT * FROM cand WHERE vec_id <> 0),
-       |pairs AS (
+       |), candf AS MATERIALIZED (SELECT * FROM cand WHERE vec_id <> 0),
+       |cvec AS MATERIALIZED (
+       |  -- pin the candidate-only unnest: joining the full corpus-sized v
+       |  -- to itself on the dimension index first (a join order DuckDB
+       |  -- picked at sf10) is quadratic in the corpus and spilled >60 GB;
+       |  -- materializing the 20-candidate slice bounds the pair stage
+       |  SELECT v.vec_id, v.x, v.i FROM v
+       |  WHERE v.vec_id IN (SELECT vec_id FROM candf)
+       |),
+       |pairs AS MATERIALIZED (
        |  SELECT a.vec_id AS va, b.vec_id AS vb,
        |    (CAST(CAST(SUM(CAST(ROUND(x1.x * x2.x * 1e12, 0) AS BIGINT))
        | AS VARCHAR) AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) AS sim
        |  FROM candf a JOIN candf b ON a.vec_id <> b.vec_id
-       |  JOIN v x1 ON x1.vec_id = a.vec_id
-       |  JOIN v x2 ON x2.vec_id = b.vec_id AND x2.i = x1.i
+       |  JOIN cvec x1 ON x1.vec_id = a.vec_id
+       |  JOIN cvec x2 ON x2.vec_id = b.vec_id AND x2.i = x1.i
        |  JOIN nrm na ON na.vec_id = a.vec_id
        |  JOIN nrm nb ON nb.vec_id = b.vec_id
        |  GROUP BY 1, 2, na.nrm, nb.nrm
-       |), s1 AS (
+       |), s1 AS MATERIALIZED (
        |  SELECT vec_id, 1 AS step, rel AS mmr FROM candf
        |  ORDER BY rel DESC, vec_id LIMIT 1
        |),
