@@ -26,8 +26,20 @@ object Verify {
     // re-verification of new queries at expensive scale factors
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Resumable scale sweeps: with SPARK_GRAFT_RESUME=1, skip any query
+    // whose output already landed (Spark writes _SUCCESS last) — a
+    // multi-hour sf10+ run that dies (round-11: the OOM killer took the
+    // JVM mid-sweep when a co-tenant DuckDB compare ballooned) restarts
+    // where it left off instead of from zero.
+    val resume = sys.env.get("SPARK_GRAFT_RESUME").contains("1")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        val done = resume &&
+          Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))
+        if (done) System.err.println(s"[verify] $name already done, skipped")
+        !done
+      }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
