@@ -834,22 +834,26 @@ object Relational6 {
   }
 
   /** Shared CTE chain for the BPE twins: toks → seq0 → (d_r, top_r, c_r,
-    * m_r, seq_r, st_r, row_r) per round. */
+    * m_r, seq_r, st_r, row_r) per round. Every corpus-sized CTE is AS
+    * MATERIALIZED: DuckDB inlines plain CTEs at every reference and each
+    * round references the previous round's frames several times, so the
+    * un-pinned chain recomputed the token unnest tens of times over —
+    * ~98 GB RSS and an OOM kill at sf10 (same class as the MMR twin). */
   private def bpeChainSql(rounds: Int): String = {
     def round(r: Int): String = {
       val in = if (r == 1) "seq0" else s"seq${r - 1}"
-      s"""d$r AS (
+      s"""d$r AS MATERIALIZED (
          |  SELECT doc_id, pos, sym,
          |    LEAD(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
          |  FROM $in
-         |), top$r AS (
+         |), top$r AS MATERIALIZED (
          |  SELECT sym AS s1, nxt AS s2, COUNT(*) AS pair_count
          |  FROM d$r WHERE nxt IS NOT NULL GROUP BY 1, 2
          |  ORDER BY pair_count DESC, s1, s2 LIMIT 1
-         |), c$r AS (
+         |), c$r AS MATERIALIZED (
          |  SELECT d$r.doc_id, d$r.pos FROM d$r, top$r
          |  WHERE d$r.sym = top$r.s1 AND d$r.nxt = top$r.s2
-         |), m$r AS (
+         |), m$r AS MATERIALIZED (
          |  SELECT doc_id, pos FROM (
          |    SELECT doc_id, pos,
          |      ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos)
@@ -861,7 +865,7 @@ object Relational6 {
          |      FROM c$r
          |    )
          |  ) WHERE idx % 2 = 1
-         |), seq$r AS (
+         |), seq$r AS MATERIALIZED (
          |  SELECT doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
          |    CASE WHEN m THEN sym || ' ' || nxt ELSE sym END AS sym
@@ -889,7 +893,7 @@ object Relational6 {
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
        |    AS l
        |  FROM documents
-       |), seq0 AS (
+       |), seq0 AS MATERIALIZED (
        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS sym
        |  FROM toks
        |), ${(1 to rounds).map(round).mkString(", ")}""".stripMargin
