@@ -18,8 +18,9 @@ import sys, json, os, subprocess, time, argparse
 # oracles whose DuckDB twin needs more temp space than the 30GB default
 HEAVY_CAPS = {
     "q_feature_gain": "50GB",
-    # sf10: the 4-round BPE-merge unroll spills ~2x the 30GB default
+    # sf10: the materialized BPE round chain spills past the 30GB default
     "text_bpe_merges": "60GB",
+    "text_bpe_encode": "60GB",
     # sf10: the MMR greedy unroll's k self-joins spill past 30GB
     "sim_mmr_topk": "60GB",
 }
