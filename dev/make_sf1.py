@@ -45,7 +45,8 @@ def main(src: str, dst: str) -> None:
     # (10^10 is a multiple of 50, so the doc_id % 50 chain breaks replicate.)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count()}")
+    con.execute("SET threads TO "
+                f"{os.environ.get('MAKE_SF_THREADS', os.cpu_count())}")
 
     def copy(sql: str, name: str) -> None:
         con.execute(
