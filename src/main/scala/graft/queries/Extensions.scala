@@ -2525,7 +2525,7 @@ object Extensions {
     val winConcat = (0 until SpanK).map(j => s"l[i+$j]").mkString(" || ' ' || ")
     s"""nv_toks AS (
        |  SELECT doc_id, $toksSql AS l FROM $src
-       |), nv_wins AS (
+       |), nv_wins AS MATERIALIZED (
        |  SELECT doc_id, md5($winConcat) AS h
        |  FROM nv_toks, unnest(range(1, len(l) - ${SpanK - 2})) AS u(i)
        |  WHERE len(l) >= $SpanK
@@ -2662,17 +2662,17 @@ object Extensions {
     * oracles ([[graft.queries.Web]]'s per-domain curation). Lazy for the
     * same declaration-order reason as pipelineCorpusSql. */
   private[queries] lazy val curationCtesSql =
-    s"""base AS (
+    s"""base AS MATERIALIZED (
        |  SELECT doc_id, text, md5(text) AS h,
        |    CAST(len($toksSql) AS BIGINT) AS n_toks,
        |    $qualityScalarSql AS quality_score
        |  FROM documents
-       |), canon AS (
+       |), canon AS MATERIALIZED (
        |  SELECT h, min(doc_id) AS keeper FROM base GROUP BY h
        |), canon_docs AS (
        |  SELECT b.doc_id, b.text FROM base b JOIN canon c USING (h)
        |  WHERE b.doc_id = c.keeper
-       |), ${noveltyCtesSql("canon_docs")}, verdicts AS (
+       |), ${noveltyCtesSql("canon_docs")}, verdicts AS MATERIALIZED (
        |  SELECT b.doc_id, b.n_toks, b.quality_score, nv.novelty,
        |    CASE WHEN b.n_toks < $SpanK THEN 'too_short'
        |         WHEN b.doc_id <> c.keeper THEN 'exact_dup'
@@ -2683,12 +2683,12 @@ object Extensions {
        |)""".stripMargin
 
   private val textCurationSql =
-    s"""WITH base AS (
+    s"""WITH base AS MATERIALIZED (
        |  SELECT doc_id, text, md5(text) AS h,
        |    CAST(len($toksSql) AS BIGINT) AS n_toks,
        |    $qualityScalarSql AS quality_score
        |  FROM documents
-       |), canon AS (
+       |), canon AS MATERIALIZED (
        |  SELECT h, min(doc_id) AS keeper FROM base GROUP BY h
        |), canon_docs AS (
        |  SELECT b.doc_id, b.text FROM base b JOIN canon c USING (h)

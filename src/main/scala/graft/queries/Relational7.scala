@@ -452,7 +452,7 @@ object Relational7 {
 
   private val featureGainSql =
     s"""WITH ${Extensions.curationCtesSql},
-       |b AS (
+       |b AS MATERIALIZED (
        |  SELECT v.doc_id,
        |    CASE WHEN v.verdict = 'keep' THEN 1 ELSE 0 END AS keep,
        |    d2.lang, d2.source, v.n_toks, v.quality_score
@@ -1571,6 +1571,12 @@ object Relational7 {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         md5(col("text")).as("h"),
         expr("n_chars div 50").as("bkt"))
+      // repartition -> checkpoint -> fan out (the r9 sf10 lesson): the
+      // (lang, bkt) block join amplifies pairs quadratically in block
+      // size, and without this the whole pair+rank stage inherits the
+      // compact scan's 3-4 input splits (measured 25+ min at sf10 on 4
+      // tasks; minutes once spread across the box).
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val anchors = d.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("anchor"), col("lang"),
