@@ -23,6 +23,8 @@ HEAVY_CAPS = {
     "text_bpe_encode": "60GB",
     # sf10: the MMR greedy unroll's k self-joins spill past 30GB
     "sim_mmr_topk": "60GB",
+    # sf10: even 1/16-restricted, the LSH pair x dim expansion is large
+    "emb_lsh_pairs_probe": "60GB",
 }
 
 def main():

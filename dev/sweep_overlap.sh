@@ -15,11 +15,21 @@ PAT="${4:-graft.Verify}"
 SKIP="${5:-}"
 export COMPARE_THREADS="${COMPARE_THREADS:-8}"
 export COMPARE_MEM="${COMPARE_MEM:-24GB}"
+# Optional sharding for parallel workers: SWEEP_SHARD="i/n" makes this
+# instance claim only query names whose cksum % n == i. Workers share
+# one results jsonl (appends; compare_sweep skips recorded names), so
+# disjoint shards never race on a query.
+SHARD="${SWEEP_SHARD:-0/1}"
+SHARD_I="${SHARD%/*}"; SHARD_N="${SHARD#*/}"
 while :; do
   alive=0
   pgrep -f "$PAT" > /dev/null && alive=1
   landed=$(for d in "$OUT"/*/; do
-    [ -e "$d/_SUCCESS" ] && basename "$d"
+    if [ -e "$d/_SUCCESS" ]; then
+      q=$(basename "$d")
+      s=$(printf '%s' "$q" | cksum | cut -d' ' -f1)
+      [ $((s % SHARD_N)) -eq "$SHARD_I" ] && echo "$q"
+    fi
   done | paste -sd, -)
   if [ -n "$landed" ]; then
     python3 dev/compare_sweep.py "$SF" "$OUT" "$RES" \

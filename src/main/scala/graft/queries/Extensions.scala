@@ -817,13 +817,13 @@ object Extensions {
       p <- 0 until VectorOps.LshPlanes
       i <- 0 until EmbeddingDim
     } yield s"($p, ${i + 1}, ${planes(p)(i).toDouble})").mkString(",\n    ")
-    s"""WITH v AS (
+    s"""WITH v AS MATERIALIZED (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |    generate_subscripts(embedding, 1) AS i
        |  FROM embeddings
        |), planes(p, i, c) AS (VALUES
        |    $values
-       |), buckets AS (
+       |), buckets AS MATERIALIZED (
        |  SELECT vec_id, string_agg(
        |    CASE WHEN bit THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
        |  FROM (

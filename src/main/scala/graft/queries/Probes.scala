@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *  - `sim_hard_negatives_probe`: restrict ANCHORS only. The per-anchor
   *    rank partitions on the anchor, so dropping anchors never changes a
   *    surviving anchor's negatives; candidates stay corpus-wide.
-  *  - `emb_lsh_pairs_probe`: restrict the pair's LEFT endpoint only.
-  *    Bucket assignment is per-vector (unchanged); a pair's cosine
-  *    depends only on its own endpoints.
+  *  - `emb_lsh_pairs_probe`: restrict the pair's LEFT endpoint only
+  *    (1/16 — at sf10 the twin's ×dim pair expansion spilled past 30 GB
+  *    under the earlier 1/4 cut). Bucket assignment is per-vector
+  *    (unchanged); a pair's cosine depends only on its own endpoints.
   *  - `pipeline_passage_graph_probe`: the passage graph is global (LPA
   *    labels flow through edges), so no output filter is sound — this
   *    probe instead runs the IDENTICAL operator over a deterministic
@@ -63,7 +64,7 @@ object Probes {
     * quarter of the pairs. */
   private val embLshPairsProbe: Q = (s, dir) =>
     Extensions.queries("emb_lsh_pairs")(s, dir)
-      .filter(md5Sel(col("v1"), Hex4))
+      .filter(md5Sel(col("v1"), Hex16))
       .orderBy("v1", "v2")
 
   /** Passage graph over the deterministic 1/4 sub-corpus: the full
@@ -85,7 +86,7 @@ object Probes {
     "sim_hard_negatives_probe" ->
       Relational7.hardNegativesSqlOver(sqlSel("a.doc_id", Hex16)),
     "emb_lsh_pairs_probe" ->
-      Extensions.embLshPairsSqlOver(sqlSel("a.vec_id", Hex4)),
+      Extensions.embLshPairsSqlOver(sqlSel("a.vec_id", Hex16)),
     "pipeline_passage_graph_probe" ->
       Relational6.tokenGraphSqlOver(sqlSel("doc_id", Hex4)))
 }

@@ -1597,6 +1597,97 @@ object Relational7 {
       .orderBy("anchor", "rk")
   }
 
+  /** Sorted-neighborhood rank window for [[hardNegativesBounded]]: each
+    * anchor considers only candidates within this many positions in its
+    * block's (n_chars, doc_id) ordering. 10× the per-anchor depth (4)
+    * so equal-length runs rarely clip the neighborhood. */
+  private[graft] val HardNegWindow = 40
+
+  /** The 100 TB form of [[hardNegatives]]: the plain miner's
+    * (lang, n_chars div 50) blocks grow linearly with the corpus, so its
+    * block-pair join is QUADRATIC in corpus size (measured: ~10 min at
+    * sf10 vs seconds at sf1). This variant defines the candidate pool as
+    * the [[HardNegWindow]] sorted-neighborhood of the anchor in its
+    * block's (n_chars, doc_id) order — because the ranking criterion IS
+    * length proximity, the nearest-by-length candidates are exactly the
+    * neighborhood's members — and mines the same top-4 by (dn, tie)
+    * within it. Pair work is ≤ anchors × (2W+1) via band replication
+    * (candidate → bands b−1, b, b+1 of width W; any |Δpos| ≤ W pair
+    * lands in one of them), i.e. linear in the corpus at any scale.
+    * Semantics are exact BY DEFINITION (the operator is "top-4 within
+    * the W-neighborhood"), so the DuckDB twin mirrors it exactly with a
+    * BETWEEN join on the same rank. */
+  private val hardNegativesBounded: Q = (s, dir) =>
+    hardNegativesBoundedOver(s, Tables.documents(s, dir))
+
+  /** [[hardNegativesBounded]] over any (doc_id, lang, n_chars, text)
+    * frame — the seam the giant-block linearity spec drives. */
+  private[graft] def hardNegativesBoundedOver(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    val W = HardNegWindow
+    val ranked = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"),
+        expr("n_chars div 50").as("bkt"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("lang", "bkt").orderBy("n_chars", "doc_id")))
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val band = expr(s"(pos - 1) div $W") // integer band of width W
+    val anchors = ranked.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("anchor"), col("lang"), col("bkt"),
+        col("n_chars").as("alen"), col("h").as("ah"),
+        band.as("band"), col("pos").as("apos"))
+    val cands = ranked
+      .select(col("doc_id").as("neg"), col("lang"), col("bkt"),
+        col("n_chars").as("nlen"), col("h").as("nh"),
+        band.as("b0"), col("pos").as("cpos"))
+      .withColumn("band",
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    val paired = anchors.join(cands, Seq("lang", "bkt", "band"))
+      .filter(abs(col("cpos") - col("apos")) <= W &&
+        col("anchor") =!= col("neg") && col("ah") =!= col("nh"))
+      .select(col("anchor"), col("neg"),
+        abs(col("alen") - col("nlen")).as("dn"),
+        md5(concat(col("anchor").cast("string"), lit("|"),
+          col("neg").cast("string"))).as("tie"))
+    val w = Window.partitionBy("anchor").orderBy(col("dn"), col("tie"))
+    paired.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select(col("anchor"), col("rk").cast("long").as("rk"),
+        col("neg"), col("dn"))
+      .orderBy("anchor", "rk")
+  }
+
+  private val hardNegativesBoundedSql = {
+    val W = HardNegWindow
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, n_chars, md5(text) AS h,
+      |    n_chars // 50 AS bkt
+      |  FROM documents
+      |), r AS MATERIALIZED (
+      |  SELECT doc_id, lang, n_chars, h, bkt,
+      |    row_number() OVER (PARTITION BY lang, bkt
+      |      ORDER BY n_chars, doc_id) AS pos
+      |  FROM d
+      |), paired AS (
+      |  SELECT a.doc_id AS anchor, c.doc_id AS neg,
+      |    ABS(a.n_chars - c.n_chars) AS dn,
+      |    md5(CAST(a.doc_id AS VARCHAR) || '|'
+      |      || CAST(c.doc_id AS VARCHAR)) AS tie
+      |  FROM r a JOIN r c ON c.lang = a.lang AND c.bkt = a.bkt
+      |    AND c.pos BETWEEN a.pos - $W AND a.pos + $W
+      |    AND c.doc_id <> a.doc_id AND c.h <> a.h
+      |  WHERE a.doc_id % 5 = 0
+      |), ranked AS (
+      |  SELECT anchor, neg, dn,
+      |    row_number() OVER (PARTITION BY anchor ORDER BY dn, tie) AS rk
+      |  FROM paired
+      |)
+      |SELECT anchor, CAST(rk AS BIGINT) AS rk, neg, dn
+      |FROM ranked WHERE rk <= 4 ORDER BY anchor, rk""".stripMargin
+  }
+
   private val hardNegativesSql = hardNegativesSqlOver("")
 
   /** [[hardNegativesSql]] with an optional extra ANCHOR predicate (over
@@ -2499,6 +2590,7 @@ object Relational7 {
     "text_burstiness"    -> burstiness,
     "q_rmst"             -> rmst,
     "sim_hard_negatives" -> hardNegatives,
+    "sim_hard_negatives_bounded" -> hardNegativesBounded,
     "text_mlm_plan"      -> mlmPlan,
     "q_clustering_coef"  -> clusteringCoef,
     "q_ipw_ate"          -> ipw,
@@ -2607,6 +2699,7 @@ object Relational7 {
     "text_burstiness"    -> burstinessSql,
     "q_rmst"             -> rmstSql,
     "sim_hard_negatives" -> hardNegativesSql,
+    "sim_hard_negatives_bounded" -> hardNegativesBoundedSql,
     "text_mlm_plan"      -> mlmPlanSql,
     "text_dsir_sample"   -> dsirSampleSql,
     "q_clustering_coef"  -> clusteringCoefSql,

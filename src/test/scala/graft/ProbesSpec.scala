@@ -24,7 +24,7 @@ class ProbesSpec extends SparkSpec {
 
   test("LSH-pairs probe rows are exactly the md5-selected left endpoints' rows") {
     val full = Extensions.queries("emb_lsh_pairs")(spark, dir)
-      .filter(md5Hex1(col("v1")).isin("0", "1", "2", "3"))
+      .filter(md5Hex1(col("v1")) === "0")
     val probe = Probes.queries("emb_lsh_pairs_probe")(spark, dir)
     assert(probe.exceptAll(full).isEmpty && full.exceptAll(probe).isEmpty)
   }
