@@ -23,8 +23,20 @@ HEAVY_CAPS = {
     "text_bpe_encode": "60GB",
     # sf10: the MMR greedy unroll's k self-joins spill past 30GB
     "sim_mmr_topk": "60GB",
+    # sf10: the composed corpus-manifest twin (dedup chain + splits +
+    # packing re-derived in one query) offload-failed at the 30GB default
+    "pipeline_corpus": "60GB",
     # sf10: even 1/16-restricted, the LSH pair x dim expansion is large
     "emb_lsh_pairs_probe": "60GB",
+    # sf10: even 1/4-restricted, the passage-graph recompute spills >30GB
+    "pipeline_passage_graph_probe": "70GB",
+}
+
+# oracles whose DuckDB twin needs more RAM than the sweep default
+# COMPARE_MEM (iterative twins pin whole per-round tables in the buffer
+# pool — offload cannot help a pin failure, only memory can)
+HEAVY_MEM = {
+    "q_hits": "40GB",  # sf10: HITS round chain pinned >18.6GB
 }
 
 def main():
@@ -51,6 +63,8 @@ def main():
         env = dict(os.environ, COMPARE_ONLY=name)
         if name in HEAVY_CAPS:
             env["COMPARE_TEMP_CAP"] = HEAVY_CAPS[name]
+        if name in HEAVY_MEM:
+            env["COMPARE_MEM"] = HEAVY_MEM[name]
         t0 = time.time()
         rec = {"query": name}
         try:
