@@ -248,6 +248,152 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicated codebook (k=600, 200 distinct) == brute argmin") {
+    // k = 600 labels over 200 distinct positions: dedup routes this to
+    // the join tier (dk = 200 ≤ CentroidJoinMax) and the duplicate
+    // expansion must keep the fixed-point argmin — including (dist, lbl)
+    // tie-breaks across the planted duplicate centroids — bit-identical
+    // to a driver-side brute recompute over the FULL codebook.
+    val k = 600
+    val dim = 8
+    val cents: Seq[(Int, Array[Double])] = (0 until k).map { l =>
+      // duplicate centroid positions every 200 labels: exact ties must
+      // resolve to the LOWEST label, exactly as the join/expression forms
+      (l, Array.tabulate(dim)(d => math.sin((l % 200) * 1.7 + d) * 0.9))
+    }
+    assert(k > VectorOps.CentroidJoinMax &&
+      cents.map(_._2.toSeq).distinct.size <= VectorOps.CentroidJoinMax)
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (math.cos(i * 0.31 + d * 1.3) * 0.9).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = VectorOps.assignToCentroids(emb, cents)
+      .select("vec_id", "assigned_label").as[(Long, Int)].collect().toMap
+    def brute(v: Array[Float]): Int = cents.map { case (l, c) =>
+      (v.zip(c).map { case (x, cc) =>
+        math.rint((x.toDouble - cc) * (x.toDouble - cc) * 1e12).toLong }.sum,
+        l)
+    }.min._2
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == brute(v), s"vec $id: got ${got(id)} want ${brute(v)}")
+    }
+  }
+
+  test("replicated-fixture regime: 30 positions × 40 copies == brute") {
+    // the sf100 shape: k = 1200 labels over 30 DISTINCT positions (the
+    // make_sf fixtures shift labels but keep vectors, so every label mean
+    // replicates verbatim). Dedup must route this to the single-projection
+    // form and the l2 expansion must reproduce brute top-2 ties exactly.
+    val dim = 8
+    val positions = (0 until 30).map { p =>
+      Array.tabulate(dim)(d => math.sin(p * 1.9 + d) * 0.8)
+    }
+    val cents: Seq[(Int, Array[Double])] = (0 until 1200).map { l =>
+      (l, positions(l % 30))
+    }
+    val vecs = (0 until 250).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (math.cos(i * 0.37 + d * 0.7) * 0.85).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val nt = VectorOps.nearestTwoPruned(emb, cents)
+      .select(col("vec_id"), col("__b1.dist"), col("__b1.lbl"),
+        col("__b2.dist"), col("__b2.lbl"))
+      .as[(Long, Long, Int, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def top2(v: Array[Float]): ((Long, Int), (Long, Int)) = {
+      val scored = cents.map { case (l, c) =>
+        (v.zip(c).map { case (x, cc) =>
+          math.rint((x.toDouble - cc) * (x.toDouble - cc) * 1e12).toLong
+        }.sum, l)
+      }.sorted
+      (scored(0), scored(1))
+    }
+    vecs.foreach { case (id, v) =>
+      val ((d1, l1), (d2, l2)) = top2(v)
+      // every nearest position is duplicated ×40, so brute b2 is always
+      // the SAME distance with the next label — the expansion path
+      assert(d1 == d2 && l2 == l1 + 30, s"fixture geometry broke: $id")
+      assert(nt(id) == ((d1, l1, d2, l2)),
+        s"vec $id: got ${nt(id)} want ${(d1, l1, d2, l2)}")
+    }
+  }
+
+  test("IVF-pruned top-2 == brute top-2 (the silhouette b-path)") {
+    val k = 600
+    val dim = 6
+    val rng = new scala.util.Random(7)
+    // fully DISTINCT random positions: dedup is a no-op and dk = 600
+    // > CentroidJoinMax engages the real triangle-inequality branch
+    val cents: Seq[(Int, Array[Double])] = (0 until k).map { l =>
+      (l, Array.fill(dim)(rng.nextDouble() * 2 - 1))
+    }
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, i % k, Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val nt = VectorOps.nearestTwoPruned(emb, cents)
+      .select(col("vec_id"), col("__b1.dist"), col("__b1.lbl"),
+        col("__b2.dist"), col("__b2.lbl"))
+      .as[(Long, Long, Int, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def top2(v: Array[Float]): ((Long, Int), (Long, Int)) = {
+      val scored = cents.map { case (l, c) =>
+        (v.zip(c).map { case (x, cc) =>
+          math.rint((x.toDouble - cc) * (x.toDouble - cc) * 1e12).toLong
+        }.sum, l)
+      }.sorted
+      (scored(0), scored(1))
+    }
+    vecs.foreach { case (id, _, v) =>
+      val ((d1, l1), (d2, l2)) = top2(v)
+      assert(nt(id) == ((d1, l1, d2, l2)),
+        s"vec $id: got ${nt(id)} want ${(d1, l1, d2, l2)}")
+    }
+  }
+
+  test("large-k silhouette via pruned top-2 matches driver recompute") {
+    val k = 520 // > CentroidJoinMax
+    val dim = 4
+    val rng = new scala.util.Random(13)
+    val vecs = (0 until k).flatMap { l =>
+      val c = Array.tabulate(dim)(d => math.sin(l * 2.3 + d))
+      (0 until 2).map { j =>
+        (l * 10L + j, l, c.map(x => (x + rng.nextGaussian() * 0.01).toFloat))
+      }
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val got = VectorOps.silhouette(emb).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // engine-exact recompute: fixed-point centroid means, fixed-point
+    // distances, decimal-exact label means
+    val cents = vecs.groupBy(_._2).map { case (l, rows) =>
+      l -> Array.tabulate(dim) { d =>
+        rows.map(r => math.rint(r._3(d).toDouble * 1e12).toLong).sum
+          .toDouble / 1e12 / rows.size
+      }
+    }
+    def dist(v: Array[Float], c: Array[Double]): Double =
+      math.sqrt(v.zip(c).map { case (x, cc) =>
+        math.rint((x.toDouble - cc) * (x.toDouble - cc) * 1e12).toLong
+      }.sum.toDouble / 1e12)
+    val sByLabel = vecs.groupBy(_._2).map { case (l, rows) =>
+      val ss = rows.map { case (_, lbl, v) =>
+        val a = dist(v, cents(lbl))
+        val b = cents.filter(_._1 != lbl).map(c => dist(v, c._2)).min
+        if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      }
+      l -> (ss.map(s => BigDecimal(s).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP)).sum / rows.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    sByLabel.foreach { case (l, want) =>
+      assert(math.abs(got(l) - want) < 1e-6,
+        s"label $l: got ${got(l)} want $want")
+    }
+  }
+
   test("mixed sizes: small blocks stay exact while the hot block is banded") {
     // block 0: hot (engages the cap); block 1: 3 rows (exact path)
     val hot = giantCluster(300)
