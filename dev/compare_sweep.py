@@ -36,7 +36,9 @@ HEAVY_CAPS = {
 # COMPARE_MEM (iterative twins pin whole per-round tables in the buffer
 # pool — offload cannot help a pin failure, only memory can)
 HEAVY_MEM = {
-    "q_hits": "40GB",  # sf10: HITS round chain pinned >18.6GB
+    # sf10: HITS round chain pinned >18.6GB in r10 and >37GB in the r11
+    # sweep (the pin requirement scales with co-tenant buffer pressure)
+    "q_hits": "64GB",
 }
 
 def main():

@@ -17,6 +17,16 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale sweeps read SINGLE parquet files per table; the default
+      // 128 MiB maxPartitionBytes gives a 500 MiB sf100 documents file
+      // only 4 input splits, and every codegen stage PIPELINED onto that
+      // scan (explode → join → agg) inherits 4-way parallelism on a
+      // 32-core box (round-11 finding: sf100 stage 172 ran exactly 4
+      // tasks for 70+ minutes — the round-9 parallelism-inheritance class
+      // at the scan itself, where no repartition sits upstream to fix
+      // it). 16 MiB is the same knob a real cluster tunes for its
+      // executor count; tiny driver fixtures still get 1 split.
+      .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
