@@ -15,6 +15,21 @@ object DevProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // plan-shape triage (no execution): print the formatted physical plan
+    // of each named registry entry — used in round 11 to pin which sf100
+    // entry owns a bhj→generate→hashAgg stage without running it
+    if (args.contains("explain")) {
+      val names = args(args.indexOf("explain") + 1).split(",")
+      names.foreach { n =>
+        println(s"===== $n =====")
+        try println(SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => println(s"explain failed: $e") }
+      }
+      spark.stop(); return
+    }
+
     val docs = Tables.documents(spark, sfDir)
     docs.count()
 

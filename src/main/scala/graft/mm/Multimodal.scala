@@ -482,8 +482,20 @@ object Multimodal {
     * join AND the DuckDB oracle) both feed from the same published leaf. */
   def publishFingerprints(df: DataFrame, name: String): DataFrame = {
     val path = s"$artifactDir/$name"
-    df.coalesce(4).write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    // Write at the computation's NATURAL parallelism — the round-11 sf100
+    // sweep caught the original `coalesce(4)` here collapsing the entire
+    // upstream synth+fingerprint pipeline onto 4 tasks (coalesce pulls its
+    // parent stages down to the target count; a 32-core box ran the 5 M-doc
+    // WAV fingerprint pass 4-wide), AND handing the re-read a 4-split scan
+    // that the banding explode→join→agg consumer then inherited. File
+    // count is irrelevant to the DuckDB twin (it reads a glob).
+    df.write.mode("overwrite").parquet(path)
+    // The consumer fans out (×4 band explode + self-join): give it the
+    // machine's parallelism regardless of how few files the artifact has —
+    // the shuffle moves only (media_id, fingerprint) longs.
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** Perceptual hashes of the image rows: decode the BMP per partition,
