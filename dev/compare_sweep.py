@@ -15,21 +15,33 @@ Known-heavy twins can get a bigger DuckDB temp cap via HEAVY_CAPS below.
 """
 import sys, json, os, subprocess, time, argparse
 
-# oracles whose DuckDB twin needs more temp space than the 30GB default
+# oracles whose DuckDB twin needs more temp space than the 30GB default.
+# Round-12 note: the box's ext4 strict-reservation leaves only ~60GB
+# grantable even after clearing the sf100 fixtures, so every cap is sized
+# to fit that ceiling — a twin that genuinely needs more must tighten its
+# probe restriction instead (the VERDICT-r11 feasibility ladder).
 HEAVY_CAPS = {
     "q_feature_gain": "50GB",
     # sf10: the materialized BPE round chain spills past the 30GB default
-    "text_bpe_merges": "60GB",
-    "text_bpe_encode": "60GB",
+    "text_bpe_merges": "50GB",
+    "text_bpe_encode": "50GB",
     # sf10: the MMR greedy unroll's k self-joins spill past 30GB
-    "sim_mmr_topk": "60GB",
+    "sim_mmr_topk": "50GB",
     # sf10: the composed corpus-manifest twin (dedup chain + splits +
     # packing re-derived in one query) offload-failed at the 30GB default
-    "pipeline_corpus": "60GB",
+    "pipeline_corpus": "50GB",
     # sf10: even 1/16-restricted, the LSH pair x dim expansion is large
-    "emb_lsh_pairs_probe": "60GB",
-    # sf10: even 1/4-restricted, the passage-graph recompute spills >30GB
-    "pipeline_passage_graph_probe": "70GB",
+    "emb_lsh_pairs_probe": "50GB",
+    # r12: probe tightened 1/4 -> 1/16 (the 1/4 form needed >70GB temp,
+    # more than this box can grant)
+    "pipeline_passage_graph_probe": "45GB",
+    # sf10: 541M output rows — the BETWEEN join + final sort spill is
+    # ~13GB of payload but DuckDB's sort temp peaks well past the default
+    "q_range_join": "45GB",
+    # sf10: the (vec x centroid) distance aggregate offload-failed at the
+    # r11 sweep's 28GB memory budget with temp already at the default cap
+    "sim_semdedup": "45GB",
+    "sim_semdedup_inc": "45GB",
 }
 
 # oracles whose DuckDB twin needs more RAM than the sweep default
@@ -39,6 +51,10 @@ HEAVY_MEM = {
     # sf10: HITS round chain pinned >18.6GB in r10 and >37GB in the r11
     # sweep (the pin requirement scales with co-tenant buffer pressure)
     "q_hits": "64GB",
+    # sf10: 200k vec x 1000 centroid distance hash-agg holds ~200M group
+    # states; the r11 sweep OOMed at 27.9GB with offload exhausted
+    "sim_semdedup": "60GB",
+    "sim_semdedup_inc": "60GB",
 }
 
 def main():

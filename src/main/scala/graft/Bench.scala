@@ -14,6 +14,31 @@ object Bench {
     if (sys.props.get("graft.artifact.dir").isEmpty)
       System.setProperty("graft.artifact.dir", "/tmp/graft_bench_artifacts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Pre-bench load gate (three rounds of co-tenant-inflated committed
+    // artifacts): a timing run that starts under external load measures
+    // the neighbors, not the engine. Wait (up to a deadline) for the box
+    // to quiesce, then RECORD the loadavg actually seen at start in both
+    // the headline line and the detail file, so a reader can tell a clean
+    // measurement from a contended one without re-running anything.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val gateDeadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_WAIT", "600").toInt
+    val gateT0 = System.nanoTime()
+    while (loadavg() > loadGate &&
+        (System.nanoTime() - gateT0) / 1e9 < gateDeadlineSec) {
+      System.err.println(
+        f"[bench] loadavg ${loadavg()}%.2f > gate $loadGate%.1f — waiting")
+      Thread.sleep(30000)
+    }
+    val startLoad = loadavg()
+    if (startLoad > loadGate)
+      System.err.println(f"[bench] WARNING: benching under load " +
+        f"$startLoad%.2f (gate $loadGate%.1f, deadline ${gateDeadlineSec}s " +
+        "expired) — times will carry co-tenant inflation")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,7 +122,7 @@ object Bench {
         }
       }
     // the minimal headline line LAST: survives even a one-line tail budget
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"load":$startLoad,"sf":"$sfDir"}""")
     // ALSO write the complete per-query map to a committed file: the
     // driver's stdout capture is tail-byte-budgeted and lost ~165 of 224
     // per-query times in round 8 — a file is lossless at any registry size
@@ -113,7 +138,7 @@ object Bench {
       "\"" + k + "\":" + (if (ok) fmt(v) else -1)
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries":$qJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"load":$startLoad,"end_load":${loadavg()},"sf":"$sfDir","queries":$qJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable =>

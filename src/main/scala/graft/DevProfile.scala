@@ -19,7 +19,12 @@ object DevProfile {
     // of each named registry entry — used in round 11 to pin which sf100
     // entry owns a bhj→generate→hashAgg stage without running it
     if (args.contains("explain")) {
-      val names = args(args.indexOf("explain") + 1).split(",")
+      val nameIdx = args.indexOf("explain") + 1
+      if (nameIdx >= args.length) {
+        println("usage: DevProfile <sfDir> explain <name1,name2,...>")
+        spark.stop(); return
+      }
+      val names = args(nameIdx).split(",")
       names.foreach { n =>
         println(s"===== $n =====")
         try println(SparkEntry.queries(n)(spark, sfDir)

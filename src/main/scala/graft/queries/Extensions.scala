@@ -797,21 +797,31 @@ object Extensions {
        |WHERE (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) >= $CosineThreshold
        |ORDER BY v1, v2""".stripMargin
 
-  /** Label-free embedding near-dup: exact cosine pairs inside LSH buckets
-    * (the blocking that exists at 100 TB, where no curated label does).
-    * Oracle-verified via the embedded plane literals. */
+  /** Label-free embedding near-dup: cosine pairs inside LSH buckets (the
+    * blocking that exists at 100 TB, where no curated label does). Exact
+    * within buckets up to [[VectorOps.LshBucketPairCap]] rows; hot buckets
+    * (bucket population grows linearly under the fixed 8-plane grid, so
+    * uncapped in-bucket pairing is quadratic per decade — measured 2,103 s
+    * at the 2 M-vector sweep) take the sorted-neighborhood sub-blocking of
+    * [[VectorOps.cosinePairsBy]]. The oracle mirrors the ALGORITHM
+    * (bucket → size route → plane-0 rank → two staggered band passes) via
+    * the embedded plane literals, the `dedup_near_dup` pattern, so the
+    * result hashes exactly at every scale. */
   private val embLshPairs: Q = (s, dir) =>
     VectorOps.cosinePairsLsh(Tables.embeddings(s, dir), CosineThreshold)
 
   private lazy val embLshPairsSql: String = embLshPairsSqlOver("")
 
   /** [[embLshPairsSql]] with an optional extra predicate on the pair's
-    * LEFT endpoint (`a.vec_id`) inside the pairs CTE — the probe twin's
-    * restriction slot: candidates stay corpus-wide, only the anchored
-    * side narrows, so the twin's pair/dot stages shrink by the selected
-    * fraction while still exercising the full bucket computation. */
+    * LEFT endpoint (`a.vec_id`) inside the pair-forming CTEs — the probe
+    * twin's restriction slot: candidates stay corpus-wide, only the
+    * anchored side narrows, so the twin's pair/dot stages shrink by the
+    * selected fraction while still exercising the full bucket (and band)
+    * computation. */
   private[queries] def embLshPairsSqlOver(v1Pred: String): String = {
     val pred = if (v1Pred.isEmpty) "" else s"\n    AND $v1Pred"
+    val cap = VectorOps.LshBucketPairCap
+    val half = cap / 2
     val planes = VectorOps.planeMatrixFor(EmbeddingDim)
     val values = (for {
       p <- 0 until VectorOps.LshPlanes
@@ -832,10 +842,38 @@ object Extensions {
        |    FROM v JOIN planes pl ON v.i = pl.i
        |    GROUP BY 1, 2
        |  ) GROUP BY vec_id
+       |), sized AS MATERIALIZED (
+       |  SELECT vec_id, bucket,
+       |    COUNT(*) OVER (PARTITION BY bucket) AS blk_n
+       |  FROM buckets
+       |), hotproj AS MATERIALIZED (
+       |  -- hot buckets only: rank by the plane-0 fixed-point projection
+       |  -- (near-duplicates project near-identically, so rank adjacency
+       |  -- preserves them), vec_id tie-break — mirrors cosinePairsBy
+       |  SELECT s.vec_id, s.bucket,
+       |    row_number() OVER (PARTITION BY s.bucket
+       |      ORDER BY pj.proj, s.vec_id) - 1 AS rn
+       |  FROM sized s JOIN (
+       |    SELECT v.vec_id,
+       |      SUM(CAST(ROUND(v.x * pl.c * 1e12, 0) AS BIGINT)) AS proj
+       |    FROM v JOIN planes pl ON pl.p = 0 AND v.i = pl.i
+       |    GROUP BY 1
+       |  ) pj ON pj.vec_id = s.vec_id
+       |  WHERE s.blk_n > $cap
        |), pairs AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2
-       |  FROM buckets a JOIN buckets b
-       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id$pred
+       |  FROM sized a JOIN sized b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |    AND a.blk_n <= $cap$pred
+       |  UNION ALL
+       |  -- two staggered band passes over hot buckets: any two rows
+       |  -- within $half ranks share a sub-block in at least one pass
+       |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM hotproj a JOIN hotproj b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |    AND (FLOOR(a.rn / $cap.0) = FLOOR(b.rn / $cap.0)
+       |      OR FLOOR((a.rn + $half) / $cap.0)
+       |         = FLOOR((b.rn + $half) / $cap.0))$pred
        |), dots AS (
        |  SELECT p.v1, p.v2,
        |    SUM(CAST(ROUND(a.x * b.x * 1e12, 0) AS BIGINT)) AS dot

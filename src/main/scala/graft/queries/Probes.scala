@@ -67,15 +67,19 @@ object Probes {
       .filter(md5Sel(col("v1"), Hex16))
       .orderBy("v1", "v2")
 
-  /** Passage graph over the deterministic 1/4 sub-corpus: the full
+  /** Passage graph over the deterministic 1/16 sub-corpus: the full
     * shingle -> continuation-edge -> 4-round LPA -> community-report
     * chain, both engines restricting `documents` by the same md5 rule.
-    * FrameStore artifacts are namespaced so probe and full runs never
-    * share leaves. */
+    * 1/16 (was 1/4 in round 11): even restricted to a quarter the twin's
+    * sf10 recompute needed >70 GB of DuckDB temp — more than the sweep
+    * box can grant — so the probe tightens one notch, the VERDICT-r11
+    * feasibility rule ("1/64 where 1/16 still spills" continues the
+    * ladder). FrameStore artifacts are namespaced so probe and full runs
+    * never share leaves. */
   private val tokenGraphProbe: Q = (s, dir) =>
     Relational6.tokenGraphOver(s,
-      Tables.documents(s, dir).filter(md5Sel(col("doc_id"), Hex4)),
-      s"$dir|probe4")
+      Tables.documents(s, dir).filter(md5Sel(col("doc_id"), Hex16)),
+      s"$dir|probe16")
 
   val queries: Map[String, Q] = Map(
     "sim_hard_negatives_probe" -> hardNegativesProbe,
@@ -88,5 +92,5 @@ object Probes {
     "emb_lsh_pairs_probe" ->
       Extensions.embLshPairsSqlOver(sqlSel("a.vec_id", Hex16)),
     "pipeline_passage_graph_probe" ->
-      Relational6.tokenGraphSqlOver(sqlSel("doc_id", Hex4)))
+      Relational6.tokenGraphSqlOver(sqlSel("doc_id", Hex16)))
 }

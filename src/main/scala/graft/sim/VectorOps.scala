@@ -329,33 +329,41 @@ object VectorOps {
     * SimHash collision probability (1 − θ/π per plane). The bucket frame is
     * persisted so the bucket projection runs once, not per join branch —
     * long-lived callers should use [[cosinePairsLshManaged]]. */
-  def cosinePairsLsh(emb: DataFrame, threshold: Double): DataFrame =
-    cosinePairsLshWithCache(emb, threshold)._1
+  /** Hard cap on within-LSH-bucket pair work for [[cosinePairsLsh]].
+    * Under the fixed 8-plane grid a bucket's population grows LINEARLY
+    * with the corpus, so uncapped in-bucket pairing is quadratic per
+    * decade — measured: 2,103 s at the 2 M-vector decade (round-11 sf100
+    * sweep), ~×100/decade. Buckets at or under the cap are paired
+    * exhaustively (exact — every sweep-verified scale through sf1 sits
+    * well under it); hot buckets take [[cosinePairsBy]]'s
+    * sorted-neighborhood sub-blocking, bounding per-bucket work at
+    * O(n·cap) with conservative-direction misses only (a straddling pair
+    * lost = an extra document kept). 512 ≈ 4× the expected occupancy at
+    * the last exact-verified decade while cutting the 2 M-vector pair
+    * step ~8×. */
+  val LshBucketPairCap = 512
+
+  def cosinePairsLsh(emb: DataFrame, threshold: Double,
+                     maxBlock: Int = LshBucketPairCap): DataFrame =
+    cosinePairsLshWithCache(emb, threshold, maxBlock)._1
 
   /** [[cosinePairsLsh]] with a handle releasing the persisted bucket frame. */
-  def cosinePairsLshManaged(emb: DataFrame, threshold: Double): graft.CachedResult = {
-    val (df, cached) = cosinePairsLshWithCache(emb, threshold)
+  def cosinePairsLshManaged(emb: DataFrame, threshold: Double,
+      maxBlock: Int = LshBucketPairCap): graft.CachedResult = {
+    val (df, cached) = cosinePairsLshWithCache(emb, threshold, maxBlock)
     new graft.CachedResult(df, cached)
   }
 
-  private def cosinePairsLshWithCache(emb: DataFrame,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+  private def cosinePairsLshWithCache(emb: DataFrame, threshold: Double,
+      maxBlock: Int): (DataFrame, Seq[DataFrame]) = {
     graft.functions.FixedDotFunctions.register(emb.sparkSession)
     val withB = emb
       .select(col("vec_id"), bucketCol(LshPlanes).as("bucket"),
-        col("embedding"), norm(col("embedding")).as("nrm"))
+        col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withB.select(col("bucket"), col("vec_id").as("v1"),
-      col("embedding").as("ea"), col("nrm").as("n1"))
-    val b = withB.select(col("bucket"), col("vec_id").as("v2"),
-      col("embedding").as("eb"), col("nrm").as("n2"))
-    val result = a.join(b, "bucket")
-      .filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        cosine(col("ea"), col("eb"), col("n1"), col("n2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .orderBy("v1", "v2")
-    (result, Seq(withB))
+    // the pairing discipline (exact ≤ cap, sorted-neighborhood banding
+    // above) is cosinePairsBy's, with the LSH bucket as the block key
+    (cosinePairsBy(withB, threshold, "bucket", maxBlock), Seq(withB))
   }
 
   // ------------------------------------------------------------------ IVF
@@ -508,6 +516,13 @@ object VectorOps {
     * small/medium codebook (its single groupBy is hard to beat there). */
   val CentroidJoinMax = 512
 
+  /** Broadcast ceiling for the IVF member table, in ELEMENTS (dk·dim):
+    * 2²² doubles ≈ 32 MB raw / ~70 MB boxed — comfortably under Spark's
+    * broadcast limits on any executor profile. At dim 64 this keeps the
+    * broadcast path through dk ≈ 65 k distinct centroids; a 10⁶-centroid
+    * codebook (multi-GB boxed) takes the shuffle-join path instead. */
+  val MemberBroadcastMaxElems = 1L << 22
+
   def assignToCentroids(emb: DataFrame,
                         cents: Seq[(Int, Array[Double])]): DataFrame = {
     require(cents.nonEmpty, "empty codebook")
@@ -529,13 +544,19 @@ object VectorOps {
   }
 
   /** Slack added to every triangle-inequality prune comparison, in the
-    * sqrt-distance space. The engine measures distances in ×1e12
-    * fixed-point (per-dimension rounding ≤ 0.5e-12, so a near-zero true
-    * distance can read up to ~5.7e-6 in sqrt space); 1e-4 dominates that
-    * by 17× while staying far below any real inter-centroid distance, so
-    * pruning is conservative (ties and near-ties are always scored) and
-    * the top-2 result is bit-identical to the exhaustive forms. */
-  private val PruneEps = 1e-4
+    * sqrt-distance space — derived from the embedding DIMENSION, because
+    * the fixed-point rounding error grows with it. The engine measures
+    * distances in ×1e12 fixed-point (per-dimension rounding ≤ 0.5e-12),
+    * so a near-zero true distance can read up to sqrt(dim · 0.5e-12)
+    * ≈ 7.1e-7·√dim in sqrt space. The prune comparison
+    * (dsup − radius ≤ τ + eps) carries three such error terms, so the
+    * slack must dominate 3·7.1e-7·√dim; 1.25e-5·√dim gives ~6× headroom
+    * over the three-term bound at EVERY dimension (and reproduces the
+    * long-standing 1e-4 at dim = 64) while staying far below any real
+    * inter-centroid distance — pruning is conservative (ties and
+    * near-ties are always scored) and the top-2 result is bit-identical
+    * to the exhaustive forms, for dim in the thousands as well as 64. */
+  private def pruneEps(dim: Int): Double = 1.25e-5 * math.sqrt(dim.toDouble)
 
   /** Driver-side coarse quantizer over the CODEBOOK: k-means the k
     * centroids into k' ≈ √k cells (deterministic seeding and iteration
@@ -598,7 +619,7 @@ object VectorOps {
       val mem = sorted.indices.filter(assign(_) == j).map(sorted)
       if (mem.isEmpty) None
       else Some((j, sups(j),
-        mem.map(c => fpDist(c._2, sups(j))).max + PruneEps, mem))
+        mem.map(c => fpDist(c._2, sups(j))).max + pruneEps(dim), mem))
     }
   }
 
@@ -697,15 +718,25 @@ object VectorOps {
           .groupBy("__vec_row")
           .agg(slice(sort_array(collect_list(col("s"))), 1, 2).as("t2"))
       } else {
+        val dim = byPos.head._1.length
         val l2Of = byPos.map { case (_, l1, l2) => l1 -> l2 }.toMap
         val cells = coarseCells(byPos.map { case (p, l1, _) => (l1, p) })
         val superDf = broadcast(
           cells.map { case (j, s, r, _) => (j, s.toSeq, r) }
             .toDF("cell", "sup", "radius"))
-        val memberDf = broadcast(
-          cells.flatMap { case (j, _, _, mem) =>
-            mem.map { case (l, c) => (j, l, l2Of(l), c.toSeq) }
-          }.toDF("cell", "cent_lbl", "cent_l2", "cent"))
+        // the member table is dk rows EACH carrying the full vector —
+        // broadcast only while dk·dim stays in the tens-of-MB class
+        // (boxed Seq[Double] roughly doubles the raw 8·dk·dim bytes); a
+        // 10⁶-centroid codebook would be a multi-GB broadcast, so above
+        // the cap it ships as an ordinary shuffle join on `cell` instead
+        // (the candidate side is already cell-keyed and far larger, so
+        // the exchange it adds is the small dimension side only)
+        val memberRows = cells.flatMap { case (j, _, _, mem) =>
+          mem.map { case (l, c) => (j, l, l2Of(l), c.toSeq) }
+        }.toDF("cell", "cent_lbl", "cent_l2", "cent")
+        val memberDf =
+          if (dk.toLong * dim <= MemberBroadcastMaxElems) broadcast(memberRows)
+          else memberRows.repartition(col("cell"))
         def supScores = base.crossJoin(superDf)
           .select(col("__vec_row"), col("embedding"), col("cell"),
             col("radius"),
@@ -739,7 +770,8 @@ object VectorOps {
         val extra = scoreMembers(
           supScores
             .join(tau.select(col("__vec_row"), col("tau")), "__vec_row")
-            .filter(col("dsup") - col("radius") <= col("tau") + lit(PruneEps))
+            .filter(col("dsup") - col("radius") <=
+              col("tau") + lit(pruneEps(dim)))
             .select(col("__vec_row"), col("embedding"), col("cell")))
         // (4): exact top-2 over the deduped union
         tau.select(col("__vec_row"), explode(col("t2")).as("s"))

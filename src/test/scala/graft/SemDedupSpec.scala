@@ -408,4 +408,45 @@ class SemDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 >= 5000L ^ p._2 >= 5000L),
       "pairs must never cross blocks")
   }
+
+  // ------------------------------------------- hot LSH-bucket cap (r12)
+
+  /** One LSH bucket holding `n` copies of the same vector (identical
+    * vectors hash to identical buckets under ANY plane set, so this is
+    * plane-agnostic) — the hot-bucket shape the fixed 8-plane grid is
+    * guaranteed to produce once bucket occupancy outgrows the cap. */
+  private def hotBucket(n: Int) =
+    (0 until n).map(i => (i.toLong, 0, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "label", "embedding")
+
+  test("LSH hot-bucket cap: capped pairs are a subset, recall on rank-adjacent dups") {
+    val emb = hotBucket(30)
+    val cap = 4
+    val capped = VectorOps.cosinePairsLsh(emb, 0.999999, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = VectorOps.cosinePairsLsh(emb, 0.999999, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "cap must never invent pairs")
+    assert(uncapped.size == 30 * 29 / 2)
+    // identical vectors share a projection, so rank order is vec_id order
+    // and every consecutive-id pair shares a band in one of the two passes
+    (0 until 29).foreach { i =>
+      assert(capped.contains((i.toLong, i + 1L)),
+        s"adjacent dup pair ($i,${i + 1}) lost by the banded path")
+    }
+    // pair work is O(n·cap), not O(n²): with threshold accepting all,
+    // the output count IS the evaluated candidate count
+    val evaluated = VectorOps.cosinePairsLsh(emb, -1.0, cap).count()
+    val bound = 2L * ((30 + cap - 1) / cap) * cap * (cap - 1) / 2
+    assert(evaluated <= bound, s"evaluated=$evaluated bound=$bound")
+  }
+
+  test("LSH cap not engaged == exhaustive in-bucket pairs byte-for-byte") {
+    // the registry fixture's buckets sit far under the default cap, so
+    // the default-cap result must equal the effectively-uncapped one
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val withCap = VectorOps.cosinePairsLsh(emb, 0.8).collect()
+    val noCap = VectorOps.cosinePairsLsh(emb, 0.8, Int.MaxValue).collect()
+    assert(withCap.toSeq == noCap.toSeq)
+  }
 }
