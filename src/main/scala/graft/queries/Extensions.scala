@@ -1985,35 +1985,102 @@ object Extensions {
     VectorOps.semDedup(emb, cents, CosineThreshold)
   }
 
-  private val simSemDedupSql =
-    s"""WITH v AS (
+  /** Fixed-point LIST-lambda dot product: Σᵢ ROUND(a[i]·b[i]·1e12) as
+    * BIGINT — the identical value to the historical unnest-join form
+    * (same per-term rounding; long addition is associative) with NO
+    * (row × dimension) explosion. Round-12 twin diet: the unnest form of
+    * the semdedup twins materialized a 12.8-billion-row join at sf10 and
+    * exhausted every temp/memory budget (r11 sweep: 67 min → OOM, r12:
+    * 2 h → timeout); the list form streams one row per (pair) with the
+    * 64 terms evaluated inline. */
+  private def sqlListDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> " +
+      s"CAST(ROUND(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12, 0)" +
+      " AS BIGINT)))"
+
+  /** Fixed-point LIST-lambda squared distance (same contract as
+    * [[sqlListDot]], mirroring the engine's `centroidDist`). */
+  private def sqlListDist(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> " +
+      s"CAST(ROUND((CAST($a[i] AS DOUBLE) - $b[i]) * " +
+      s"(CAST($a[i] AS DOUBLE) - $b[i]) * 1e12, 0) AS BIGINT)))"
+
+  /** Plane-0 literals (p, i, c) for the sorted-neighborhood rank the
+    * banded-pair twins mirror ([[VectorOps.cosinePairsBy]] hot path). */
+  private def sqlPlane0Values: String = {
+    val p0 = VectorOps.planeMatrixFor(EmbeddingDim)(0)
+    (0 until EmbeddingDim)
+      .map(i => s"(0, ${i + 1}, ${p0(i).toDouble})").mkString(",\n    ")
+  }
+
+  /** Oracle twin of [[VectorOps.semDedup]]. Mirrors the ALGORITHM, not an
+    * idealized exhaustive variant: the engine's within-cluster pair stage
+    * is [[VectorOps.cosinePairsBy]] with its [[VectorOps.PairBlockCap]]
+    * sorted-neighborhood banding, which ENGAGES at sf10+ (duplicate
+    * centroid positions collapse 1 000 labels to ~10 distinct clusters of
+    * ~20 k vectors each — above the 4 096 cap), so the twin reproduces
+    * the same exact-below-cap / two-staggered-band-passes-above pair set
+    * (the `dedup_near_dup` / `emb_lsh_pairs` mirroring pattern). Distance
+    * and dot products use the fixed-point list-lambda forms. */
+  private val simSemDedupSql = {
+    val cap = VectorOps.PairBlockCap
+    val half = cap / 2
+    s"""WITH v AS MATERIALIZED (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings
+      |), planes(p, i, c) AS (VALUES
+      |    $sqlPlane0Values
       |), c AS (
       |  SELECT label AS clabel, i,
       |    CAST(CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
       |      / 1e12 / COUNT(*) AS cx
       |  FROM v GROUP BY 1, 2
-      |), d AS (
-      |  SELECT v.vec_id, c.clabel,
-      |    SUM(CAST(ROUND((v.x - c.cx) * (v.x - c.cx) * 1e12, 0) AS BIGINT))
-      |      AS dist
-      |  FROM v JOIN c ON v.i = c.i
-      |  GROUP BY 1, 2
-      |), m AS (
-      |  SELECT vec_id, clabel AS cluster FROM (
-      |    SELECT vec_id, clabel,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
-      |    FROM d) WHERE rn = 1
-      |), vv AS (
-      |  SELECT v.vec_id, m.cluster, v.i, v.x FROM v JOIN m USING (vec_id)
+      |), cl AS MATERIALIZED (
+      |  SELECT clabel, list(cx ORDER BY i) AS cvec FROM c GROUP BY 1
+      |), d AS MATERIALIZED (
+      |  SELECT e.vec_id, cl.clabel,
+      |    ${sqlListDist("e.embedding", "cl.cvec")} AS dist
+      |  FROM embeddings e, cl
+      |), md AS (
+      |  SELECT vec_id, MIN(dist) AS mdist FROM d GROUP BY 1
+      |), m AS MATERIALIZED (
+      |  -- (min dist, then min clabel) == row_number ORDER BY dist, clabel
+      |  SELECT d.vec_id, MIN(d.clabel) AS cluster
+      |  FROM d JOIN md ON d.vec_id = md.vec_id AND d.dist = md.mdist
+      |  GROUP BY 1
+      |), sized AS MATERIALIZED (
+      |  SELECT vec_id, cluster,
+      |    COUNT(*) OVER (PARTITION BY cluster) AS blk_n
+      |  FROM m
+      |), hotproj AS MATERIALIZED (
+      |  SELECT s.vec_id, s.cluster,
+      |    row_number() OVER (PARTITION BY s.cluster
+      |      ORDER BY pj.proj, s.vec_id) - 1 AS rn
+      |  FROM sized s JOIN (
+      |    SELECT v.vec_id,
+      |      SUM(CAST(ROUND(v.x * pl.c * 1e12, 0) AS BIGINT)) AS proj
+      |    FROM v JOIN planes pl ON pl.p = 0 AND v.i = pl.i
+      |    GROUP BY 1
+      |  ) pj ON pj.vec_id = s.vec_id
+      |  WHERE s.blk_n > $cap
+      |), pairs AS (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM sized a JOIN sized b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |    AND a.blk_n <= $cap
+      |  UNION ALL
+      |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM hotproj a JOIN hotproj b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |    AND (FLOOR(a.rn / $cap.0) = FLOOR(b.rn / $cap.0)
+      |      OR FLOOR((a.rn + $half) / $cap.0)
+      |         = FLOOR((b.rn + $half) / $cap.0))
       |), dots AS (
-      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-      |    SUM(CAST(ROUND(a.x * b.x * 1e12, 0) AS BIGINT)) AS dot
-      |  FROM vv a JOIN vv b ON a.i = b.i AND a.cluster = b.cluster
-      |    AND a.vec_id < b.vec_id
-      |  GROUP BY 1, 2
+      |  SELECT p.v1, p.v2,
+      |    ${sqlListDot("a.embedding", "b.embedding")} AS dot
+      |  FROM pairs p JOIN embeddings a ON a.vec_id = p.v1
+      |    JOIN embeddings b ON b.vec_id = p.v2
       |), nrm AS (
       |  SELECT vec_id,
       |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
@@ -2027,6 +2094,7 @@ object Extensions {
       |  COUNT(*) - COUNT(p.vec_id) AS n_kept
       |FROM m LEFT JOIN pruned p USING (vec_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Incremental SemDeDup: corpus = vec_id % 10 != 0, arriving batch =
     * the rest; centroids come from the CORPUS only (the published
@@ -2047,8 +2115,13 @@ object Extensions {
     VectorOps.semDedupIncremental(corpus, batch, cents, CosineThreshold)
   }
 
+  /** Oracle twin of [[VectorOps.semDedupIncremental]] — the engine's
+    * corpus×batch / batch×batch in-cluster crosses are EXHAUSTIVE (no
+    * band cap), so the twin mirrors them exactly; the round-12 diet is
+    * purely structural (list-lambda dots replace the unnest ×dim join
+    * that spilled past every sf10 budget). */
   private val simSemDedupIncSql =
-    s"""WITH v AS (
+    s"""WITH v AS MATERIALIZED (
       |  SELECT vec_id, label, vec_id % 10 <> 0 AS in_corpus,
       |    CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS i
@@ -2058,34 +2131,33 @@ object Extensions {
       |    CAST(CAST(SUM(CAST(ROUND(x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
       |      / 1e12 / COUNT(*) AS cx
       |  FROM v WHERE in_corpus GROUP BY 1, 2
-      |), d AS (
-      |  SELECT v.vec_id, c.clabel,
-      |    SUM(CAST(ROUND((v.x - c.cx) * (v.x - c.cx) * 1e12, 0) AS BIGINT))
-      |      AS dist
-      |  FROM v JOIN c ON v.i = c.i
-      |  GROUP BY 1, 2
-      |), m AS (
-      |  SELECT vec_id, clabel AS cluster FROM (
-      |    SELECT vec_id, clabel,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
-      |    FROM d) WHERE rn = 1
-      |), vv AS (
-      |  SELECT v.vec_id, v.in_corpus, m.cluster, v.i, v.x
-      |  FROM v JOIN m USING (vec_id)
-      |), nrm AS (
+      |), cl AS MATERIALIZED (
+      |  SELECT clabel, list(cx ORDER BY i) AS cvec FROM c GROUP BY 1
+      |), d AS MATERIALIZED (
+      |  SELECT e.vec_id, cl.clabel,
+      |    ${sqlListDist("e.embedding", "cl.cvec")} AS dist
+      |  FROM embeddings e, cl
+      |), md AS (
+      |  SELECT vec_id, MIN(dist) AS mdist FROM d GROUP BY 1
+      |), m AS MATERIALIZED (
+      |  SELECT d.vec_id, MIN(d.clabel) AS cluster
+      |  FROM d JOIN md ON d.vec_id = md.vec_id AND d.dist = md.mdist
+      |  GROUP BY 1
+      |), nrm AS MATERIALIZED (
       |  SELECT vec_id,
       |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
       |  FROM v GROUP BY 1
-      |), pairs AS (
-      |  SELECT a.vec_id AS v1, a.in_corpus AS c1, b.vec_id AS v2,
-      |    SUM(CAST(ROUND(a.x * b.x * 1e12, 0) AS BIGINT)) AS dot
-      |  FROM vv a JOIN vv b ON a.i = b.i AND a.cluster = b.cluster
-      |    AND NOT b.in_corpus AND a.vec_id <> b.vec_id
-      |  GROUP BY 1, 2, 3
+      |), ve AS MATERIALIZED (
+      |  SELECT e.vec_id, e.vec_id % 10 <> 0 AS in_corpus, m.cluster,
+      |    e.embedding, nrm.nrm
+      |  FROM embeddings e JOIN m ON e.vec_id = m.vec_id
+      |  JOIN nrm ON e.vec_id = nrm.vec_id
       |), close AS (
-      |  SELECT v1, c1, v2 FROM pairs
-      |  JOIN nrm na ON v1 = na.vec_id JOIN nrm nb ON v2 = nb.vec_id
-      |  WHERE (CAST(dot AS DOUBLE) / 1e12) / (na.nrm * nb.nrm) >= $CosineThreshold
+      |  SELECT a.vec_id AS v1, a.in_corpus AS c1, b.vec_id AS v2
+      |  FROM ve a JOIN ve b ON a.cluster = b.cluster
+      |    AND NOT b.in_corpus AND a.vec_id <> b.vec_id
+      |  WHERE (CAST(${sqlListDot("a.embedding", "b.embedding")} AS DOUBLE)
+      |         / 1e12) / (a.nrm * b.nrm) >= $CosineThreshold
       |), bc AS (SELECT DISTINCT v2 AS vec_id FROM close WHERE c1),
       |ib AS (SELECT DISTINCT v2 AS vec_id FROM close
       |       WHERE NOT c1 AND v1 < v2)
@@ -2093,7 +2165,7 @@ object Extensions {
       |  bc.vec_id IS NOT NULL AS by_corpus,
       |  ib.vec_id IS NOT NULL AS in_batch,
       |  bc.vec_id IS NULL AND ib.vec_id IS NULL AS keep
-      |FROM m JOIN v ON m.vec_id = v.vec_id AND v.i = 1 AND NOT v.in_corpus
+      |FROM m JOIN ve ON m.vec_id = ve.vec_id AND NOT ve.in_corpus
       |LEFT JOIN bc ON m.vec_id = bc.vec_id
       |LEFT JOIN ib ON m.vec_id = ib.vec_id
       |ORDER BY m.vec_id""".stripMargin
