@@ -41,10 +41,10 @@ HEAVY_CAPS = {
     # sf10 r12: the HITS round chain ALSO offloads past the 30GB default
     # ("failed to offload ... 27.9 GiB/27.9 GiB" = the 30GB temp cap, not
     # memory — the message names the temp budget)
-    "q_hits": "45GB",
+    "q_hits": "55GB",
     # sf10: the (vec x centroid) distance aggregate offload-failed at the
     # r11 sweep's 28GB memory budget with temp already at the default cap
-    "sim_semdedup": "45GB",
+    "sim_semdedup": "55GB",
     "sim_semdedup_inc": "45GB",
 }
 
