@@ -1973,8 +1973,15 @@ object Extensions {
     * replays centroid means, the argmin assignment, the fixed-point pair
     * cosines, and the EXISTS prune — every stage integer/IEEE-exact, so
     * the per-cluster prune counts hash. */
-  private val simSemDedup: Q = (s, dir) => {
-    val emb = Tables.embeddings(s, dir)
+  private val simSemDedup: Q = (s, dir) =>
+    semDedupOver(Tables.embeddings(s, dir))
+
+  /** [[simSemDedup]] over a caller-chosen corpus — the probe twin's
+    * entry point ([[Probes]]): centroids are recomputed from the GIVEN
+    * corpus, so a deterministic sub-corpus run is the identical operator
+    * end to end, independently derivable by both engines. */
+  private[queries] def semDedupOver(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cents = VectorOps.centroids(emb)
       .select("label", "dim", "centroid_x").collect()
       .groupBy(_.getInt(0))
@@ -2022,13 +2029,26 @@ object Extensions {
     * the same exact-below-cap / two-staggered-band-passes-above pair set
     * (the `dedup_near_dup` / `emb_lsh_pairs` mirroring pattern). Distance
     * and dot products use the fixed-point list-lambda forms. */
-  private val simSemDedupSql = {
+  private lazy val simSemDedupSql: String = simSemDedupSqlOver("")
+
+  /** [[simSemDedupSql]] with an optional corpus restriction pushed into
+    * a leading `emb` CTE — the probe twin's slot: BOTH engines run the
+    * identical operator over the identically-derived sub-corpus
+    * (centroids, assignment, banding, prune all recomputed from it), the
+    * [[Probes]] `tokenGraphProbe` pattern. Shrinking the corpus 4x cuts
+    * the twin's dominant banded-pair stage ~4x linearly (pair work is
+    * n-by-cap) — the full twin's sf10 temp appetite exceeds every grant
+    * this box can make (measured: >55 GB). */
+  private[queries] def simSemDedupSqlOver(embPred: String): String = {
     val cap = VectorOps.PairBlockCap
     val half = cap / 2
-    s"""WITH v AS MATERIALIZED (
+    val where = if (embPred.isEmpty) "" else s" WHERE $embPred"
+    s"""WITH emb AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding FROM embeddings$where
+      |), v AS MATERIALIZED (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS i
-      |  FROM embeddings
+      |  FROM emb
       |), planes(p, i, c) AS (VALUES
       |    $sqlPlane0Values
       |), c AS (
@@ -2041,7 +2061,7 @@ object Extensions {
       |), d AS MATERIALIZED (
       |  SELECT e.vec_id, cl.clabel,
       |    ${sqlListDist("e.embedding", "cl.cvec")} AS dist
-      |  FROM embeddings e, cl
+      |  FROM emb e, cl
       |), md AS (
       |  SELECT vec_id, MIN(dist) AS mdist FROM d GROUP BY 1
       |), m AS MATERIALIZED (
@@ -2070,17 +2090,27 @@ object Extensions {
       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       |    AND a.blk_n <= $cap
       |  UNION ALL
-      |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |  -- the two staggered band passes, made DISJOINT arithmetically
+      |  -- (second arm: staggered band WITHOUT a shared primary band) so
+      |  -- no dedup hash over the ~n·cap hot pairs is needed — the r12
+      |  -- full-twin run died offloading exactly that DISTINCT at sf10;
+      |  -- the union equals the engine's two-pass dropDuplicates set
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2
       |  FROM hotproj a JOIN hotproj b
       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      |    AND (FLOOR(a.rn / $cap.0) = FLOOR(b.rn / $cap.0)
-      |      OR FLOOR((a.rn + $half) / $cap.0)
-      |         = FLOOR((b.rn + $half) / $cap.0))
+      |    AND FLOOR(a.rn / $cap.0) = FLOOR(b.rn / $cap.0)
+      |  UNION ALL
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM hotproj a JOIN hotproj b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |    AND FLOOR(a.rn / $cap.0) <> FLOOR(b.rn / $cap.0)
+      |    AND FLOOR((a.rn + $half) / $cap.0)
+      |        = FLOOR((b.rn + $half) / $cap.0)
       |), dots AS (
       |  SELECT p.v1, p.v2,
       |    ${sqlListDot("a.embedding", "b.embedding")} AS dot
-      |  FROM pairs p JOIN embeddings a ON a.vec_id = p.v1
-      |    JOIN embeddings b ON b.vec_id = p.v2
+      |  FROM pairs p JOIN emb a ON a.vec_id = p.v1
+      |    JOIN emb b ON b.vec_id = p.v2
       |), nrm AS (
       |  SELECT vec_id,
       |    SQRT(CAST(CAST(SUM(CAST(ROUND(x * x * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm

@@ -81,10 +81,25 @@ object Probes {
       Tables.documents(s, dir).filter(md5Sel(col("doc_id"), Hex16)),
       s"$dir|probe16")
 
+  /** SemDeDup over the deterministic 1/4 sub-corpus: centroids,
+    * assignment, the banded pair stage, and the prune all recomputed
+    * from the sub-corpus by BOTH engines (the [[tokenGraphProbe]]
+    * pattern — per-cluster counts are global aggregates, so no output
+    * filter is sound). Added r12: the full twin's sf10 temp appetite
+    * exceeds every grant the sweep box can make (>55 GB even after the
+    * list-form rewrite); the 1/4 corpus still engages the
+    * [[graft.sim.VectorOps.PairBlockCap]] banding at sf10 (cluster size
+    * ~5 000 > 4 096), so the band-mirroring twin is exercised where it
+    * matters. */
+  private val semDedupProbe: Q = (s, dir) =>
+    Extensions.semDedupOver(
+      Tables.embeddings(s, dir).filter(md5Sel(col("vec_id"), Hex4)))
+
   val queries: Map[String, Q] = Map(
     "sim_hard_negatives_probe" -> hardNegativesProbe,
     "emb_lsh_pairs_probe" -> embLshPairsProbe,
-    "pipeline_passage_graph_probe" -> tokenGraphProbe)
+    "pipeline_passage_graph_probe" -> tokenGraphProbe,
+    "sim_semdedup_probe" -> semDedupProbe)
 
   val oracleSql: Map[String, String] = Map(
     "sim_hard_negatives_probe" ->
@@ -92,5 +107,7 @@ object Probes {
     "emb_lsh_pairs_probe" ->
       Extensions.embLshPairsSqlOver(sqlSel("a.vec_id", Hex16)),
     "pipeline_passage_graph_probe" ->
-      Relational6.tokenGraphSqlOver(sqlSel("doc_id", Hex16)))
+      Relational6.tokenGraphSqlOver(sqlSel("doc_id", Hex16)),
+    "sim_semdedup_probe" ->
+      Extensions.simSemDedupSqlOver(sqlSel("vec_id", Hex4)))
 }
