@@ -46,6 +46,9 @@ HEAVY_CAPS = {
     # r11 sweep's 28GB memory budget with temp already at the default cap
     "sim_semdedup": "55GB",
     "sim_semdedup_inc": "45GB",
+    # r13: the 1/4-corpus probe twin — sized from the full twin's >55GB
+    # appetite scaled by the corpus cut (pair work is n·cap ≈ linear)
+    "sim_semdedup_probe": "45GB",
 }
 
 # oracles whose DuckDB twin needs more RAM than the sweep default
@@ -59,6 +62,8 @@ HEAVY_MEM = {
     # states; the r11 sweep OOMed at 27.9GB with offload exhausted
     "sim_semdedup": "60GB",
     "sim_semdedup_inc": "60GB",
+    # r13: quarter-corpus probe — centroid hash-agg state scales with the cut
+    "sim_semdedup_probe": "40GB",
 }
 
 def main():

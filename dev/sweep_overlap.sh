@@ -21,6 +21,17 @@ export COMPARE_MEM="${COMPARE_MEM:-24GB}"
 # disjoint shards never race on a query.
 SHARD="${SWEEP_SHARD:-0/1}"
 SHARD_I="${SHARD%/*}"; SHARD_N="${SHARD#*/}"
+# Refuse to start while a graft.Bench is live (round-12: the sweep launched
+# two minutes before the bench finished and the committed artifact recorded
+# end_load 13.83). Bench writes its PID to target/bench.lock; a stale lock
+# (dead PID) is ignored. Override (emergencies only): SWEEP_IGNORE_BENCH=1.
+BENCH_LOCK="${SPARK_GRAFT_BENCH_LOCK:-target/bench.lock}"
+if [ "${SWEEP_IGNORE_BENCH:-0}" != 1 ]; then
+  while [ -f "$BENCH_LOCK" ] && kill -0 "$(cat "$BENCH_LOCK" 2>/dev/null)" 2>/dev/null; do
+    echo "[sweep_overlap] graft.Bench live (pid $(cat "$BENCH_LOCK")) — waiting 30s"
+    sleep 30
+  done
+fi
 while :; do
   alive=0
   pgrep -f "$PAT" > /dev/null && alive=1

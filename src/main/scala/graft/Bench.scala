@@ -20,25 +20,53 @@ object Bench {
     // to quiesce, then RECORD the loadavg actually seen at start in both
     // the headline line and the detail file, so a reader can tell a clean
     // measurement from a contended one without re-running anything.
+    // NaN = /proc/loadavg unreadable (distinct from a LOW load — a sentinel
+    // like -1.0 would silently pass the gate and read as a clean run in the
+    // committed artifact; NaN fails every > comparison, so an unreadable
+    // gauge neither blocks the bench nor masquerades as quiescence, and is
+    // emitted as JSON null below).
     def loadavg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+      catch { case _: Throwable => Double.NaN }
+    def loadJson(v: Double): String =
+      if (v.isNaN) "null" else BigDecimal(v)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
     val gateDeadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_WAIT", "600").toInt
     val gateT0 = System.nanoTime()
-    while (loadavg() > loadGate &&
-        (System.nanoTime() - gateT0) / 1e9 < gateDeadlineSec) {
+    def gateRemainingSec(): Double =
+      gateDeadlineSec - (System.nanoTime() - gateT0) / 1e9
+    if (loadavg().isNaN)
+      System.err.println("[bench] WARNING: /proc/loadavg unreadable — " +
+        "no quiescence gate possible; loads recorded as null")
+    while (loadavg() > loadGate && gateRemainingSec() > 0) {
       System.err.println(
         f"[bench] loadavg ${loadavg()}%.2f > gate $loadGate%.1f — waiting")
-      Thread.sleep(30000)
+      // clamp to the remaining deadline so the loop cannot overshoot it
+      Thread.sleep(math.max(1000L,
+        math.min(30000L, (gateRemainingSec() * 1000).toLong)))
     }
     val startLoad = loadavg()
     if (startLoad > loadGate)
       System.err.println(f"[bench] WARNING: benching under load " +
         f"$startLoad%.2f (gate $loadGate%.1f, deadline ${gateDeadlineSec}s " +
         "expired) — times will carry co-tenant inflation")
+    // Bench-live marker: dev/sweep_overlap.sh (and any other timed
+    // co-tenant) refuses to start while this file names a live PID —
+    // round-12's committed bench recorded end_load 13.83 because the sf10
+    // sweep launched two minutes before the bench finished.
+    val lockPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCK", "target/bench.lock"))
+    try {
+      java.nio.file.Files.createDirectories(lockPath.toAbsolutePath.getParent)
+      java.nio.file.Files.writeString(lockPath,
+        ProcessHandle.current().pid().toString + "\n")
+      lockPath.toFile.deleteOnExit()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] lock write failed: ${e.getMessage}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,8 +149,17 @@ object Bench {
           println(s"""{"metric":"family","family":"$family","value":${fmt(famTotal)},"unit":"sec"$part,"queries":$qs}""")
         }
       }
+    // End-of-run load: the start gate alone cannot see a co-tenant that
+    // arrived mid-bench (round-12: start 1.64, end 13.83 — a sweep launched
+    // under the bench's tail). Record it in the HEADLINE too and warn, so
+    // the committed artifact carries both sides of the window.
+    val endLoad = loadavg()
+    if (endLoad > loadGate)
+      System.err.println(f"[bench] WARNING: loadavg $endLoad%.2f > gate " +
+        f"$loadGate%.1f at bench END — a co-tenant overlapped the run; " +
+        "treat the slowest-family times as suspect")
     // the minimal headline line LAST: survives even a one-line tail budget
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"load":$startLoad,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"load":${loadJson(startLoad)},"end_load":${loadJson(endLoad)},"sf":"$sfDir"}""")
     // ALSO write the complete per-query map to a committed file: the
     // driver's stdout capture is tail-byte-budgeted and lost ~165 of 224
     // per-query times in round 8 — a file is lossless at any registry size
@@ -138,12 +175,14 @@ object Bench {
       "\"" + k + "\":" + (if (ok) fmt(v) else -1)
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"load":$startLoad,"end_load":${loadavg()},"sf":"$sfDir","queries":$qJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$RUNS,"n_queries":${results.size},"failed":$failed,"load":${loadJson(startLoad)},"end_load":${loadJson(endLoad)},"sf":"$sfDir","queries":$qJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
+    try java.nio.file.Files.deleteIfExists(lockPath)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

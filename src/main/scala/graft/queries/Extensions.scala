@@ -818,9 +818,9 @@ object Extensions {
     * anchored side narrows, so the twin's pair/dot stages shrink by the
     * selected fraction while still exercising the full bucket (and band)
     * computation. */
-  private[queries] def embLshPairsSqlOver(v1Pred: String): String = {
+  private[queries] def embLshPairsSqlOver(v1Pred: String,
+      cap: Int = VectorOps.LshBucketPairCap): String = {
     val pred = if (v1Pred.isEmpty) "" else s"\n    AND $v1Pred"
-    val cap = VectorOps.LshBucketPairCap
     val half = cap / 2
     val planes = VectorOps.planeMatrixFor(EmbeddingDim)
     val values = (for {
@@ -1979,9 +1979,14 @@ object Extensions {
   /** [[simSemDedup]] over a caller-chosen corpus — the probe twin's
     * entry point ([[Probes]]): centroids are recomputed from the GIVEN
     * corpus, so a deterministic sub-corpus run is the identical operator
-    * end to end, independently derivable by both engines. */
+    * end to end, independently derivable by both engines. `maxBlock`
+    * overrides the pair-stage banding cap (default
+    * [[VectorOps.PairBlockCap]]) — the [[simSemDedupBanded]] gate entry
+    * forces it low enough to engage banding at sf0.01. */
   private[queries] def semDedupOver(
-      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      emb: org.apache.spark.sql.DataFrame,
+      maxBlock: Int = VectorOps.PairBlockCap)
+      : org.apache.spark.sql.DataFrame = {
     val cents = VectorOps.centroids(emb)
       .select("label", "dim", "centroid_x").collect()
       .groupBy(_.getInt(0))
@@ -1989,8 +1994,33 @@ object Extensions {
         l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
       }
       .toSeq.sortBy(_._1)
-    VectorOps.semDedup(emb, cents, CosineThreshold)
+    VectorOps.semDedup(emb, cents, CosineThreshold, maxBlock)
   }
+
+  /** Cap low enough that the sorted-neighborhood banding ENGAGES at the
+    * driver's sf0.01 correctness gate (clusters there are ~50 rows; LSH
+    * buckets peak at 7): the production caps (4096 / 512) first engage at
+    * sf10, which is how round 12's latent twin divergence — the engine
+    * banded, the old twin paired exhaustively — survived eleven rounds of
+    * green sf0.01 gates. The `_banded` entries pin the band-mirroring
+    * arms of BOTH twins per-round at the gate, at any fixture size
+    * (ADVICE r12: "a mirroring error in the hot path would currently go
+    * undetected"). */
+  private[queries] val SemDedupBandedCap = 16
+  private[queries] val LshBandedCap = 4
+
+  /** [[simSemDedup]] with the pair cap forced to [[SemDedupBandedCap]] so
+    * the hot-block banding (rank by plane-0 projection, two staggered
+    * band passes) runs on every cluster at sf0.01 — the oracle twin
+    * mirrors with the same cap. */
+  private val simSemDedupBanded: Q = (s, dir) =>
+    semDedupOver(Tables.embeddings(s, dir), SemDedupBandedCap)
+
+  /** [[embLshPairs]] with the bucket-pair cap forced to [[LshBandedCap]]
+    * so the banded arm runs on the sf0.01 fixture's hot buckets. */
+  private val embLshPairsBanded: Q = (s, dir) =>
+    VectorOps.cosinePairsLsh(Tables.embeddings(s, dir), CosineThreshold,
+      LshBandedCap)
 
   /** Fixed-point LIST-lambda dot product: Σᵢ ROUND(a[i]·b[i]·1e12) as
     * BIGINT — the identical value to the historical unnest-join form
@@ -2039,8 +2069,8 @@ object Extensions {
     * the twin's dominant banded-pair stage ~4x linearly (pair work is
     * n-by-cap) — the full twin's sf10 temp appetite exceeds every grant
     * this box can make (measured: >55 GB). */
-  private[queries] def simSemDedupSqlOver(embPred: String): String = {
-    val cap = VectorOps.PairBlockCap
+  private[queries] def simSemDedupSqlOver(embPred: String,
+      cap: Int = VectorOps.PairBlockCap): String = {
     val half = cap / 2
     val where = if (embPred.isEmpty) "" else s" WHERE $embPred"
     s"""WITH emb AS MATERIALIZED (
@@ -2956,10 +2986,12 @@ object Extensions {
     "dedup_sorted_nbrs"   -> dedupSortedNeighbors,
     "emb_cosine_pairs"    -> embCosinePairs,
     "emb_lsh_pairs"       -> embLshPairs,
+    "emb_lsh_pairs_banded" -> embLshPairsBanded,
     "emb_centroids"       -> embCentroids,
     "emb_power_pc1"       -> embPowerPc1,
     "sim_centroid_assign" -> simCentroidAssign,
     "sim_semdedup"        -> simSemDedup,
+    "sim_semdedup_banded" -> simSemDedupBanded,
     "sim_semdedup_inc"    -> simSemDedupInc,
     "q_leak_split"        -> leakSplit,
     "pipeline_corpus"     -> pipelineCorpus,
@@ -3025,10 +3057,12 @@ object Extensions {
     "dedup_simhash"       -> dedupSimhashSql,
     "emb_cosine_pairs"    -> embCosinePairsSql,
     "emb_lsh_pairs"       -> embLshPairsSql,
+    "emb_lsh_pairs_banded" -> embLshPairsSqlOver("", LshBandedCap),
     "emb_centroids"       -> embCentroidsSql,
     "emb_power_pc1"       -> embPowerPc1Sql,
     "sim_centroid_assign" -> simCentroidAssignSql,
     "sim_semdedup"        -> simSemDedupSql,
+    "sim_semdedup_banded" -> simSemDedupSqlOver("", SemDedupBandedCap),
     "sim_semdedup_inc"    -> simSemDedupIncSql,
     "q_leak_split"        -> leakSplitSql,
     "pipeline_corpus"     -> pipelineCorpusSql,

@@ -59,9 +59,9 @@ object Probes {
       .orderBy("anchor", "rk")
 
   /** Left-endpoint-restricted LSH cosine pairs: the `emb_lsh_pairs` rows
-    * whose v1 md5-selects into the 1/4 subset. The twin still computes
+    * whose v1 md5-selects into the 1/16 subset. The twin still computes
     * every vector's bucket (linear) but explodes/dots only the selected
-    * quarter of the pairs. */
+    * sixteenth of the pairs. */
   private val embLshPairsProbe: Q = (s, dir) =>
     Extensions.queries("emb_lsh_pairs")(s, dir)
       .filter(md5Sel(col("v1"), Hex16))

@@ -143,6 +143,34 @@ object Transpile {
       |                         WHERE l_returnflag = 'R' AND l_quantity > 49)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Three CHAINED CTEs — each referencing the previous — with the window
+    * functions inside the last CTE and the rank filter OUTSIDE it: the
+    * canonical top-n-per-group migration shape (round-13, VERDICT r12 item
+    * #7: CTE-heavy emission for the five non-resident warehouses rested on
+    * single-CTE goldens; this text also anchors the per-dialect goldens in
+    * `TranspilerSpec`). All projected values are integer counts, so the
+    * Spark/DuckDB parity is exact. */
+  private[graft] val ctePg: String =
+    """WITH typed AS (
+      |  SELECT DATE_TRUNC('day', ts) AS d, event_type, user_id
+      |  FROM events
+      |  WHERE event_type <> 'view'
+      |), daily AS (
+      |  SELECT d, event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+      |  FROM typed
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT d, event_type, n, users,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS BIGINT) AS rk,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+      |  FROM daily
+      |)
+      |SELECT d, event_type, n, users, rk, cum_n
+      |FROM ranked
+      |WHERE rk <= 3
+      |ORDER BY d, rk, event_type""".stripMargin
+
   private def runSparkEmission(pg: String, tables: Seq[String]): Q = (s, dir) => {
     tables.foreach {
       case "events" => Tables.events(s, dir).createOrReplaceTempView("events")
@@ -166,6 +194,7 @@ object Transpile {
     "q_transpile_setprec"     -> runSparkEmission(setPrecPg, Seq("events", "documents")),
     "q_transpile_setop"       -> runSparkEmission(setopPg, Seq("events", "documents")),
     "q_transpile_subquery"    -> runSparkEmission(subqueryPg, Seq("orders", "lineitem")),
+    "q_transpile_cte"         -> runSparkEmission(ctePg, Seq("events")),
     "q_transpile_block_range" -> blockRange)
 
   /** The oracle IS the transpiler's DuckDB emission — the driver runs this
@@ -179,6 +208,7 @@ object Transpile {
     "q_transpile_setprec"     -> Transpiler.transpile(setPrecPg, "postgres", "duckdb"),
     "q_transpile_setop"       -> Transpiler.transpile(setopPg, "postgres", "duckdb"),
     "q_transpile_subquery"    -> Transpiler.transpile(subqueryPg, "postgres", "duckdb"),
+    "q_transpile_cte"         -> Transpiler.transpile(ctePg, "postgres", "duckdb"),
     "q_transpile_block_range" -> Transpiler.buildBlockRangeQuery(100, 600,
       table = "orders", dialect = "duckdb", column = "o_orderkey"))
 }

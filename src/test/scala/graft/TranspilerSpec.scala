@@ -404,4 +404,46 @@ class TranspilerSpec extends SparkSpec {
       .orderBy("event_type").collect()
     assert(got.toSeq == want.toSeq)
   }
+
+  test("round-13: chained-CTE + window goldens for the five non-resident " +
+      "dialects (q_transpile_cte's text)") {
+    // The cross-engine q_transpile_cte entry proves the Spark and DuckDB
+    // emissions on real rows; these goldens pin the SAME chained-CTE +
+    // ROW_NUMBER + framed-SUM text in the five warehouses this container
+    // cannot execute (VERDICT r12 item #7). Structural invariants first —
+    // all three CTEs present, in order, exactly one WITH keyword (chained
+    // CTEs must emit comma-separated, not nested WITH) — then the
+    // dialect-specific surface.
+    val src = graft.queries.Transpile.ctePg
+    val emissions = Seq("postgres", "bigquery", "snowflake", "trino", "mysql")
+      .map(d => d -> Transpiler.transpile(src, "postgres", d)).toMap
+    for ((d, out) <- emissions) {
+      assert("(?s)WITH typed AS \\(.*\\), daily AS \\(.*\\), ranked AS \\(".r
+        .findFirstIn(out).isDefined, s"$d: chained CTE shape lost:\n$out")
+      assert("WITH ".r.findAllIn(out).size == 1, s"$d: nested WITH emitted")
+      assert(out.contains(
+        "ROW_NUMBER() OVER (PARTITION BY d ORDER BY n DESC, event_type)"),
+        s"$d: rank window lost")
+      assert(out.contains(
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"),
+        s"$d: running-sum frame lost")
+      assert(out.contains("COUNT(DISTINCT user_id) AS users"), s"$d: distinct lost")
+      assert(out.contains("WHERE\n  rk <= 3"), s"$d: post-CTE rank filter lost")
+      // every emission stays inside the transpiler's own grammar
+      assert(Transpiler.validateSql(out).isEmpty, s"$d: emission fails re-parse")
+    }
+    // dialect-specific surface: day-trunc spelling and BIGINT mapping
+    assert(emissions("postgres").contains("DATE_TRUNC('day', ts) AS d"))
+    assert(emissions("snowflake").contains("DATE_TRUNC('day', ts) AS d"))
+    assert(emissions("trino").contains("DATE_TRUNC('day', ts) AS d"))
+    assert(emissions("bigquery").contains("TIMESTAMP_TRUNC(ts, DAY) AS d"))
+    assert(emissions("mysql").contains(
+      "DATE_FORMAT(ts, '%Y-%m-%d 00:00:00') AS d"))
+    assert(emissions("postgres").contains("AS BIGINT) AS rk"))
+    assert(emissions("bigquery").contains("AS INT64) AS rk"))
+    assert(emissions("mysql").contains("AS SIGNED) AS rk"))
+    // postgres -> postgres is a fixed point on the CTE-heavy text too
+    val pg = emissions("postgres")
+    assert(Transpiler.transpile(pg, "postgres", "postgres") == pg)
+  }
 }
