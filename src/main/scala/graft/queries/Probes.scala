@@ -95,11 +95,26 @@ object Probes {
     Extensions.semDedupOver(
       Tables.embeddings(s, dir).filter(md5Sel(col("vec_id"), Hex4)))
 
+  /** HITS over the deterministic 1/4 sub-corpus of WHOLE 50-blocks
+    * (md5 of `doc_id // 50` — the chain graph breaks at doc_id % 50, so
+    * selecting complete blocks keeps every component intact). The L2
+    * normalization is a global scalar over all kept nodes, so no output
+    * filter is sound — both engines re-derive edges, pulls, and norms
+    * from the identically-selected sub-corpus (the [[tokenGraphProbe]]
+    * pattern). Added r13: the full twin's 6-pull chain exhausted the
+    * 55 GB temp grant at sf10 twice (r12 drain: "51.2 GiB/51.2 GiB
+    * used"); the 1/4 cut shrinks every pull ~4x. */
+  private val hitsProbe: Q = (s, dir) =>
+    Relational4.hitsOver(
+      Tables.documents(s, dir)
+        .filter(md5Sel(floor(col("doc_id") / lit(50)), Hex4)))
+
   val queries: Map[String, Q] = Map(
     "sim_hard_negatives_probe" -> hardNegativesProbe,
     "emb_lsh_pairs_probe" -> embLshPairsProbe,
     "pipeline_passage_graph_probe" -> tokenGraphProbe,
-    "sim_semdedup_probe" -> semDedupProbe)
+    "sim_semdedup_probe" -> semDedupProbe,
+    "q_hits_probe" -> hitsProbe)
 
   val oracleSql: Map[String, String] = Map(
     "sim_hard_negatives_probe" ->
@@ -109,5 +124,7 @@ object Probes {
     "pipeline_passage_graph_probe" ->
       Relational6.tokenGraphSqlOver(sqlSel("doc_id", Hex16)),
     "sim_semdedup_probe" ->
-      Extensions.simSemDedupSqlOver(sqlSel("vec_id", Hex4)))
+      Extensions.simSemDedupSqlOver(sqlSel("vec_id", Hex4)),
+    "q_hits_probe" ->
+      Relational4.hitsSqlOver(sqlSel("doc_id // 50", Hex4)))
 }

@@ -16,8 +16,13 @@ object Relational4 {
     * with skip links so triangles exist: within each 50-doc block,
     * undirected edges u—u+1 and u—u+2 (canonical u < v). Every interior
     * block position closes the triangle (u, u+1, u+2). */
-  private[queries] def docEdges(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(s, dir).select(col("doc_id"))
+  private[queries] def docEdges(s: SparkSession, dir: String): DataFrame =
+    docEdgesFrom(Tables.documents(s, dir).select(col("doc_id")))
+
+  /** [[docEdges]] over a caller-chosen id frame — the probe entry point:
+    * the chain graph breaks at doc_id % 50, so a sub-corpus of WHOLE
+    * 50-blocks reproduces exactly the selected components' edges. */
+  private[queries] def docEdgesFrom(ids: DataFrame): DataFrame = {
     def shift(d: Int): DataFrame =
       ids.as("x")
         .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + d)
@@ -273,15 +278,29 @@ object Relational4 {
     * block sinks (positions 48-49) cite nothing and get hub 0 — the
     * asymmetry PageRank's symmetrized chain can't express. The oracle
     * unrolls the identical decimal-exact pull/normalize steps. */
-  private val hits: Q = (s, dir) => {
-    val edges = docEdges(s, dir)
+  private val hits: Q = (s, dir) =>
+    hitsOver(Tables.documents(s, dir))
+
+  /** [[hits]] over a caller-chosen documents frame — the `q_hits_probe`
+    * entry point ([[Probes]]): the L2 normalization is a GLOBAL scalar,
+    * so no output filter is sound; a deterministic sub-corpus of whole
+    * 50-blocks re-derives components, pulls, and norms identically on
+    * both engines (the `pipeline_passage_graph_probe` pattern). */
+  private[queries] def hitsOver(docs: DataFrame): DataFrame = {
+    val edges = docEdgesFrom(docs.select(col("doc_id")))
       .select(col("u").as("src"), col("v").as("dst"))
     graft.analytics.Hits.run(edges, iters = 3)
       .select(col("id").as("doc_id"), col("hub"), col("auth"))
       .orderBy("doc_id")
   }
 
-  private val hitsSql = {
+  private val hitsSql = hitsSqlOver("")
+
+  /** [[hitsSql]] with an optional documents restriction pushed into a
+    * leading `d` CTE — the probe twin's slot; with an empty predicate the
+    * text is row-identical to the historical full twin (`d` is just
+    * `documents`' ids). */
+  private[queries] def hitsSqlOver(docPred: String): String = {
     // one decimal-exact pull along from→to over the previous score CTE,
     // then L2-normalize by a 1-row scalar — mirrors Hits.pull bit-for-bit
     def pull(prev: String, from: String, to: String, out: String) =
@@ -298,7 +317,15 @@ object Relational4 {
          |    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) FROM r_$out) AS s
          |  FROM r_$out
          |)""".stripMargin
-    s"""WITH $docEdgesCte, ed AS (SELECT u AS src, v AS dst FROM e),
+    val where = if (docPred.isEmpty) "" else s" WHERE $docPred"
+    s"""WITH d AS (SELECT doc_id FROM documents$where),
+       |e AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v FROM d a
+       |  JOIN d b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 50 <= 48
+       |  UNION ALL
+       |  SELECT a.doc_id AS u, b.doc_id AS v FROM d a
+       |  JOIN d b ON b.doc_id = a.doc_id + 2 WHERE a.doc_id % 50 <= 47
+       |), ed AS (SELECT u AS src, v AS dst FROM e),
        |n AS (
        |  SELECT DISTINCT id FROM (
        |    SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)
