@@ -185,12 +185,21 @@ object Behavioral {
       .orderBy("interval_id", "event_id")
   }
 
-  private val rangeJoinSql =
-    """WITH iv AS (
+  private val rangeJoinSql = rangeJoinSqlOver("")
+
+  /** [[rangeJoinSql]] with an optional restriction on the INTERVAL side —
+    * the probe twin's slot ([[Probes]]): every output row depends only on
+    * its own (interval, view) endpoint pair, so dropping intervals never
+    * changes a kept row, and the twin's join fan-out AND its final
+    * result-set fetch (the stage that OOM-killed two full sf10 attempts
+    * at 541 M rows) shrink by the selected fraction. */
+  private[queries] def rangeJoinSqlOver(ivPred: String): String = {
+    val pred = if (ivPred.isEmpty) "" else s" AND $ivPred"
+    s"""WITH iv AS (
       |  SELECT event_id AS interval_id,
       |    ts - INTERVAL 2 HOUR AS start_ts,
       |    ts + INTERVAL 2 HOUR AS end_ts
-      |  FROM events WHERE event_type = 'purchase' AND event_id % 41 = 0
+      |  FROM events WHERE event_type = 'purchase' AND event_id % 41 = 0$pred
       |)
       |SELECT iv.interval_id, e.event_id,
       |  epoch_us(e.ts) - epoch_us(iv.start_ts) AS offset_us
@@ -198,6 +207,7 @@ object Behavioral {
       |  ON e.ts BETWEEN iv.start_ts AND iv.end_ts
       |WHERE e.event_type = 'view'
       |ORDER BY interval_id, event_id""".stripMargin
+  }
 
   /** Salted skew join: events joined to their per-user cohort date through
     * an 8-way salt — row-identical to the plain join (which is exactly

@@ -109,12 +109,26 @@ object Probes {
       Tables.documents(s, dir)
         .filter(md5Sel(floor(col("doc_id") / lit(50)), Hex4)))
 
+  /** Interval-restricted range join: the `q_range_join` rows whose
+    * interval_id md5-selects into the 1/16 subset. Each output row
+    * depends only on its own (interval, view) endpoints, so the filter
+    * commutes with the join (the [[embLshPairsProbe]] pattern). Added
+    * r13: the full twin's 541 M-row result fetch was OOM-killed at
+    * >130 GB RSS in both the r12 and r13 sf10 attempts — the kill lands
+    * AFTER the join computes, so no temp/memory grant can save it; the
+    * 1/16 cut bounds the fetched frame at ~34 M rows. */
+  private val rangeJoinProbe: Q = (s, dir) =>
+    Behavioral.queries("q_range_join")(s, dir)
+      .filter(md5Sel(col("interval_id"), Hex16))
+      .orderBy("interval_id", "event_id")
+
   val queries: Map[String, Q] = Map(
     "sim_hard_negatives_probe" -> hardNegativesProbe,
     "emb_lsh_pairs_probe" -> embLshPairsProbe,
     "pipeline_passage_graph_probe" -> tokenGraphProbe,
     "sim_semdedup_probe" -> semDedupProbe,
-    "q_hits_probe" -> hitsProbe)
+    "q_hits_probe" -> hitsProbe,
+    "q_range_join_probe" -> rangeJoinProbe)
 
   val oracleSql: Map[String, String] = Map(
     "sim_hard_negatives_probe" ->
@@ -126,5 +140,7 @@ object Probes {
     "sim_semdedup_probe" ->
       Extensions.simSemDedupSqlOver(sqlSel("vec_id", Hex4)),
     "q_hits_probe" ->
-      Relational4.hitsSqlOver(sqlSel("doc_id // 50", Hex4)))
+      Relational4.hitsSqlOver(sqlSel("doc_id // 50", Hex4)),
+    "q_range_join_probe" ->
+      Behavioral.rangeJoinSqlOver(sqlSel("event_id", Hex16)))
 }
