@@ -35,6 +35,55 @@ object DevProfile {
       spark.stop(); return
     }
 
+    // per-job breakdown (no UI in the sandbox): run a named query through
+    // the noop sink once warm + once measured, printing every Spark job's
+    // wall time, task count and description — separates eager pre-passes
+    // (collect/localCheckpoint/head inside builders) from the main write.
+    // Run: DevProfile <sfDir> jobs <name1,name2,...>
+    if (args.contains("jobs")) {
+      val nameIdx = args.indexOf("jobs") + 1
+      if (nameIdx >= args.length) {
+        println("usage: DevProfile <sfDir> jobs <name1,name2,...>")
+        spark.stop(); return
+      }
+      import org.apache.spark.scheduler._
+      import scala.collection.concurrent.TrieMap
+      val jobStart = TrieMap.empty[Int, (Long, String, Int)]
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val stageTasks = TrieMap.empty[Int, Int]
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          jobStart(j.jobId) = (System.nanoTime(), desc, j.stageInfos.size)
+        }
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          stageTasks(s.stageInfo.stageId) = s.stageInfo.numTasks
+        override def onJobEnd(j: SparkListenerJobEnd): Unit =
+          jobStart.remove(j.jobId).foreach { case (t0, desc, nStages) =>
+            lines.add(f"  job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%8.3f s  stages=$nStages%-3d $desc")
+          }
+      })
+      args(nameIdx).split(",").foreach { n =>
+        val fn = SparkEntry.queries(n)
+        // warm
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => println(s"$n warm failed: $e") }
+        spark.catalog.clearCache()
+        lines.clear()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => println(s"$n measured failed: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // drain listener events
+        println(f"===== $n  total ${dt}%.3f s =====")
+        lines.forEach(l => println(l))
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
     val docs = Tables.documents(spark, sfDir)
     docs.count()
 

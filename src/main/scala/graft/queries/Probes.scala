@@ -38,6 +38,14 @@ object Probes {
 
   /** 1/16 of keys: md5 first hex digit = 0. */
   private val Hex16 = Seq("0")
+  /** 1/16 of keys, digit 5: the range-join probe's cut. Digit 0 selects
+    * ZERO output rows at sf0.001 — of the 5 interval_ids there, only the
+    * digit-5 interval's ±2 h window contains any view event — and an
+    * empty declared query fails the driver's rows>0 smoke check (and
+    * ContractSpec). Any single digit is the same uniform 1/16 fraction
+    * at sf10, so the twin-feasibility bound (~34 M fetched rows) holds
+    * unchanged. */
+  private val Hex16RJ = Seq("5")
   /** 1/4 of keys: md5 first hex digit in 0-3. */
   private val Hex4 = Seq("0", "1", "2", "3")
 
@@ -119,7 +127,7 @@ object Probes {
     * 1/16 cut bounds the fetched frame at ~34 M rows. */
   private val rangeJoinProbe: Q = (s, dir) =>
     Behavioral.queries("q_range_join")(s, dir)
-      .filter(md5Sel(col("interval_id"), Hex16))
+      .filter(md5Sel(col("interval_id"), Hex16RJ))
       .orderBy("interval_id", "event_id")
 
   val queries: Map[String, Q] = Map(
@@ -142,5 +150,5 @@ object Probes {
     "q_hits_probe" ->
       Relational4.hitsSqlOver(sqlSel("doc_id // 50", Hex4)),
     "q_range_join_probe" ->
-      Behavioral.rangeJoinSqlOver(sqlSel("event_id", Hex16)))
+      Behavioral.rangeJoinSqlOver(sqlSel("event_id", Hex16RJ)))
 }
