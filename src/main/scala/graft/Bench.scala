@@ -70,6 +70,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floor (guide §2.2/§2.5). parallelismFirst (default
+      // true) already aims post-shuffle parallelism at the session's core
+      // count, but its 1 MiB minPartitionSize floor — tuned for clusters
+      // where a task's scheduling overhead is network-bound — collapses any
+      // compact-typed intermediate below ~32 MiB to a handful of tasks, so
+      // CPU-dense reduce stages (rolling windows, shingle aggregates) ran
+      // 1-wide at bench SFs (measured: q_rolling_corr 4.7 s -> 1.9 s (64 KiB),
+      // etl_tx_features 4.3 s -> 1.8 s; 128 KiB keeps ~95% of that while costing multi-round tiny-stage queries like text_bpe_merges least). At production
+      // scale every post-shuffle partition is >= the advisory size, so a
+      // 64 KiB floor is inert there — this is a floor for small inputs, not
+      // a cluster tuning. Env-overridable for cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "128k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

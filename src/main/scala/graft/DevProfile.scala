@@ -11,6 +11,9 @@ object DevProfile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // mirror Bench's session config so profiles measure the bench plan
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "128k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -58,8 +61,13 @@ object DevProfile {
             .getOrElse("")
           jobStart(j.jobId) = (System.nanoTime(), desc, j.stageInfos.size)
         }
-        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
           stageTasks(s.stageInfo.stageId) = s.stageInfo.numTasks
+          val i = s.stageInfo
+          val dt = (for {a <- i.completionTime; b <- i.submissionTime}
+            yield (a - b) / 1e3).getOrElse(-1.0)
+          lines.add(f"    stage ${i.stageId}%4d ${dt}%7.3f s tasks=${i.numTasks}%-4d ${i.name.take(90)}")
+        }
         override def onJobEnd(j: SparkListenerJobEnd): Unit =
           jobStart.remove(j.jobId).foreach { case (t0, desc, nStages) =>
             lines.add(f"  job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%8.3f s  stages=$nStages%-3d $desc")

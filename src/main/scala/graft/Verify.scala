@@ -27,6 +27,11 @@ object Verify {
       // it). 16 MiB is the same knob a real cluster tunes for its
       // executor count; tiny driver fixtures still get 1 split.
       .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+      // same AQE coalescing floor as Bench (see Bench.scala): keeps
+      // CPU-dense reduce stages at the session's parallelism on small
+      // inputs; inert at scale where partitions exceed the advisory size
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "128k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *      passes; the driver holds only an O(#buckets) offset table);
   *   2. group rows into consecutive rank blocks of `B ≥ w` rows — each
   *      block is one window task, #blocks ≈ 2× parallelism;
-  *   3. copy each block's last `w−1` rows into the NEXT block as halo rows
-  *      (`B ≥ w` guarantees one block of lookback suffices);
+  *   3. fan each block's last `w−1` rows into the NEXT block as halo rows
+  *      (`B ≥ w` guarantees one block of lookback suffices) — one generate
+  *      over the ranked frame, so the rank pass is planned/executed once;
   *   4. run the rolling aggregate inside a block-PARTITIONED window — every
   *      row's frame rows are physically present in its block, so the value
   *      is bit-identical to the global window (halo rows, whose own frames
@@ -49,7 +50,7 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRolling {
 
-  private val HelperCols = Seq("__bucket", "rank", "__rrank", "__grp", "__halo")
+  private val HelperCols = Seq("__bucket", "rank", "__rrank", "__grp", "__halo", "__d")
 
   /** How the input is materialized before the rank/stats/window passes. */
   sealed trait Snapshot
@@ -124,14 +125,26 @@ object DistributedRolling {
     def grp(shift: Long) =
       floor((col("__rrank") - 1L) / lit(block.toDouble)).cast("long") + lit(shift)
 
-    val main = ranked
-      .withColumn("__grp", grp(0L))
-      .withColumn("__halo", lit(false))
-    val halo = ranked
-      .filter(pmod(col("__rrank") - 1L, lit(block)) >= lit(block - (window - 1L)))
-      .withColumn("__grp", grp(1L))
-      .filter(col("__grp") <= lit(maxGrp))
-      .withColumn("__halo", lit(true))
+    // Fan each row to its destination block(s) with ONE generate instead of
+    // a two-branch union: the union's halo branch re-planned the whole
+    // rank pass (Exchange + Sort + Window) a second time — Spark does not
+    // reuse the exchange across the branches — so every input row paid the
+    // bucket shuffle and rank window twice (r13 profile: 2 × 1.8 s of the
+    // 4.7 s q_rolling_corr wall at sf0.1; at scale, one full extra shuffle
+    // +sort of the table). A row in the last `window−1` positions of its
+    // block is emitted twice (own block + next block as halo); everything
+    // else once. Same row multiset as the old union, one exchange fewer.
+    val mainDest = struct(grp(0L).as("g"), lit(false).as("h"))
+    val haloDest = struct(grp(1L).as("g"), lit(true).as("h"))
+    val dests = when(
+      pmod(col("__rrank") - 1L, lit(block)) >= lit(block - (window - 1L)) &&
+        grp(1L) <= lit(maxGrp),
+      array(mainDest, haloDest)).otherwise(array(mainDest))
+    val fanned = ranked
+      .select(col("*"), explode(dests).as("__d"))
+      .withColumn("__grp", col("__d").getField("g"))
+      .withColumn("__halo", col("__d").getField("h"))
+      .drop("__d")
 
     val w = Window.partitionBy("__grp").orderBy(col("__rrank"))
       .rowsBetween(-(window - 1), Window.currentRow)
@@ -164,7 +177,7 @@ object DistributedRolling {
           acc :+ Vector(name -> c)
         else acc.init :+ (acc.last :+ (name -> c))
     }
-    val out = batches.foldLeft(main.unionByName(halo)) { (d, batch) =>
+    val out = batches.foldLeft(fanned) { (d, batch) =>
       d.select(col("*") +: batch.map { case (n, c) => c.as(n) }: _*)
     }
     out.filter(!col("__halo")).drop("__rrank", "__grp", "__halo")

@@ -347,8 +347,12 @@ object Relational6 {
     * engines — and only the SUMS need order independence. */
   private val corrMatrix: Q = (s, dir) => {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val li = Tables.lineitem(s, dir)
-      .select(cols.map(col): _*)
+    // spread the projected 4-double frame: the 14 decimal-exact moment
+    // sums are the cost, and the single-split scan pinned them to one core
+    // (r13 profile: 3.1 s in one task); the spread shuffle carries ~32
+    // bytes/row and the partial aggregates then run at full parallelism
+    val li = Tables.spread(Tables.lineitem(s, dir)
+      .select(cols.map(col): _*))
     val aggs = Seq(count(lit(1)).as("n")) ++
       cols.map(c => Num.dsum(col(c), 6).as(s"s_$c")) ++
       cols.map(c => Num.dsum(col(c) * col(c), 6).as(s"ss_$c")) ++

@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
 object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Round-robin spread of a (projected-narrow) frame across the session's
+    * cores when the scan has fewer partitions — the driver fixtures are
+    * single-row-group parquet files, so a scan is ONE input split and any
+    * CPU-dense stage pipelined onto it runs on one core (the
+    * [[graft.dedup.Dedup]]/Domain spread pattern, shared). Project to the
+    * needed columns BEFORE spreading so the exchange carries only them
+    * (guide §2.3). At real scale inputs have >= cores splits and this is a
+    * no-op — nothing is shuffled there. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // toRdd, not .rdd: partition count needs only the physical plan
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
