@@ -137,9 +137,15 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** `dedupPairs = false` skips the final pair-level distinct — for
+    * consumers that only ever reduce the pairs to a candidate-DOC set
+    * ([[nearDuplicates]]'s verify restriction), where the downstream
+    * id-distinct subsumes it and the pair shuffle is pure overhead. The
+    * contract entries (`dedup_lsh_pairs`) keep the deduplicated form. */
   private[graft] def lshFromSignatures(sigs: DataFrame,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    bandKeys(sigs)
+      maxBucket: Int = DefaultMaxBucket,
+      dedupPairs: Boolean = true): DataFrame = {
+    val pairs = bandKeys(sigs)
       .groupBy(col("band"), col("sig"),
         pmod(col("doc_id"), lit(BucketSalts)).as("salt"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
@@ -151,7 +157,7 @@ object Dedup {
         transform(filter(col("ids"), y => y > x),
           y => struct(x.as("d1"), y.as("d2")))))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .distinct()
+    if (dedupPairs) pairs.distinct() else pairs
   }
 
   /** LSH candidate pairs over a document frame. */
@@ -310,7 +316,9 @@ object Dedup {
       threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val sh = shingled(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshFromSignatures(minhashFromShingles(sh))
+    // dedupPairs = false: cand only feeds the candidate-ID set below, whose
+    // own distinct subsumes the pair-level one — one full pair shuffle saved
+    val cand = lshFromSignatures(minhashFromShingles(sh), dedupPairs = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()

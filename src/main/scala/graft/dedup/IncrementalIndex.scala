@@ -103,13 +103,20 @@ object IncrementalIndex {
       .join(idx.bands, Seq("band", "sig"))
       .select(col("doc_id"), col("ex_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both digest frames feed their size aggregate AND the verify join —
+    // persisted, or the semi-join + md5-digest pass over every candidate
+    // doc's shingles executes twice (r13 profile: the duplicated corpus-side
+    // pass was ~2 s of dedup_incremental's 5.4 s wall at sf0.1, and at scale
+    // it is a second full pass over the matched index rows)
     val a = shInc.join(cand.select("doc_id").distinct(),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), unhex(md5(col("shingle"))).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = idx.shingles.join(
         cand.select(col("ex_id").as("doc_id")).distinct()
           .withColumnRenamed("doc_id", "ex_id"),
         Seq("ex_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val na = a.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val nb = b.groupBy("ex_id").agg(count(lit(1)).as("nb"))
     val near = a.join(b, "d")
@@ -125,6 +132,6 @@ object IncrementalIndex {
           .when(col("near_match").isNotNull, "near_dup")
           .otherwise("keep").as("verdict"))
       .orderBy("doc_id")
-    (out, Seq(shInc, cand))
+    (out, Seq(shInc, cand, a, b))
   }
 }

@@ -2668,19 +2668,31 @@ object Extensions {
     * frame with doc_id + text) having at least [[SpanK]] tokens — the
     * shared core of [[textNovelty]] and [[textCuration]]. */
   private def noveltyFrameOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("t"))
       .filter(size(col("t")) >= SpanK)
+    // n_windows is arithmetic on the token count — no explode pass needed
+    // (the old per-doc COUNT over the exploded windows re-ran the whole
+    // tokenize→window→md5 map stage a second time; guide §2.4)
+    val perDoc = toks.select(col("doc_id"),
+      (size(col("t")) - (SpanK - 1)).cast("long").as("n_windows"))
     val wins = toks.select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(1, size(t) - ${SpanK - 1}),
              |  i -> md5(concat_ws(' ', slice(t, i, $SpanK))))""".stripMargin))
           .as("h"))
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("h")
-    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-    val dupPerDoc = wins.join(dup, Seq("h"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    // n_dup = windows whose hash occurs globally ≥ 2 times, WITH
+    // multiplicity: one map-side-combinable (h, doc) count, a global
+    // per-hash total as a window over the h clustering, then the per-doc
+    // sum — same three exchanges as the old dup-set join plan, but the
+    // explode runs once instead of three times and the hash self-join
+    // disappears. Values are identical: Σ k over (h, doc) with tot ≥ 2
+    // ≡ count of window rows whose h is in the ≥2 set.
+    val dupPerDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("k"))
+      .withColumn("tot", sum(col("k")).over(Window.partitionBy("h")))
+      .filter(col("tot") >= 2)
+      .groupBy("doc_id").agg(sum(col("k")).as("n_dup"))
     perDoc.join(dupPerDoc, Seq("doc_id"), "left")
       .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
       .select(col("doc_id"), col("n_windows"), col("n_dup"),
@@ -2742,6 +2754,11 @@ object Extensions {
              |  i -> md5(concat_ws(' ', slice(t, i, $SpanK))))""".stripMargin))
           .as("h"))
       .distinct()
+      // persisted: feeds per-source counts + both self-join sides — the
+      // tokenize→window→md5 explode + distinct shuffle otherwise re-executes
+      // per consumer (the join sides share one exchange via ReuseExchange,
+      // the per-source count does not)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perSrc = wins.groupBy("source").agg(count(lit(1)).as("n"))
     wins.as("a").join(wins.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -2803,16 +2820,26 @@ object Extensions {
     * Short docs and non-keepers have NULL novelty: the NULL comparison
     * falls through the CASE identically on both engines. */
   private[queries] def curationFrame(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    // keeper = min doc_id over the digest PARTITION (same value set the old
+    // groupBy+self-join produced, one exchange instead of two plan branches)
+    // and the frame is persisted: it feeds the verdict projection AND the
+    // canonical-doc novelty chain — unpersisted, the tokenize + quality +
+    // md5 scan re-executed 4-6× across the branches (text_curation was
+    // 3.2 s at sf0.1; this frame also backs pipeline_corpus, q_feature_gain
+    // and text_domain_curation). Evictable blocks, recompute fallback.
+    val withKeeper = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("quality_score", TextOps.qualityScore(col("text"), col("toks")))
       .withColumn("h", md5(col("text")))
-    val canon = base.groupBy("h").agg(min(col("doc_id")).as("keeper"))
-    val canonDocs = base.join(canon, Seq("h"))
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy("h")))
+      .drop("toks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonDocs = withKeeper
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"))
-    base.join(canon, Seq("h"))
+    withKeeper
       .join(noveltyFrameOf(canonDocs).select("doc_id", "novelty"),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"), col("quality_score"), col("novelty"),

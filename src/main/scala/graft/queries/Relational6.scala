@@ -119,6 +119,10 @@ object Relational6 {
   private val assocRules: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
     val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    // NOT persisted: the distinct's exchange is identical under every
+    // consumer (basket count, item counts, both self-join sides), so
+    // ReuseExchange already materializes it once — an explicit persist was
+    // tried in r13 and measured pure overhead (2.29 s → 2.63 s at sf0.1)
     val baskets = li.join(pt, li("l_partkey") === pt("p_partkey"))
       .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
       .distinct()
@@ -748,40 +752,39 @@ object Relational6 {
     * doc-partitioned window or a pair-keyed aggregate; the top-1 cut is
     * TakeOrdered; the pair table never leaves the cluster. Returns the
     * round's summary (1 row) and the rebuilt frame. */
-  private def bpeMergeRound(seq: DataFrame): (DataFrame, DataFrame) = {
+  /** One BPE merge round's REBUILD over the lead-augmented frame `d`,
+    * with the round's top pair given as driver literals: the candidate
+    * flag, the islands trick (runs of consecutive candidate pos share
+    * `pos − running-candidate-count`), the odd-index greedy pick within
+    * each run, and the consumed-successor drop are ALL window functions
+    * over the one doc_id hash partitioning (`Window.partitionBy(doc_id,
+    * grp)` is satisfied by hash(doc_id) clustering, so it adds a local
+    * sort, never an exchange). The round-1 form of this rebuild ran the
+    * candidate set through two extra window exchanges and re-attached it
+    * with two (doc_id, pos) sort-merge joins — 4 more shuffles per round
+    * carrying the whole symbol frame (r13 profile: 45 driver jobs,
+    * 7.3 s at sf0.1 for the 3-round entry). Greedy semantics are
+    * byte-identical: idx-within-run parity is (candRank − first
+    * candRank of run) evenness. */
+  private def bpeRebuild(d: DataFrame, s1: String, s2: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    // the lead-augmented frame is read by the pair count, the candidate
-    // scan, and the rebuild — materialize its window sort once
-    val d = seq.withColumn("nxt", lead("sym", 1).over(w)).localCheckpoint()
-    val top = d.filter(col("nxt").isNotNull)
-      .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
-      .agg(count(lit(1)).as("pair_count"))
-      .orderBy(col("pair_count").desc, col("s1"), col("s2")).limit(1)
-    val cand = d.crossJoin(broadcast(top))
-      .filter(col("sym") === col("s1") && col("nxt") === col("s2"))
-      .select(col("doc_id"), col("pos"))
-    val merges = cand
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .withColumn("idx",
-        row_number().over(Window.partitionBy("doc_id", "grp")
-          .orderBy("pos")))
-      .filter(col("idx") % 2 === 1)
-      .select(col("doc_id"), col("pos"))
-    val consumed = merges.select(col("doc_id"), (col("pos") + 1).as("pos"))
-    val next = d
-      .join(merges.withColumn("m", lit(true)), Seq("doc_id", "pos"), "left")
-      .join(consumed.withColumn("x", lit(true)), Seq("doc_id", "pos"),
-        "left")
-      .filter(col("x").isNull)
-      .select(col("doc_id"), col("pos"),
-        when(col("m"), concat(col("sym"), lit(" "), col("nxt")))
-          .otherwise(col("sym")).as("sym0"))
+    d.withColumn("__c",
+        when(col("sym") === lit(s1) && col("nxt") === lit(s2), 1L)
+          .otherwise(0L))
+      .withColumn("__cr", sum(col("__c")).over(w))
+      .withColumn("__grp", col("pos") - col("__cr"))
+      // min over the whole (doc, grp) partition; restricted to candidate
+      // rows because a non-candidate row just before a run shares its grp
+      .withColumn("__c0", min(when(col("__c") === 1L, col("__cr")))
+        .over(Window.partitionBy("doc_id", "__grp")))
+      .withColumn("__m", col("__c") === 1L &&
+        pmod(col("__cr") - col("__c0"), lit(2L)) === 0L)
+      .withColumn("__x", coalesce(lag("__m", 1).over(w), lit(false)))
+      .filter(!col("__x"))
       .select(col("doc_id"), row_number().over(w).as("pos"),
-        col("sym0").as("sym"))
-    val stats = next.agg(countDistinct("sym").as("vocab_after"),
-      count(lit(1)).as("tokens_after"))
-    (top.crossJoin(stats), next)
+        when(col("__m"), concat(col("sym"), lit(" "), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
   }
 
   /** Distributed BPE-style pair-merge training at token granularity —
@@ -802,19 +805,56 @@ object Relational6 {
     * ENCODE half of the tokenizer: after training, `seq` IS the corpus
     * segmented under the learned merges, so per-doc encode statistics
     * read straight off it without a second apply pass. */
+  /** `needSummary = false` (the ENCODE path, which only consumes the final
+    * symbol frame) skips the per-round top-pair/vocab bookkeeping jobs that
+    * exist solely for the merge-table output — the returned summary frame
+    * is empty there. */
   private[graft] def bpeMergeRoundsWithSeq(docs: DataFrame,
-                                           rounds: Int): (DataFrame, DataFrame) = {
+                                           rounds: Int,
+                                           needSummary: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     val toks = docs.select(col("doc_id"),
       posexplode(graft.text.TextOps.tokens(col("text")))
         .as(Seq("pos", "sym")))
-    var seq = toks
-    val out = (1 to rounds).map { r =>
-      val (row, next) = bpeMergeRound(seq)
-      seq = next
-      row.select(lit(r).as("round"), col("s1"), col("s2"),
-        col("pair_count"), col("vocab_after"), col("tokens_after"))
+    // the lead-augmented frame is read by the pair count and the rebuild —
+    // materialize its window sort once per round; the NEXT round's
+    // checkpoint doubles as this round's stats source, so a round is
+    // exactly three jobs (top-1 TakeOrdered, rebuild checkpoint, 2-long
+    // stats agg over the checkpointed blocks)
+    var d = toks.withColumn("nxt", lead("sym", 1).over(w)).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      // the top pair is ONE row — a driver-side take, like the sketch
+      // summaries (kllQuantile et al.): as a broadcast subquery it was
+      // re-aggregated once per consumer (candidate scan + summary row)
+      val topRows = d.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
+        .agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("s1"), col("s2")).limit(1)
+        .collect()
+      // no adjacent pair anywhere (all docs single-symbol): the round
+      // merges nothing and emits no summary row, like the join form did
+      if (topRows.nonEmpty) {
+        val s1 = topRows(0).getString(0)
+        val s2 = topRows(0).getString(1)
+        val cnt = topRows(0).getLong(2)
+        d = bpeRebuild(d, s1, s2)
+          .withColumn("nxt", lead("sym", 1).over(w)).localCheckpoint()
+        if (needSummary) {
+          val st = d.agg(countDistinct("sym").as("v"), count(lit(1)).as("t"))
+            .collect()(0)
+          out += ((r, s1, s2, cnt, st.getLong(0), st.getLong(1)))
+        }
+      }
     }
-    (out.reduce(_ unionByName _).orderBy("round"), seq)
+    (out.toSeq
+      .toDF("round", "s1", "s2", "pair_count", "vocab_after", "tokens_after")
+      .orderBy("round"),
+      d.drop("nxt"))
   }
 
   private val bpeMerges: Q = (s, dir) =>
@@ -828,7 +868,8 @@ object Relational6 {
     * 3-round chain and aggregates the same frame, so the whole
     * train-then-apply story is hash-checked end to end. */
   private val bpeEncode: Q = (s, dir) => {
-    val seq = bpeMergeRoundsWithSeq(Tables.documents(s, dir), 3)._2
+    val seq = bpeMergeRoundsWithSeq(Tables.documents(s, dir), 3,
+      needSummary = false)._2
     seq.groupBy("doc_id")
       .agg(sum(size(split(col("sym"), " "))).cast("long").as("n_tokens_before"),
         count(lit(1)).as("n_tokens_after"),

@@ -173,11 +173,22 @@ object Sketches {
       .select(col("g"), col("v"), col("id"),
         expr(s"(i - 1) div $k").as("chunk"), lit(1L).as("w"))
       .localCheckpoint(true)
-    var gmx = cur.agg(max("chunk")).collect()(0).getLong(0)
-    while (gmx > 0) {
-      val tmx = cur.groupBy("g").agg(max("chunk").as("tmx"))
+    // The whole halving schedule is driver-arithmetic over the per-group
+    // counts ALREADY collected for the rank offsets: a group's chunks are
+    // contiguous 0..(cnt_g-1) div k by construction, a frozen group (tmx=0)
+    // passes through unchanged, and an active group's contiguous 0..tmx
+    // range maps to contiguous 0..tmx div 2 — so per-group maxima never
+    // need a data pass. This removes, per round, one groupBy-max job, one
+    // BroadcastExchange + join, and one global-max collect job (the loop
+    // ran 3 jobs/round; now the round's only job is its checkpoint).
+    val cnts: Map[String, Long] = rawOff
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).sum }
+    var tmx: Map[String, Long] = cnts.map { case (g, c) => g -> (c - 1) / k }
+    while (tmx.values.exists(_ > 0)) {
+      val tmxCol = element_at(typedlit(tmx), col("g"))
       val pw = Window.partitionBy("g", "nc").orderBy("v", "id")
-      cur = cur.join(broadcast(tmx), "g")
+      cur = cur.withColumn("tmx", tmxCol)
         .withColumn("nc", expr("chunk div 2"))
         .withColumn("rn", row_number().over(pw))
         .withColumn("w2", col("w") + coalesce(lead("w", 1).over(pw), lit(0L)))
@@ -187,7 +198,7 @@ object Sketches {
             .as("chunk"),
           when(col("tmx") === 0, col("w")).otherwise(col("w2")).as("w"))
         .localCheckpoint(true)
-      gmx = cur.agg(max("chunk")).collect()(0).getLong(0)
+      tmx = tmx.map { case (g, m) => g -> m / 2 }
     }
     cur
   }

@@ -97,10 +97,34 @@ object VectorOps {
     * dedup. */
   def cosinePairsBy(emb: DataFrame, threshold: Double,
                     blockCol: String,
-                    maxBlock: Int = PairBlockCap): DataFrame = {
+                    maxBlock: Int = PairBlockCap): DataFrame =
+    cosinePairsByWithCaches(emb, threshold, blockCol, maxBlock)._1
+
+  /** [[cosinePairsBy]] exposing its persisted normed frame for callers
+    * that manage cache lifetime ([[cosinePairsLshManaged]] et al.).
+    * `persistNorm = false` skips the norm-frame persist — for callers whose
+    * input frame is ALREADY a cached leaf (the LSH bucket frame, the
+    * persisted semDedup assignment), where re-deriving the norm per branch
+    * is one cheap fold over cached blocks and a second materialization just
+    * adds blocks and a stage boundary (measured: emb_lsh_pairs_banded
+    * 1.01 s → 1.54 s with the double persist). */
+  private[graft] def cosinePairsByWithCaches(emb: DataFrame, threshold: Double,
+                    blockCol: String,
+                    maxBlock: Int = PairBlockCap,
+                    persistNorm: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     graft.functions.FixedDotFunctions.register(emb.sparkSession)
-    val withNorm = emb.select(col("vec_id"), col(blockCol),
+    // persisted (by default): the normed frame feeds the occupancy gate plus
+    // BOTH sides of the in-block self-join (and, in the hot regime, the
+    // sized/banded branches) — without the persist the upstream DAG (often
+    // an assignToCentroids k-fold projection) re-executed once per plan
+    // branch: 3-5× the dominant per-row cost at every scale (r13 profile:
+    // four ~0.8 s single-stage jobs in sim_semdedup_banded, all the same
+    // subtree). Blocks are evictable with recompute fallback.
+    val normed = emb.select(col("vec_id"), col(blockCol),
       col("embedding"), norm(col("embedding")).as("nrm"))
+    val withNorm = if (persistNorm)
+      normed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else normed
 
     def pairsWithin(src: DataFrame, keys: Seq[String]): DataFrame = {
       val a = src.select(keys.map(col) :+ col("vec_id").as("v1") :+
@@ -129,7 +153,8 @@ object VectorOps {
     val counts = withNorm.groupBy(blockCol).agg(count(lit(1)).as("blk_n"))
     val anyHot = !counts.filter(col("blk_n") > maxBlock).isEmpty
     if (!anyHot)
-      return pairsWithin(withNorm, Seq(blockCol)).orderBy("v1", "v2")
+      return (pairsWithin(withNorm, Seq(blockCol)).orderBy("v1", "v2"),
+        if (persistNorm) Seq(withNorm) else Nil)
 
     val sized = withNorm.join(counts, blockCol)
 
@@ -148,7 +173,8 @@ object VectorOps {
       pairsWithin(hot.withColumn("band", band), Seq(blockCol, "band"))
     }.reduce(_.unionByName(_)).dropDuplicates("v1", "v2")
 
-    exact.unionByName(hotPairs).orderBy("v1", "v2")
+    (exact.unionByName(hotPairs).orderBy("v1", "v2"),
+      if (persistNorm) Seq(withNorm) else Nil)
   }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
@@ -172,10 +198,16 @@ object VectorOps {
   def semDedup(emb: DataFrame, cents: Seq[(Int, Array[Double])],
                threshold: Double,
                maxBlock: Int = PairBlockCap): DataFrame = {
+    // persisted: the assigned frame feeds the pair chain AND the final
+    // per-cluster aggregate — without it the assignToCentroids k-fold
+    // projection (the dominant per-row cost) re-executes for the final
+    // join as well. Evictable blocks, recompute fallback.
     val assigned = assignToCentroids(emb, cents)
       .select(col("vec_id"), col("assigned_label").as("cluster"),
         col("embedding"))
-    val prunedIds = cosinePairsBy(assigned, threshold, "cluster", maxBlock)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prunedIds = cosinePairsByWithCaches(assigned, threshold, "cluster",
+      maxBlock, persistNorm = false)._1
       .select(col("v2").as("vec_id")).distinct()
     assigned
       .join(prunedIds.withColumn("is_pruned", lit(1)), Seq("vec_id"), "left")
@@ -387,7 +419,9 @@ object VectorOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the pairing discipline (exact ≤ cap, sorted-neighborhood banding
     // above) is cosinePairsBy's, with the LSH bucket as the block key
-    (cosinePairsBy(withB, threshold, "bucket", maxBlock), Seq(withB))
+    val (pairs, inner) = cosinePairsByWithCaches(withB, threshold, "bucket",
+      maxBlock, persistNorm = false)
+    (pairs, withB +: inner)
   }
 
   // ------------------------------------------------------------------ IVF
