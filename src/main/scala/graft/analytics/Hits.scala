@@ -44,21 +44,37 @@ object Hits {
       .distinct().localCheckpoint(true)
 
     // pull `score` along `from`→`to`, decimal-exact, 0 for nodes with no
-    // incoming contribution; then divide by the L2 norm (1-row broadcast)
+    // incoming contribution; then divide by the L2 norm. The squared-sum
+    // rides the half-step's checkpoint job as an observed metric (the
+    // connectedComponents pattern) — as a separate 1-row aggregate +
+    // broadcast it cost one extra job per half-step, 2·iters jobs per run.
+    // sqrt on the driver is the same java.lang.Math.sqrt the SQL sqrt
+    // applies, on the same Decimal(38,12)→double cast, so the normalized
+    // scores are bit-identical to the broadcast form.
+    var step = 0
     def pull(scores: DataFrame, from: String, to: String,
              out: String): DataFrame = {
-      val raw = nodes.join(
+      step += 1
+      val metric = s"hits_ss_$step"
+      val observed = nodes.join(
         edges.join(scores, edges(from) === scores("id"))
           .groupBy(edges(to).as("id"))
           .agg(sum(col("s").cast(Dec)).cast("double").as("raw")),
         Seq("id"), "left")
         .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
-        .localCheckpoint(true)
-      val norm = raw.agg(
-        sqrt(sum((col("raw") * col("raw")).cast(Dec)).cast("double"))
-          .as("nrm"))
-      raw.crossJoin(broadcast(norm))
-        .select(col("id"), (col("raw") / col("nrm")).as(out))
+        .observe(metric, sum((col("raw") * col("raw")).cast(Dec)).as("ss"))
+      val raw = observed.localCheckpoint(true)
+      val ss = observed.queryExecution.observedMetrics.get(metric) match {
+        case Some(row) if !row.isNullAt(row.fieldIndex("ss")) =>
+          Some(row.getDecimal(row.fieldIndex("ss")))
+        case Some(_) => None // empty frame: SUM is null
+        case None => // metric miss: scan the checkpointed leaf
+          Option(raw.agg(sum((col("raw") * col("raw")).cast(Dec)).as("ss"))
+            .collect()(0).getDecimal(0))
+      }
+      val nrm = ss.map(v => lit(math.sqrt(v.doubleValue)))
+        .getOrElse(lit(null).cast("double"))
+      raw.select(col("id"), (col("raw") / nrm).as(out))
     }
 
     var h = nodes.withColumn("s", lit(1.0))

@@ -41,31 +41,58 @@ object PageRank {
   def run(edges: DataFrame, iters: Int,
           damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val nodes = edges.select(col("src").as("id"))
+    val Dec = DecimalType(38, 12)
+    // node spine carries a dangling FLAG so each iteration's dangling mass
+    // can ride that iteration's checkpoint as an observed metric — the old
+    // form paid a separate semi-join aggregate + 1-row broadcast per
+    // iteration, and kept NO lineage cut at all (every iteration's plan
+    // embedded two copies of the previous one; only AQE exchange reuse
+    // kept execution from going exponential, at growing planning cost).
+    // The flag join replaces the anti-join: __dang=1 iff no outgoing edge.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").localCheckpoint(true) // read every iter
+    val base = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
-    val n = nodes.count()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src")
-    val dangling = nodes.join(
-      deg.select(col("src").as("id")), Seq("id"), "left_anti")
-    var pr = nodes.withColumn("pr", lit(1.0) / lit(n))
+      .join(deg.select(col("src").as("id"), lit(1).as("__out")),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("__out").isNull, 1).otherwise(0).as("__dang"))
+      .localCheckpoint(true) // read every iteration + at init
+    val n = base.count()
+    // dm(pr) = Σ pr over dangling nodes, decimal-exact — identical addend
+    // set to the old semi-join form (the when() keeps exactly those rows)
+    def dmAgg = coalesce(
+      sum(when(col("__dang") === 1, col("pr")).cast(Dec)),
+      lit(0).cast(Dec)).cast("double")
+    var step = 0
+    def ckpt(df: DataFrame): (DataFrame, Double) = {
+      step += 1
+      val metric = s"pr_dm_$step"
+      val observed = df.observe(metric, dmAgg.as("dm"))
+      val out = observed.localCheckpoint(true)
+      val dm = observed.queryExecution.observedMetrics.get(metric) match {
+        case Some(row) if !row.isNullAt(row.fieldIndex("dm")) =>
+          row.getAs[Double]("dm")
+        case _ => out.agg(dmAgg.as("dm")).collect()(0).getDouble(0)
+      }
+      (out, dm)
+    }
+    var (pr, dm) = ckpt(base.withColumn("pr", lit(1.0) / lit(n)))
     for (_ <- 1 to iters) {
       val contrib = ed.join(pr, ed("src") === pr("id"))
         .select(ed("dst").as("id"), (col("pr") / col("deg")).as("c"))
       val mass = contrib.groupBy("id")
-        .agg(sum(col("c").cast(DecimalType(38, 12))).cast("double").as("m"))
-      val dm = pr.join(dangling, Seq("id"), "left_semi")
-        .agg(coalesce(sum(col("pr").cast(DecimalType(38, 12))),
-          lit(0).cast(DecimalType(38, 12))).cast("double").as("dm"))
-      pr = nodes.join(mass, Seq("id"), "left")
-        .crossJoin(broadcast(dm))
-        .select(col("id"),
+        .agg(sum(col("c").cast(Dec)).cast("double").as("m"))
+      val r = ckpt(base.join(mass, Seq("id"), "left")
+        .select(col("id"), col("__dang"),
           (lit(1.0 - damping) / lit(n) +
             lit(damping) * (coalesce(col("m"), lit(0.0)) +
-              col("dm") / lit(n))).as("pr"))
+              lit(dm) / lit(n))).as("pr")))
+      pr = r._1
+      dm = r._2
     }
-    pr
+    pr.select("id", "pr")
   }
 
   /** Personalized PageRank: teleport (and dangling) mass returns to the
@@ -80,34 +107,53 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val nS = seeds.distinct().count()
     require(nS >= 1, "seeds must be non-empty")
+    val Dec = DecimalType(38, 12)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
       .join(seeds.distinct().select(col("id"), lit(1).as("is_seed")),
         Seq("id"), "left")
+      .join(deg.select(col("src").as("id"), lit(1).as("__out")),
+        Seq("id"), "left")
       .select(col("id"), when(col("is_seed") === 1, lit(1.0) / nS)
-        .otherwise(lit(0.0)).as("sv"))
+        .otherwise(lit(0.0)).as("sv"),
+        when(col("__out").isNull, 1).otherwise(0).as("__dang"))
       .localCheckpoint(true) // referenced every iteration + by the result
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src")
-    val dangling = nodes.join(
-      deg.select(col("src").as("id")), Seq("id"), "left_anti")
-    var pr = nodes.select(col("id"), col("sv").as("pr"))
+    val ed = edges.join(deg, "src").localCheckpoint(true) // read every iter
+    // dangling mass rides each iteration's checkpoint as an observed
+    // metric (same rationale and same addend set as in [[run]])
+    def dmAgg = coalesce(
+      sum(when(col("__dang") === 1, col("pr")).cast(Dec)),
+      lit(0).cast(Dec)).cast("double")
+    var step = 0
+    def ckpt(df: DataFrame): (DataFrame, Double) = {
+      step += 1
+      val metric = s"ppr_dm_$step"
+      val observed = df.observe(metric, dmAgg.as("dm"))
+      val out = observed.localCheckpoint(true)
+      val dm = observed.queryExecution.observedMetrics.get(metric) match {
+        case Some(row) if !row.isNullAt(row.fieldIndex("dm")) =>
+          row.getAs[Double]("dm")
+        case _ => out.agg(dmAgg.as("dm")).collect()(0).getDouble(0)
+      }
+      (out, dm)
+    }
+    var (pr, dm) =
+      ckpt(nodes.select(col("id"), col("sv"), col("__dang"),
+        col("sv").as("pr")))
     for (_ <- 1 to iters) {
       val contrib = ed.join(pr, ed("src") === pr("id"))
         .select(ed("dst").as("id"), (col("pr") / col("deg")).as("c"))
       val mass = contrib.groupBy("id")
-        .agg(sum(col("c").cast(DecimalType(38, 12))).cast("double").as("m"))
-      val dm = pr.join(dangling.select("id"), Seq("id"), "left_semi")
-        .agg(coalesce(sum(col("pr").cast(DecimalType(38, 12))),
-          lit(0).cast(DecimalType(38, 12))).cast("double").as("dm"))
-      pr = nodes.join(mass, Seq("id"), "left")
-        .crossJoin(broadcast(dm))
-        .select(col("id"),
-          ((lit(1.0 - damping) + lit(damping) * col("dm")) * col("sv") +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-        .localCheckpoint(true) // pr is read twice next iteration
+        .agg(sum(col("c").cast(Dec)).cast("double").as("m"))
+      val r = ckpt(nodes.join(mass, Seq("id"), "left")
+        .select(col("id"), col("sv"), col("__dang"),
+          ((lit(1.0 - damping) + lit(damping) * lit(dm)) * col("sv") +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr")))
+      pr = r._1
+      dm = r._2
     }
-    pr
+    pr.select("id", "pr")
   }
 }

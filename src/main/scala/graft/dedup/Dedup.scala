@@ -174,17 +174,19 @@ object Dedup {
   def rareShingled(docs: DataFrame, maxDf: Int, n: Int = 3): DataFrame =
     rareShingledWithCaches(docs, maxDf, n)._1
 
-  /** The shingle frame feeds BOTH the document-frequency aggregate and the
-    * semi-join's probe side — without a persist the tokenize→shingle DAG
-    * executes twice inside the one job that materializes the filtered set. */
+  /** The document-frequency cut is a count over the shingle partition —
+    * one exchange, one pass. The old aggregate + semi-join pair ran the
+    * tokenize→shingle DAG into two non-shareable exchanges (partial-agg vs
+    * full-row payloads) and needed a persist to avoid recomputing it; the
+    * window form has a single consumer chain, so no cache either. Hot
+    * shingles land on one sort-spillable window task — the same skew
+    * posture the semi-join's probe side had. */
   private def rareShingledWithCaches(docs: DataFrame, maxDf: Int,
       n: Int = 3): (DataFrame, Seq[DataFrame]) = {
-    val sh = shingled(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("shingle")
-    (sh.join(rare, Seq("shingle"), "left_semi"), Seq(sh))
+    val hW = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    (shingled(docs, n)
+      .withColumn("df", count(lit(1)).over(hW))
+      .filter(col("df") <= maxDf).drop("df"), Seq.empty)
   }
 
   /** Exact n-gram Jaccard over all colliding pairs (shingle equi-join).

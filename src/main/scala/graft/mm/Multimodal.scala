@@ -611,9 +611,13 @@ object Multimodal {
   def nearDupVideos(frameHashes: DataFrame, minShared: Long = 2,
                     hotCap: Int = 32): DataFrame = {
     val fh = frameHashes.select(col("media_id"), col("fhash")).distinct()
-    val cool = fh.groupBy("fhash").agg(count(lit(1)).as("nf"))
-      .filter(col("nf") <= hotCap).select("fhash")
-    val keep = fh.join(cool, "fhash")
+    // hot-frame cap as a count over the fhash partition (fh is
+    // (media, fhash)-distinct, so COUNT == distinct video count): the old
+    // groupBy+join-back shuffled fh twice more — partial-agg exchange and
+    // full-row join exchange, not ReuseExchange-shareable
+    val keep = fh.withColumn("nf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fhash")))
+      .filter(col("nf") <= hotCap).drop("nf")
     keep.as("a").join(keep.as("b"),
         col("a.fhash") === col("b.fhash") &&
           col("a.media_id") < col("b.media_id"))

@@ -2589,11 +2589,18 @@ object Extensions {
              |    md5(concat_ws(' ', slice(t, i, $SpanK))) AS h))""".stripMargin))
           .as("w"))
       .select(col("doc_id"), col("w.pos").cast("long").as("pos"), col("w.h").as("h"))
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("h")
+    // duplicated-window cut as a count over the h partition: the dup-set
+    // form (groupBy(h) ≥2 → join back) shuffled the explode output twice —
+    // the aggregate's partial-combine exchange and the join side's full-row
+    // exchange have different payloads, so ReuseExchange cannot share them
+    // and the tokenize→window→md5 map stage ran twice (r13 profile: two
+    // ~0.7 s single-stage twin jobs). One exchange, same rows kept.
+    val hW = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val islandW = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val spans = wins.join(dup, Seq("h"))
+    val spans = wins
+      .withColumn("c", count(lit(1)).over(hW))
+      .filter(col("c") >= 2)
       .withColumn("island", col("pos") - row_number().over(islandW))
       .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("span_start"),

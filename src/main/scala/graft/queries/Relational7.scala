@@ -146,9 +146,14 @@ object Relational7 {
     * ≤ Cap², so the pair stage is linear in the fingerprint count. */
   private val winnowPairs: Q = (s, dir) => {
     val byHash = winnowed(s, dir).select("doc_id", "fp_hash").distinct()
-    val cnt = byHash.groupBy("fp_hash").agg(count(lit(1)).as("nd"))
-    val kept = byHash.join(cnt.filter(col("nd") <= WinnowPairCap)
-      .select("fp_hash"), "fp_hash")
+    // hot-hash cap as a count over the fp_hash partition: the old
+    // groupBy+join-back pair shuffled byHash twice (partial-agg exchange vs
+    // full-row join exchange — not ReuseExchange-shareable); one exchange,
+    // identical kept rows (byHash is (doc, hash)-distinct, so COUNT ==
+    // distinct doc count)
+    val kept = byHash.withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp_hash")))
+      .filter(col("nd") <= WinnowPairCap).drop("nd")
     kept.as("a").join(kept.as("b"),
         col("a.fp_hash") === col("b.fp_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -265,10 +270,19 @@ object Relational7 {
     * at any corpus size. */
   private val winnowSpans: Q = (s, dir) => {
     val byHash = winnowed(s, dir)
-    val keptHashes = byHash.select("doc_id", "fp_hash").distinct()
-      .groupBy("fp_hash").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") <= WinnowPairCap).select("fp_hash")
-    val kept = byHash.join(keptHashes, "fp_hash")
+    // hot-hash cap without the old distinct→groupBy→join-back (three
+    // exchanges over the winnowed frame, none ReuseExchange-shareable):
+    // ONE forced fp_hash exchange, then two sort-only windows — flag each
+    // (hash, doc)'s first row, count flags per hash = distinct-doc count.
+    // No per-task set is built, so a degenerate stop-phrase hash costs a
+    // spillable sort, never memory (the skew posture the groupBy had).
+    val W = org.apache.spark.sql.expressions.Window
+    val kept = byHash.repartition(col("fp_hash"))
+      .withColumn("__first",
+        when(row_number().over(W.partitionBy("fp_hash", "doc_id")
+          .orderBy("fp_pos")) === 1, 1L).otherwise(0L))
+      .withColumn("nd", sum(col("__first")).over(W.partitionBy("fp_hash")))
+      .filter(col("nd") <= WinnowPairCap).drop("nd", "__first")
     val matches = kept.as("a").join(kept.as("b"),
         col("a.fp_hash") === col("b.fp_hash") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -560,11 +560,16 @@ object VectorOps {
     * tie-break, so results are form-invariant. */
   val CentroidExprMax = 64
 
-  private def centroidDist(cent: Column): Column = aggregate(
-    zip_with(col("embedding"), cent, (x, cc) =>
-      round((x.cast("double") - cc) * (x.cast("double") - cc) * lit(1e12),
-        0).cast("long")),
-    lit(0L), (acc, v) => acc + v)
+  // codegen'd fused loop ([[graft.functions.FixedSqDistExpr]]) — identical
+  // value/null semantics to the old composable fold
+  //   aggregate(zip_with(embedding, cent,
+  //     (x, cc) => round((x−cc)²·1e12, 0).cast(long)), 0L, _+_)
+  // which ran as interpreted HOFs (CodegenFallback) and was the dominant
+  // per-row cost of every centroid-scored query (sim_silhouette's k-fold
+  // projection was one 2.7 s stage at sf0.1). Callers must have
+  // [[graft.functions.FixedSqDistFunctions.register]]ed the session.
+  private def centroidDist(cent: Column): Column =
+    graft.functions.FixedSqDistFunctions.fixedSqDist(col("embedding"), cent)
 
   /** Above this many DISTINCT codebook positions the broadcast n×k join
     * form switches to the IVF-pruned form ([[nearestTwoPruned]]): with
@@ -584,6 +589,7 @@ object VectorOps {
   def assignToCentroids(emb: DataFrame,
                         cents: Seq[(Int, Array[Double])]): DataFrame = {
     require(cents.nonEmpty, "empty codebook")
+    graft.functions.FixedSqDistFunctions.register(emb.sparkSession)
     if (cents.size <= CentroidExprMax) {
       val scored = cents.map { case (label, c) =>
         struct(centroidDist(typedlit(c.toSeq)).as("dist"),
@@ -722,6 +728,7 @@ object VectorOps {
       emb: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
     require(cents.nonEmpty, "empty codebook")
     val spark = emb.sparkSession
+    graft.functions.FixedSqDistFunctions.register(spark)
     import spark.implicits._
     // duplicate-position dedup: rep label + optional second label
     val byPos: Seq[(Array[Double], Int, Option[Int])] =
@@ -924,6 +931,7 @@ object VectorOps {
     * label means go through the decimal-exact sum, so the entry is
     * hash-exact. */
   def silhouette(emb: DataFrame): DataFrame = {
+    graft.functions.FixedSqDistFunctions.register(emb.sparkSession)
     val cents: Seq[(Int, Array[Double])] = centroids(emb).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(3)))
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -954,13 +962,13 @@ object VectorOps {
           .select(col("label"),
             sOf(aCol, sqrt(bFp.cast("double") / lit(Scale))).as("s"))
       } else if (cents.size <= CentroidExprMax) {
-        // expression form: k per-centroid literal folds in one projection
+        // expression form: k per-centroid codegen'd fused folds in one
+        // projection (same value as the old zip_with/aggregate lambda —
+        // see centroidDist)
         def dist(c: Array[Double]): Column =
-          sqrt(aggregate(
-            zip_with(col("embedding"), typedlit(c), (xi, ci) =>
-              round((xi.cast("double") - ci) * (xi.cast("double") - ci) * lit(1e12), 0)
-                .cast("long")),
-            lit(0L), _ + _).cast("double") / lit(1e12))
+          sqrt(graft.functions.FixedSqDistFunctions
+            .fixedSqDist(col("embedding"), typedlit(c))
+            .cast("double") / lit(1e12))
         val a = coalesce(cents.map { case (l, c) =>
           when(col("label") === lit(l), dist(c)) }: _*)
         val b = least(cents.map { case (l, c) =>
