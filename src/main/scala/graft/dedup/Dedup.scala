@@ -318,9 +318,13 @@ object Dedup {
       threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val sh = shingled(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // dedupPairs = false: cand only feeds the candidate-ID set below, whose
-    // own distinct subsumes the pair-level one — one full pair shuffle saved
-    val cand = lshFromSignatures(minhashFromShingles(sh), dedupPairs = false)
+    // dedupPairs stays TRUE here: skipping the pair-level distinct (tried
+    // in r13 — the candidate-ID distinct below subsumes it semantically)
+    // made the persisted cand frame carry up to band-count× duplicate pairs,
+    // and the four CC-chain entries regressed ~+0.5 s each in full-bench
+    // context (cache growth + a 2-4× larger candIds distinct input ate the
+    // saved shuffle). Measured, not assumed — see OPTIMIZATION_r13.md.
+    val cand = lshFromSignatures(minhashFromShingles(sh))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()

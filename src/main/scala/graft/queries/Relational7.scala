@@ -2336,14 +2336,17 @@ object Relational7 {
     // HOF lambdas — an inline md5 would run once per window), then
     // posexplode its four 8-hex windows. Replicate id b = 4g + w + 1.
     val groups = (PermB + 3) / 4
+    // fused digest→windows extractor ([[graft.functions.Md5Windows32Expr]]):
+    // bit-identical to the old md5 → 4×(substr + conv) chain, without
+    // materializing the 32-char hex string or parsing it four times per
+    // digest — 25 digests per event row make that the stage's per-task cost
+    graft.functions.Md5WindowsFunctions.register(s)
     val reps = ev.select(col("event_type"), col("event_id"), col("vfx"),
         explode(sequence(lit(0), lit(groups - 1))).as("g"))
-      .withColumn("h", md5(concat(col("g").cast("string"), lit("|"),
-        col("event_id").cast("string"))))
       .select(col("event_type"), col("vfx"), col("g"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          w => conv(col("h").substr(w * lit(8) + 1, lit(8)), 16, 10)
-            .cast("long"))).as(Seq("w", "u")))
+        posexplode(graft.functions.Md5WindowsFunctions.md5Windows32(
+          concat(col("g").cast("string"), lit("|"),
+            col("event_id").cast("string")))).as(Seq("w", "u")))
       .withColumn("b", col("g") * 4 + col("w") + 1)
       .filter(col("b") <= PermB)
       .join(broadcast(tc.select("event_type", "nA", "n")), "event_type")
